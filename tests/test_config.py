@@ -1,0 +1,65 @@
+"""Config system tests: required sections, defaults, env overlay."""
+
+from pathlib import Path
+
+import pytest
+
+from video_transformer_tpu.utils.config import (
+    DEFAULT_CONFIG_PATH,
+    load_config,
+)
+
+MINIMAL = """
+system: {}
+proxy: {}
+downloader: {}
+validator: {}
+image_generator: {}
+"""
+
+
+def test_default_config_loads():
+    config = load_config(DEFAULT_CONFIG_PATH)
+    assert config["system"]["note_profile"] == "pdf"
+    assert config["engine"]["model_preset"] == "tiny"
+    assert config["engine"]["mesh"]["model"] == 1
+    assert config["analyzer"]["long_video"]["default_segment_seconds"] == 480
+
+
+def test_missing_file_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_config(tmp_path / "nope.yaml")
+
+
+def test_missing_sections_raise(tmp_path):
+    path = tmp_path / "c.yaml"
+    path.write_text("system: {}\n")
+    with pytest.raises(ValueError, match="missing sections"):
+        load_config(path)
+
+
+def test_minimal_config_gets_defaults(tmp_path):
+    path = tmp_path / "c.yaml"
+    path.write_text(MINIMAL)
+    config = load_config(path)
+    system = config["system"]
+    assert system["note_profile"] == "default"
+    assert system["quality_gates"]["enabled"] is False
+    assert system["render"]["include_concept_index"] is True
+    assert config["engine"]["frames_per_segment"] == 8
+
+
+def test_pdf_profile_defaults(tmp_path):
+    path = tmp_path / "c.yaml"
+    path.write_text(MINIMAL.replace("system: {}", "system: {note_profile: pdf}"))
+    config = load_config(path)
+    assert config["system"]["pdf_math"]["enable_display_math"] is True
+    assert config["system"]["render"]["include_concept_index"] is False
+
+
+def test_env_key_overlay(tmp_path, monkeypatch):
+    monkeypatch.setenv("VT_GEMINI_API_KEY", "secret-key")
+    path = tmp_path / "c.yaml"
+    path.write_text(MINIMAL)
+    config = load_config(path)
+    assert config["api_keys"]["gemini"] == "secret-key"
