@@ -1,8 +1,10 @@
 """Test harness configuration.
 
-Forces JAX onto the CPU backend with 8 virtual devices BEFORE jax is imported
-anywhere, so sharding/pjit tests exercise a realistic multi-device mesh
-without TPU hardware. Model tests use tiny configs; Pallas kernels run in
+Forces JAX onto the CPU backend with 8 virtual devices BEFORE any test module
+imports jax, so sharding/pjit tests exercise a realistic multi-device mesh
+without TPU hardware. Note: this environment pins JAX_PLATFORMS=axon (the TPU
+tunnel) and ignores env-var overrides, so the platform is forced through
+jax.config instead. Model tests use tiny configs; Pallas kernels run in
 interpret mode on CPU.
 """
 
@@ -10,12 +12,14 @@ import os
 import sys
 from pathlib import Path
 
-# Must be set before any jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("VTX_TEST_PLATFORM", "cpu"))
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))

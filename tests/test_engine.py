@@ -1,0 +1,126 @@
+"""Inference engine tests on the virtual 8-device CPU mesh."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from video_transformer_tpu.models.config import (
+    DecoderConfig,
+    EncoderConfig,
+    VLMConfig,
+)
+from video_transformer_tpu.ops.constrained import DfaBuilder
+from video_transformer_tpu.parallel.engine import InferenceEngine
+from video_transformer_tpu.parallel.mesh import build_mesh, mesh_shape_from_config
+from video_transformer_tpu.parallel.sharding import param_shardings, spec_for_path
+
+
+def micro_config() -> VLMConfig:
+    return VLMConfig(
+        name="micro",
+        encoder=EncoderConfig(
+            hidden_dim=64, num_layers=1, num_heads=2, head_dim=32, mlp_dim=128,
+            image_size=32, patch_size=16, tubelet_t=2, num_frames=4,
+        ),
+        decoder=DecoderConfig(
+            vocab_size=512, hidden_dim=64, num_layers=2, num_heads=2,
+            num_kv_heads=2, head_dim=32, mlp_dim=128, max_seq_len=1024,
+        ),
+        dtype="float32",
+    )
+
+
+def tiny_dfa():
+    return (
+        DfaBuilder()
+        .literal('{"title": ')
+        .free_string(1, 8)
+        .literal(', "tags": ')
+        .string_list(1, 6)
+        .literal("}")
+        .finish()
+    )
+
+
+class TestMesh:
+    def test_mesh_shape_resolution(self):
+        assert mesh_shape_from_config({"data": -1, "model": 2}, 8) == (4, 2)
+        assert mesh_shape_from_config({}, 8) == (8, 1)
+        assert mesh_shape_from_config({"data": 2, "model": 4}, 8) == (2, 4)
+
+    def test_invalid_mesh_raises(self):
+        with pytest.raises(ValueError):
+            mesh_shape_from_config({"model": 3}, 8)
+        with pytest.raises(ValueError):
+            mesh_shape_from_config({"data": 3, "model": 2}, 8)
+
+    def test_build_mesh_axes(self):
+        mesh = build_mesh({"data": 4, "model": 2})
+        assert mesh.shape == {"data": 4, "model": 2}
+
+
+class TestShardingRules:
+    def test_column_parallel_rules(self):
+        from jax.sharding import PartitionSpec as P
+
+        assert spec_for_path(("decoder", "layer_0", "attn", "q", "kernel")) == P(
+            None, "model"
+        )
+        assert spec_for_path(("decoder", "layer_0", "attn", "out", "kernel")) == P(
+            "model", None
+        )
+        assert spec_for_path(("decoder", "embed", "embedding")) == P()
+        assert spec_for_path(("decoder", "layer_1", "mlp", "down", "kernel")) == P(
+            "model", None
+        )
+
+
+class TestInferenceEngine:
+    @pytest.fixture(scope="class")
+    def engine(self):
+        mesh = build_mesh({"data": 4, "model": 2})
+        return InferenceEngine(
+            micro_config(),
+            mesh=mesh,
+            dfa=tiny_dfa(),
+            max_new_tokens=128,
+            temperature=1.0,
+            seed=0,
+        )
+
+    def test_generate_valid_json(self, engine):
+        frames = np.random.default_rng(0).integers(
+            0, 255, (2, 4, 32, 32, 3), dtype=np.uint8
+        )
+        texts = engine.generate(frames, ["analyze", "analyze"], prompt_len=16)
+        assert len(texts) == 2
+        for text in texts:
+            parsed = json.loads(text)
+            assert "title" in parsed and "tags" in parsed
+            assert isinstance(parsed["tags"], list)
+
+    def test_batch_padding_to_mesh(self, engine):
+        # 3 clips on a data=4 mesh: padded internally, 3 results out.
+        frames = np.random.default_rng(1).integers(
+            0, 255, (3, 4, 32, 32, 3), dtype=np.uint8
+        )
+        texts = engine.generate(frames, ["a", "b", "c"], prompt_len=16)
+        assert len(texts) == 3
+        for text in texts:
+            json.loads(text)
+
+    def test_stats_accumulate(self, engine):
+        stats = engine.stats.as_dict()
+        assert stats["generate_calls"] >= 2
+        assert stats["tokens_generated"] > 0
+        assert stats["frames_preprocessed"] > 0
+
+    def test_params_are_sharded(self, engine):
+        shardings = param_shardings(engine.mesh, engine.params)
+        q_kernel = engine.params["params"]["decoder"]["layer_0"]["attn"]["q"][
+            "kernel"
+        ]
+        # Column-parallel: second dim split over 2 model shards.
+        assert q_kernel.sharding.shard_shape(q_kernel.shape) == (64, 32)

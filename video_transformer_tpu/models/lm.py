@@ -1,0 +1,222 @@
+"""Decoder-only language model (pre-norm, RoPE, GQA, SwiGLU).
+
+Functional Flax modules with an explicit KV cache threaded through calls —
+no mutable state, so prefill and decode jit/scan cleanly and the cache can be
+sharded with the rest of the activations. Replaces the reference's cloud LLM
+text generation (content_analyzer.py:_generate_content) with an on-device
+implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import flash_attention, mha_reference
+from ..ops.norms import rms_norm
+from ..ops.rotary import apply_rope, rope_angles
+from .config import DecoderConfig
+
+__all__ = ["Decoder", "init_kv_cache"]
+
+Cache = dict[str, Any]
+
+
+def init_kv_cache(
+    config: DecoderConfig, batch: int, max_len: int, dtype: jnp.dtype
+) -> Cache:
+    """Allocate an empty KV cache: per-layer k/v of [B, Hkv, max_len, D]."""
+    shape = (batch, config.num_kv_heads, max_len, config.head_dim)
+    return {
+        "k": jnp.zeros((config.num_layers,) + shape, dtype),
+        "v": jnp.zeros((config.num_layers,) + shape, dtype),
+        "index": jnp.zeros((), jnp.int32),
+    }
+
+
+class RMSNorm(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        return rms_norm(x, weight)
+
+
+class Attention(nn.Module):
+    config: DecoderConfig
+    layer_idx: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, S, H]
+        positions: jax.Array,  # [B, S] or [S]
+        rope: tuple[jax.Array, jax.Array],
+        cache: Cache | None,
+    ) -> tuple[jax.Array, Cache | None]:
+        cfg = self.config
+        b, s, _ = x.shape
+        dtype = x.dtype
+
+        # Separate q/k/v projections: each output dim is heads*head_dim and
+        # shards cleanly over the 'model' mesh axis (a fused qkv concat would
+        # split incorrectly under tensor parallelism).
+        q_dim = cfg.num_heads * cfg.head_dim
+        kv_dim = cfg.num_kv_heads * cfg.head_dim
+        q = nn.Dense(q_dim, use_bias=False, dtype=dtype, name="q")(x)
+        k = nn.Dense(kv_dim, use_bias=False, dtype=dtype, name="k")(x)
+        v = nn.Dense(kv_dim, use_bias=False, dtype=dtype, name="v")(x)
+        q = q.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+
+        cos, sin = rope
+        q = apply_rope(q, positions, cos, sin)
+        k = apply_rope(k, positions, cos, sin)
+
+        if cache is None:
+            # Prefill / training: full self-attention over the sequence.
+            out = flash_attention(q, k, v, causal=True)
+        else:
+            # Incremental decode: write new k/v at cache.index, attend to
+            # the full cache with a length mask. s is 1 in steady state.
+            index = cache["index"]
+            k_cache = jax.lax.dynamic_update_slice(
+                cache["k"][self.layer_idx], k.astype(cache["k"].dtype),
+                (0, 0, index, 0),
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                cache["v"][self.layer_idx], v.astype(cache["v"].dtype),
+                (0, 0, index, 0),
+            )
+            cache = dict(
+                cache,
+                k=cache["k"].at[self.layer_idx].set(k_cache),
+                v=cache["v"].at[self.layer_idx].set(v_cache),
+            )
+            out = _cache_attention(q, k_cache, v_cache, index)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, q_dim)
+        out = nn.Dense(cfg.hidden_dim, use_bias=False, dtype=dtype, name="out")(out)
+        return out, cache
+
+
+def _cache_attention(
+    q: jax.Array, k_cache: jax.Array, v_cache: jax.Array, index: jax.Array
+) -> jax.Array:
+    """Causal attention of a query block (absolute positions index..index+s)
+    against the whole cache.
+
+    Serves both cache-prefill (s > 1) and incremental decode (s = 1). The
+    decode step is bandwidth-bound — one cache read — which XLA handles at
+    roofline already, so no Pallas kernel is spent here.
+    """
+    b, hq, s_q, d = q.shape
+    hkv = k_cache.shape[1]
+    group = hq // hkv
+    qg = q.reshape(b, hkv, group, s_q, d).astype(jnp.float32)
+    logits = jnp.einsum(
+        "bhgqd,bhkd->bhgqk", qg, k_cache.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / jnp.sqrt(jnp.float32(d)))
+    q_pos = index + jnp.arange(s_q)[None, None, None, :, None]
+    k_pos = jnp.arange(k_cache.shape[2])[None, None, None, None, :]
+    logits = jnp.where(k_pos <= q_pos, logits, -1e30)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhgqk,bhkd->bhgqd", weights, v_cache.astype(jnp.float32)
+    )
+    return out.reshape(b, hq, s_q, d).astype(q.dtype)
+
+
+class SwiGLU(nn.Module):
+    config: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        dtype = x.dtype
+        gate = nn.Dense(cfg.mlp_dim, use_bias=False, dtype=dtype, name="gate")(x)
+        up = nn.Dense(cfg.mlp_dim, use_bias=False, dtype=dtype, name="up")(x)
+        return nn.Dense(cfg.hidden_dim, use_bias=False, dtype=dtype, name="down")(
+            nn.silu(gate) * up
+        )
+
+
+class DecoderBlock(nn.Module):
+    config: DecoderConfig
+    layer_idx: int
+
+    @nn.compact
+    def __call__(self, x, positions, rope, cache):
+        attn_out, cache = Attention(
+            self.config, self.layer_idx, name="attn"
+        )(RMSNorm(self.config.hidden_dim, name="attn_norm")(x), positions, rope, cache)
+        x = x + attn_out
+        mlp_out = SwiGLU(self.config, name="mlp")(
+            RMSNorm(self.config.hidden_dim, name="mlp_norm")(x)
+        )
+        return x + mlp_out, cache
+
+
+class Decoder(nn.Module):
+    """Token/embedding-input decoder producing logits.
+
+    Accepts either token ids [B, S] or pre-computed input embeddings
+    [B, S, H] (used by the VLM to splice in video tokens).
+    """
+
+    config: DecoderConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embed = nn.Embed(
+            cfg.vocab_size, cfg.hidden_dim, name="embed",
+            embedding_init=nn.initializers.normal(0.02),
+        )
+        self.blocks = [
+            DecoderBlock(cfg, layer_idx=i, name=f"layer_{i}")
+            for i in range(cfg.num_layers)
+        ]
+        self.final_norm = RMSNorm(cfg.hidden_dim, name="final_norm")
+
+    def embed_tokens(self, tokens: jax.Array, dtype: jnp.dtype) -> jax.Array:
+        return self.embed(tokens).astype(dtype)
+
+    def __call__(
+        self,
+        inputs: jax.Array,
+        positions: jax.Array | None = None,
+        cache: Cache | None = None,
+        dtype: jnp.dtype = jnp.bfloat16,
+    ) -> tuple[jax.Array, Cache | None]:
+        cfg = self.config
+        if inputs.ndim == 2:
+            x = self.embed_tokens(inputs, dtype)
+        else:
+            x = inputs.astype(dtype)
+        b, s, _ = x.shape
+
+        if positions is None:
+            start = cache["index"] if cache is not None else 0
+            positions = start + jnp.arange(s)[None, :].astype(jnp.int32)
+            positions = jnp.broadcast_to(positions, (b, s))
+
+        rope = rope_angles(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta)
+
+        for block in self.blocks:
+            x, cache = block(x, positions, rope, cache)
+
+        x = self.final_norm(x)
+        # Tied logits: reuse the embedding table (fp32 accumulate).
+        logits = jnp.einsum(
+            "bsh,vh->bsv", x.astype(jnp.float32),
+            self.embed.embedding.astype(jnp.float32),
+        )
+        if cache is not None:
+            cache = dict(cache, index=cache["index"] + s)
+        return logits, cache

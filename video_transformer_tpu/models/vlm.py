@@ -1,0 +1,98 @@
+"""VideoLM: encoder -> projector -> decoder, the full video-language model.
+
+This model IS the analysis engine: where the reference uploads an MP4 and
+prompts Gemini (content_analyzer.py:560-655), this model consumes
+preprocessed tubelet patches and generates the structured note JSON on
+device. Exposed methods map onto the inference engine's phases:
+
+- ``encode_video``  : patches -> projected video embeddings
+- ``prefill``       : video embeds + prompt tokens -> cache + last logits
+- ``decode_step``   : one incremental token step against the cache
+- ``__call__``      : teacher-forced training forward (video + text -> logits)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .config import VLMConfig
+from .lm import Cache, Decoder
+from .vit import VideoEncoder
+
+__all__ = ["VideoLM"]
+
+
+class VideoLM(nn.Module):
+    config: VLMConfig
+
+    def setup(self):
+        cfg = self.config
+        self.encoder = VideoEncoder(cfg.encoder, name="encoder")
+        self.projector_up = nn.Dense(
+            cfg.decoder.hidden_dim, use_bias=False, name="projector_up"
+        )
+        self.projector_down = nn.Dense(
+            cfg.decoder.hidden_dim, use_bias=False, name="projector_down"
+        )
+        self.decoder = Decoder(cfg.decoder, name="decoder")
+
+    @property
+    def compute_dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.config.dtype)
+
+    def encode_video(self, patches: jax.Array) -> jax.Array:
+        """[B, N, patch_dim] -> [B, N, decoder_hidden] video embeddings."""
+        dtype = self.compute_dtype
+        encoded = self.encoder(patches, dtype=dtype)
+        projected = self.projector_down(
+            nn.gelu(self.projector_up(encoded.astype(dtype)))
+        )
+        return projected.astype(dtype)
+
+    def _splice(self, video_embeds: jax.Array, tokens: jax.Array) -> jax.Array:
+        """Concatenate video embeddings ahead of token embeddings."""
+        dtype = self.compute_dtype
+        text_embeds = self.decoder.embed_tokens(tokens, dtype)
+        return jnp.concatenate([video_embeds, text_embeds], axis=1)
+
+    def prefill(
+        self,
+        patches: jax.Array,
+        prompt_tokens: jax.Array,
+        cache: Cache,
+    ) -> tuple[jax.Array, Cache]:
+        """Encode video + prompt, fill the KV cache; returns (last_logits, cache)."""
+        video_embeds = self.encode_video(patches)
+        inputs = self._splice(video_embeds, prompt_tokens)
+        logits, cache = self.decoder(inputs, cache=cache, dtype=self.compute_dtype)
+        return logits[:, -1, :], cache
+
+    def decode_step(
+        self, tokens: jax.Array, cache: Cache
+    ) -> tuple[jax.Array, Cache]:
+        """One decode step: tokens [B, 1] -> (logits [B, V], cache)."""
+        logits, cache = self.decoder(tokens, cache=cache, dtype=self.compute_dtype)
+        return logits[:, -1, :], cache
+
+    def __call__(
+        self, patches: jax.Array, tokens: jax.Array
+    ) -> jax.Array:
+        """Training forward: logits [B, Nv + St, V] with teacher forcing."""
+        video_embeds = self.encode_video(patches)
+        inputs = self._splice(video_embeds, tokens)
+        logits, _ = self.decoder(inputs, cache=None, dtype=self.compute_dtype)
+        return logits
+
+    def init_variables(self, rng: jax.Array, batch: int = 1) -> Any:
+        """Initialize parameters with tiny dummy inputs."""
+        cfg = self.config
+        patches = jnp.zeros(
+            (batch, cfg.encoder.tokens_per_clip, cfg.encoder.patch_dim),
+            self.compute_dtype,
+        )
+        tokens = jnp.zeros((batch, 8), jnp.int32)
+        return self.init(rng, patches, tokens)

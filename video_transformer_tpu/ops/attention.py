@@ -1,0 +1,187 @@
+"""Multi-head attention: Pallas flash-attention kernel + XLA reference.
+
+The Pallas kernel implements online-softmax flash attention tiled for the
+MXU: queries are blocked over the grid, K/V for the (grouped) head live in
+VMEM, and the kernel loop accumulates with running max/sum in fp32. It
+replaces the reference framework's cloud-attention entirely (there is no
+native attention in /root/reference — this is the compute core of the
+TPU-native engine).
+
+Layouts: q [B, Hq, S, D], k/v [B, Hkv, S, D], GQA via Hq % Hkv == 0.
+Right-padded batches are safe under causal masking (pad queries only read the
+valid prefix; valid queries never look forward at pads).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention", "mha_reference"]
+
+_NEG_INF = -1e30
+
+
+def mha_reference(
+    q: jax.Array, k: jax.Array, v: jax.Array, causal: bool = True
+) -> jax.Array:
+    """Plain XLA attention, used on CPU and as the numerics oracle."""
+    b, hq, s_q, d = q.shape
+    hkv = k.shape[1]
+    group = hq // hkv
+    qg = q.reshape(b, hkv, group, s_q, d)
+    logits = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k, preferred_element_type=jnp.float32)
+    logits *= 1.0 / math.sqrt(d)
+    if causal:
+        s_k = k.shape[2]
+        q_pos = jnp.arange(s_q)[:, None] + (s_k - s_q)
+        k_pos = jnp.arange(s_k)[None, :]
+        logits = jnp.where(k_pos <= q_pos, logits, _NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", weights.astype(v.dtype), v)
+    return out.reshape(b, hq, s_q, d)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int, causal: bool, scale: float
+):
+    """One (batch, q-head, q-block) program: online softmax over K blocks."""
+    q_block_idx = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [block_q, d]
+    s_k = k_ref.shape[2]
+    num_k_blocks = s_k // block_k
+
+    d = q.shape[-1]
+    acc = jnp.zeros((block_q, d), jnp.float32)
+    m_prev = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l_prev = jnp.zeros((block_q, 1), jnp.float32)
+
+    q_pos = q_block_idx * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    )
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        if causal:
+            k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            logits = jnp.where(k_pos <= q_pos, logits, _NEG_INF)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    if causal:
+        # Only K blocks intersecting the causal triangle contribute.
+        upper = jnp.minimum(
+            ((q_block_idx + 1) * block_q + block_k - 1) // block_k, num_k_blocks
+        )
+    else:
+        upper = num_k_blocks
+    acc, m_prev, l_prev = jax.lax.fori_loop(0, upper, body, (acc, m_prev, l_prev))
+
+    out = acc / jnp.maximum(l_prev, 1e-30)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _pick_block(s: int, preferred: int) -> int:
+    """Largest power-of-two block <= preferred that divides s."""
+    block = preferred
+    while block > 8:
+        if s % block == 0:
+            return block
+        block //= 2
+    return max(s, 1) if s <= 8 else 8
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "interpret"))
+def _flash_attention_pallas(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    b, hq, s_q, d = q.shape
+    hkv = k.shape[1]
+    s_k = k.shape[2]
+    group = hq // hkv
+    scale = 1.0 / math.sqrt(d)
+
+    block_q = _pick_block(s_q, 512)
+    block_k = _pick_block(s_k, 512)
+
+    grid = (b, hq, s_q // block_q)
+
+    kernel = functools.partial(
+        _flash_kernel, block_q=block_q, block_k=block_k, causal=causal, scale=scale
+    )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d),
+                lambda bi, hi, qi: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s_k, d),
+                lambda bi, hi, qi, g=group: (bi, hi // g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s_k, d),
+                lambda bi, hi, qi, g=group: (bi, hi // g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d),
+            lambda bi, hi, qi: (bi, hi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * s_q * s_k * d,
+            bytes_accessed=(q.size + k.size * group + v.size * group + q.size)
+            * q.dtype.itemsize,
+            transcendentals=b * hq * s_q * s_k,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = True,
+    force_reference: bool = False,
+) -> jax.Array:
+    """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
+
+    Sequence lengths must be multiples of the chosen block size on the Pallas
+    path; shapes in this framework are static and MXU-aligned by design.
+    """
+    if force_reference or jax.default_backend() != "tpu":
+        return mha_reference(q, k, v, causal=causal)
+    return _flash_attention_pallas(q, k, v, causal=causal)

@@ -1,0 +1,67 @@
+"""On-device frame preprocessing: resize -> normalize -> tubelet patchify.
+
+Replaces the reference's ffmpeg re-encode compression step
+(content_analyzer.py:167-236): instead of shrinking files for a cloud upload,
+raw uint8 frames are shipped to the device once (4x cheaper on host->HBM
+bandwidth than float32) and everything else — bilinear resize expressed as
+two MXU matmuls, affine normalization, patchification — happens on-chip and
+fuses under jit.
+
+Resize-as-matmul: a separable bilinear resize is frames @ Wx along width and
+Wy^T @ frames along height, with precomputed sparse-ish weight matrices.
+This maps the dominant preprocessing FLOPs onto the MXU instead of gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import EncoderConfig
+from ..models.vit import tubelet_patchify
+
+__all__ = ["preprocess_frames", "resize_weights"]
+
+
+@functools.lru_cache(maxsize=64)
+def resize_weights(src: int, dst: int) -> np.ndarray:
+    """Bilinear interpolation matrix [src, dst] (align_corners=False)."""
+    weights = np.zeros((src, dst), dtype=np.float32)
+    if src == dst:
+        np.fill_diagonal(weights, 1.0)
+        return weights
+    scale = src / dst
+    for j in range(dst):
+        center = (j + 0.5) * scale - 0.5
+        lo = int(np.floor(center))
+        frac = center - lo
+        lo_c = np.clip(lo, 0, src - 1)
+        hi_c = np.clip(lo + 1, 0, src - 1)
+        weights[lo_c, j] += 1.0 - frac
+        weights[hi_c, j] += frac
+    return weights
+
+
+@functools.partial(jax.jit, static_argnames=("config", "dtype"))
+def preprocess_frames(
+    frames: jax.Array,  # uint8 [B, T, H, W, 3]
+    config: EncoderConfig,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """uint8 frames -> normalized tubelet patches [B, N, patch_dim]."""
+    b, t, h, w, c = frames.shape
+    size = config.image_size
+    x = frames.astype(jnp.float32)
+
+    wy = jnp.asarray(resize_weights(h, size))  # [H, S]
+    wx = jnp.asarray(resize_weights(w, size))  # [W, S]
+    # Height resize: contract H; width resize: contract W. Two big matmuls.
+    x = jnp.einsum("bthwc,hy->btywc", x, wy)
+    x = jnp.einsum("btywc,wx->btyxc", x, wx)
+
+    x = x * (1.0 / 127.5) - 1.0
+    patches = tubelet_patchify(x, config.patch_size, config.tubelet_t)
+    return patches.astype(dtype)

@@ -1,0 +1,66 @@
+"""Device mesh construction.
+
+Two logical axes:
+- "data": per-segment batch parallelism — the TPU-native replacement for the
+  reference's sequential segment loop (content_analyzer.py:822-964).
+- "model": tensor parallelism over attention heads / MLP hidden.
+
+Collectives ride ICI: jax.make_mesh orders devices so the innermost axis maps
+to physically adjacent chips, and GSPMD inserts the all-reduces implied by
+the shardings in sharding.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+from jax.sharding import Mesh
+
+__all__ = ["build_mesh", "mesh_shape_from_config", "DATA_AXIS", "MODEL_AXIS"]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def mesh_shape_from_config(
+    mesh_config: Mapping[str, Any] | None, num_devices: int | None = None
+) -> tuple[int, int]:
+    """Resolve (data, model) axis sizes; -1 on an axis means "all remaining"."""
+    if num_devices is None:
+        num_devices = len(jax.devices())
+    cfg = dict(mesh_config or {})
+    data = int(cfg.get("data", -1))
+    model = int(cfg.get("model", 1))
+
+    if model <= 0:
+        model = 1
+    if num_devices % model != 0:
+        raise ValueError(
+            f"model axis {model} does not divide device count {num_devices}"
+        )
+    if data <= 0:
+        data = num_devices // model
+    if data * model != num_devices:
+        raise ValueError(
+            f"mesh {data}x{model} != device count {num_devices}"
+        )
+    return data, model
+
+
+def build_mesh(
+    mesh_config: Mapping[str, Any] | None = None,
+    devices: list[jax.Device] | None = None,
+) -> Mesh:
+    """Create a (data, model) mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    data, model = mesh_shape_from_config(mesh_config, len(devices))
+    # Auto axis types: shardings are propagated by GSPMD from annotations
+    # (with_sharding_constraint / in_shardings) rather than explicit types.
+    return jax.make_mesh(
+        (data, model),
+        (DATA_AXIS, MODEL_AXIS),
+        devices=devices,
+        axis_types=(jax.sharding.AxisType.Auto, jax.sharding.AxisType.Auto),
+    )
