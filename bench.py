@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""End-to-end benchmark: minutes of video analyzed per minute per chip.
+
+Synthesizes a lecture-length clip, runs the full on-device analysis path
+(decode -> preprocess -> ViT encode -> constrained JSON generation ->
+merge -> contract gate) through ContentAnalyzer, and reports throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+The reference publishes no benchmarks (BASELINE.md) — vs_baseline is
+measured against the BASELINE.json north-star target of 3.75 analyzed
+video-minutes per wall-minute per chip (60-min lecture in <2 min on 8 chips).
+
+A warmup pass compiles all shape buckets first; the measured pass reflects
+steady-state serving throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+NORTH_STAR_MIN_PER_MIN_PER_CHIP = 3.75  # 60 min / 2 min / 8 chips
+
+VIDEO_SECONDS = 240.0
+FPS = 2.0
+SEGMENT_SECONDS = 60
+
+
+def build_engine():
+    import jax
+
+    from video_transformer_tpu.analyzer.schema import note_dfa
+    from video_transformer_tpu.models.config import get_preset
+    from video_transformer_tpu.parallel.engine import InferenceEngine
+    from video_transformer_tpu.parallel.mesh import build_mesh
+
+    config = get_preset("tiny")
+    mesh = build_mesh({"data": len(jax.devices()), "model": 1})
+    return InferenceEngine(
+        config,
+        mesh=mesh,
+        dfa=note_dfa(config.decoder.vocab_size, scale=0.5),
+        max_new_tokens=2048,
+        temperature=1.0,
+        structure_bias=2.5,
+        seed=0,
+    )
+
+
+def make_analyzer(engine, temp_dir: Path):
+    from video_transformer_tpu.analyzer.content_analyzer import ContentAnalyzer
+    from video_transformer_tpu.utils.counter import APICounter
+
+    config = {
+        "system": {
+            "temp_dir": str(temp_dir),
+            "quality_gates": {"enabled": False},
+            "render": {"include_concept_index": True},
+        },
+        "analyzer": {
+            "model": "vtx-local",
+            "max_continuations": 0,
+            "retry_times": 0,
+            "long_video": {
+                "enabled": True,
+                "default_segment_seconds": SEGMENT_SECONDS,
+                "overlap_seconds": 4,
+                "min_segment_seconds": 16,
+                "hard_max_api_calls": 200,
+                "consolidate": False,
+            },
+        },
+        "engine": {},
+    }
+    return ContentAnalyzer(
+        config, APICounter(max_calls=200, hard_max_calls=200), engine=engine
+    )
+
+
+def synth_video(path: Path, seconds: float, fps: float, size: int = 128) -> None:
+    from video_transformer_tpu.video.containers import write_npzv
+
+    rng = np.random.default_rng(0)
+    t = int(seconds * fps)
+    # Structured frames (moving gradient + noise) rather than pure noise.
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    frames = np.empty((t, size, size, 3), dtype=np.uint8)
+    for i in range(t):
+        phase = i / max(t, 1)
+        base = (
+            127
+            + 100 * np.sin(2 * np.pi * (xx + phase))
+            + 20 * rng.standard_normal((size, size))
+        )
+        frames[i, :, :, 0] = np.clip(base, 0, 255)
+        frames[i, :, :, 1] = np.clip(base * (0.5 + phase / 2), 0, 255)
+        frames[i, :, :, 2] = np.clip(255 - base, 0, 255)
+    write_npzv(path, frames, fps=fps)
+
+
+def run_once(engine, work_dir: Path, label: str):
+    clip = work_dir / f"bench_{label}.npzv"
+    synth_video(clip, VIDEO_SECONDS, FPS)
+    analyzer = make_analyzer(engine, work_dir / f"tmp_{label}")
+    start = time.perf_counter()
+    result = analyzer.analyze_video(clip)
+    elapsed = time.perf_counter() - start
+    return result, elapsed
+
+
+def main() -> int:
+    import jax
+
+    n_chips = len(jax.devices())
+    backend = jax.default_backend()
+
+    work_dir = Path(tempfile.mkdtemp(prefix="vtx_bench_"))
+    try:
+        engine = build_engine()
+
+        # Warmup: compile every shape bucket (prefill + decode + preprocess).
+        run_once(engine, work_dir, "warmup")
+
+        # Measured run (fresh manifest dir so nothing is cached).
+        engine.stats.__init__()
+        result, elapsed = run_once(engine, work_dir, "measured")
+
+        analyzed_minutes = float(result.metadata.get("duration", VIDEO_SECONDS)) / 60.0
+        wall_minutes = elapsed / 60.0
+        value = analyzed_minutes / wall_minutes / max(n_chips, 1)
+        stats = engine.stats.as_dict()
+        preproc_fps = (
+            stats["frames_preprocessed"] / stats["preprocess_seconds"]
+            if stats["preprocess_seconds"]
+            else 0.0
+        )
+
+        print(
+            json.dumps(
+                {
+                    "metric": "video_minutes_analyzed_per_min_per_chip",
+                    "value": round(value, 3),
+                    "unit": "min/min/chip",
+                    "vs_baseline": round(value / NORTH_STAR_MIN_PER_MIN_PER_CHIP, 3),
+                    "extras": {
+                        "backend": backend,
+                        "n_chips": n_chips,
+                        "video_seconds": VIDEO_SECONDS,
+                        "wall_seconds": round(elapsed, 2),
+                        "segments": result.metadata.get("segments"),
+                        "decode_tokens_per_s": stats["tokens_per_second"],
+                        "preproc_frames_per_s": round(preproc_fps, 1),
+                        "model_preset": "tiny",
+                    },
+                },
+                ensure_ascii=False,
+            )
+        )
+        return 0
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,320 @@
+"""End-to-end analyzer tests: synthetic clip -> AnalysisResult, no network.
+
+Mirrors the reference test strategy (tests/test_analyzer.py,
+test_long_video_integration.py): real engine on tiny shapes for the short
+path, and engine-level behavior for segmentation, merge, and resume.
+"""
+
+import json
+import logging
+
+import numpy as np
+import pytest
+
+from video_transformer_tpu.analyzer import ContentAnalyzer
+from video_transformer_tpu.analyzer.json_repair import RepairError, repair_json
+from video_transformer_tpu.analyzer.schema import audit_dfa, note_dfa, validator_dfa
+from video_transformer_tpu.analyzer.segmentation import (
+    accept_consolidation,
+    merge_segment_outputs,
+    offset_timestamps,
+)
+from video_transformer_tpu.models.config import (
+    DecoderConfig,
+    EncoderConfig,
+    VLMConfig,
+)
+from video_transformer_tpu.parallel.engine import InferenceEngine
+from video_transformer_tpu.parallel.mesh import build_mesh
+from video_transformer_tpu.utils.counter import APICounter
+from video_transformer_tpu.video.containers import write_npzv
+
+
+def micro_config() -> VLMConfig:
+    return VLMConfig(
+        name="micro",
+        encoder=EncoderConfig(
+            hidden_dim=64, num_layers=1, num_heads=2, head_dim=32, mlp_dim=128,
+            image_size=32, patch_size=16, tubelet_t=2, num_frames=4,
+        ),
+        decoder=DecoderConfig(
+            vocab_size=512, hidden_dim=64, num_layers=2, num_heads=2,
+            num_kv_heads=2, head_dim=32, mlp_dim=128, max_seq_len=4096,
+        ),
+        dtype="float32",
+    )
+
+
+@pytest.fixture(scope="module")
+def engine():
+    # Compact grammar (scale 0.25): untrained sampling tends to run fields to
+    # their max length, so compact budgets keep decode under the token cap.
+    return InferenceEngine(
+        micro_config(),
+        mesh=build_mesh({"data": 4, "model": 2}),
+        dfa=note_dfa(512, scale=0.25),
+        max_new_tokens=1400,
+        temperature=1.0,
+        structure_bias=2.5,
+        seed=0,
+    )
+
+
+def make_config(tmp_path, **overrides):
+    config = {
+        "system": {
+            "temp_dir": str(tmp_path / "temp"),
+            "quality_gates": {"enabled": False, "max_extra_llm_calls": 1},
+            "render": {"include_concept_index": True},
+        },
+        "analyzer": {
+            "model": "vtx-local",
+            "max_continuations": 0,
+            "retry_times": 0,
+            "long_video": {
+                "enabled": True,
+                "default_segment_seconds": 10,
+                "overlap_seconds": 2,
+                "min_segment_seconds": 4,
+                "hard_max_api_calls": 50,
+                "consolidate": False,
+            },
+        },
+        "engine": {"model_preset": "tiny"},
+    }
+    config.update(overrides)
+    return config
+
+
+def write_clip(path, seconds=5, fps=4.0):
+    frames = np.random.default_rng(0).integers(
+        0, 255, (int(seconds * fps), 32, 32, 3), dtype=np.uint8
+    )
+    write_npzv(path, frames, fps=fps)
+    return path
+
+
+@pytest.mark.slow
+class TestAnalyzeVideoEndToEnd:
+    def test_short_video_single_pass(self, tmp_path, engine):
+        clip = write_clip(tmp_path / "short.npzv", seconds=5)
+        analyzer = ContentAnalyzer(
+            make_config(tmp_path), APICounter(max_calls=10),
+            logging.getLogger("t"), engine=engine,
+        )
+        result = analyzer.analyze_video(clip)
+        assert result.title
+        assert result.metadata["segments"] == 1
+        assert result.knowledge_doc.deep_dive
+        assert result.knowledge_doc.visual_schemas
+        # Render in legacy mode (never raises) to prove the contract holds.
+        markdown = result.knowledge_doc.to_markdown(self_check_mode="static")
+        assert "## 🔍 深度解析 (Deep Dive)" in markdown
+
+    def test_long_video_segmented(self, tmp_path, engine):
+        clip = write_clip(tmp_path / "long.npzv", seconds=30)
+        counter = APICounter(max_calls=50)
+        analyzer = ContentAnalyzer(
+            make_config(tmp_path), counter, logging.getLogger("t"), engine=engine
+        )
+        result = analyzer.analyze_video(clip)
+        assert result.metadata["segments"] == 3  # 30s / 10s segments
+        assert result.metadata["segments_analyzed"] == 3
+        assert counter.current_count == 3
+        # Manifest persisted with completed statuses.
+        manifest_path = (
+            tmp_path / "temp" / "segments" / "long" / "manifest.json"
+        )
+        manifest = json.loads(manifest_path.read_text())
+        assert all(s["status"] == "completed" for s in manifest["segments"])
+
+    def test_segment_resume_skips_completed(self, tmp_path, engine):
+        clip = write_clip(tmp_path / "resume.npzv", seconds=30)
+        counter = APICounter(max_calls=50)
+        config = make_config(tmp_path)
+        analyzer = ContentAnalyzer(
+            config, counter, logging.getLogger("t"), engine=engine
+        )
+        analyzer.analyze_video(clip)
+        first_count = counter.current_count
+
+        # Second run resumes from the manifest: no new engine calls.
+        analyzer2 = ContentAnalyzer(
+            config, counter, logging.getLogger("t"), engine=engine
+        )
+        result = analyzer2.analyze_video(clip)
+        assert counter.current_count == first_count
+        assert result.metadata["segments_analyzed"] == 3
+
+    def test_budget_exhaustion_produces_gap_notes(self, tmp_path, engine):
+        """Resume against an existing 3-segment manifest with budget for 2:
+        the third segment is skipped and recorded as a coverage gap."""
+        from video_transformer_tpu.video import create_manifest
+
+        clip = write_clip(tmp_path / "gaps.npzv", seconds=30)
+        config = make_config(tmp_path)
+        config["analyzer"]["long_video"]["hard_max_api_calls"] = 2
+        config["analyzer"]["long_video"]["duration_threshold_seconds"] = 1
+        create_manifest(
+            video_id="gaps", duration=30, segment_seconds=10,
+            overlap_seconds=2, temp_dir=tmp_path / "temp",
+        )
+        counter = APICounter(max_calls=2)
+        analyzer = ContentAnalyzer(
+            config, counter, logging.getLogger("t"), engine=engine
+        )
+        result = analyzer.analyze_video(clip)
+        assert result.metadata["segments_analyzed"] == 2
+        assert len(result.metadata["segment_gaps"]) == 1
+        assert any(
+            "未覆盖" in takeaway for takeaway in result.knowledge_doc.key_takeaways
+        )
+
+
+class TestSegmentationLogic:
+    def out(self, start, end, title="T", topics=None, takeaways=None, glossary=None):
+        sections = [
+            {
+                "topic": topic,
+                "explanation": f"{topic} 的解释",
+                "timestamp": {"start": start + i * 10, "end": start + i * 10 + 5},
+            }
+            for i, topic in enumerate(topics or ["A"])
+        ]
+        return {
+            "start": start,
+            "end": end,
+            "data": {
+                "title": title,
+                "one_sentence_summary": "S",
+                "key_takeaways": takeaways or ["k"],
+                "deep_dive": [
+                    {"chapter_title": "C", "chapter_summary": "", "sections": sections}
+                ],
+                "glossary": glossary or {},
+            },
+        }
+
+    def test_merge_dedupes_takeaways(self):
+        merged = merge_segment_outputs(
+            [
+                self.out(0, 10, takeaways=["结论一", "结论二"]),
+                self.out(10, 20, topics=["B"], takeaways=["结论一!", "结论三"]),
+            ],
+            [],
+        )
+        assert merged["key_takeaways"] == ["结论一", "结论二", "结论三"]
+
+    def test_merge_dedupes_glossary_first_wins(self):
+        merged = merge_segment_outputs(
+            [
+                self.out(0, 10, glossary={"梯度": "定义1"}),
+                self.out(10, 20, topics=["B"], glossary={"梯 度": "定义2"}),
+            ],
+            [],
+        )
+        assert merged["glossary"] == {"梯度": "定义1"}
+
+    def test_merge_drops_time_overlapped_sections(self):
+        first = self.out(0, 20, topics=["A", "B"])
+        second = self.out(10, 30, topics=["C"])
+        # C starts at 10, inside the frontier set by B (ends 15) -> dropped.
+        merged = merge_segment_outputs([first, second], [])
+        all_topics = [
+            s["topic"]
+            for ch in merged["deep_dive"]
+            for s in ch["sections"]
+        ]
+        assert all_topics == ["A", "B"]
+
+    def test_merge_appends_gap_notes(self):
+        merged = merge_segment_outputs([self.out(0, 10)], ["00:00:10-00:00:20"])
+        assert "未覆盖" in merged["key_takeaways"][-1]
+
+    def test_offset_timestamps(self):
+        data = self.out(0, 10)["data"]
+        shifted = offset_timestamps(data, 100.0)
+        ts = shifted["deep_dive"][0]["sections"][0]["timestamp"]
+        assert ts == {"start": 100.0, "end": 105.0}
+
+    def test_accept_consolidation_rules(self):
+        base = {"visual_schemas": [{"type": "overview"}]}
+        good = {
+            "title": "t", "one_sentence_summary": "s", "key_takeaways": ["k"],
+            "glossary": {},
+            "deep_dive": [
+                {"chapter_title": "一", "sections": []},
+                {"chapter_title": "二", "sections": []},
+            ],
+        }
+        accepted = accept_consolidation(good, base)
+        assert accepted is not None
+        assert accepted["visual_schemas"] == base["visual_schemas"]
+
+        too_few = dict(good, deep_dive=[{"chapter_title": "一", "sections": []}])
+        assert accept_consolidation(too_few, base) is None
+
+        dup = dict(
+            good,
+            deep_dive=[
+                {"chapter_title": "相同", "sections": []},
+                {"chapter_title": "相 同", "sections": []},
+            ],
+        )
+        assert accept_consolidation(dup, base) is None
+        assert accept_consolidation("not a dict", base) is None
+
+
+class TestJsonRepair:
+    def test_direct(self):
+        value, strategy = repair_json('{"a": 1}')
+        assert value == {"a": 1} and strategy == "direct"
+
+    def test_markdown_fences_stripped(self):
+        value, _ = repair_json('```json\n{"a": 1}\n```')
+        assert value == {"a": 1}
+
+    def test_chatter_prefix_stripped(self):
+        value, _ = repair_json('Sure! Here is the JSON:\n{"a": 1}')
+        assert value == {"a": 1}
+
+    def test_latex_escapes(self):
+        # \a and \g are illegal JSON escapes -> doubled into literal LaTeX.
+        # (\b would stay a legal backspace escape, matching the reference.)
+        value, strategy = repair_json('{"f": "\\alpha + \\gamma"}')
+        assert value["f"] == "\\alpha + \\gamma"
+        assert strategy == "sanitize_escapes"
+
+    def test_backtick_strings(self):
+        value, _ = repair_json('{"code": `x = 1`}')
+        assert value["code"] == "x = 1"
+
+    def test_unquoted_keys(self):
+        value, _ = repair_json('{title: "T", items: [1]}')
+        assert value == {"title": "T", "items": [1]}
+
+    def test_trailing_comma(self):
+        value, _ = repair_json('{"a": [1, 2,], }')
+        assert value == {"a": [1, 2]}
+
+    def test_truncated_object_closed(self):
+        value, _ = repair_json('{"a": "done", "b": {"c": [1, 2')
+        assert value["a"] == "done"
+
+    def test_truncated_mid_string(self):
+        value, _ = repair_json('{"a": "done", "b": "cut off her')
+        assert value["a"] == "done"
+
+    def test_unrepairable_raises(self):
+        with pytest.raises(RepairError):
+            repair_json("no json here at all")
+
+
+class TestSchemas:
+    def test_note_dfa_size_reasonable(self):
+        dfa = note_dfa(512)
+        assert dfa.num_states < 4000  # table stays small: states * 512 * 4B
+
+    def test_validator_and_audit_dfas_build(self):
+        assert validator_dfa(512).num_states > 10
+        assert audit_dfa(512).num_states > 10

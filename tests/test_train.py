@@ -1,0 +1,92 @@
+"""Trainer tests: sharded train step on the virtual mesh; loss goes down."""
+
+import numpy as np
+import pytest
+
+from video_transformer_tpu.models.config import (
+    DecoderConfig,
+    EncoderConfig,
+    VLMConfig,
+)
+from video_transformer_tpu.ops.constrained import DfaBuilder
+from video_transformer_tpu.parallel.mesh import build_mesh
+from video_transformer_tpu.train.data import sample_dfa_text, synthetic_batch
+from video_transformer_tpu.train.trainer import TrainConfig, Trainer
+
+
+def micro_config():
+    return VLMConfig(
+        name="micro-train",
+        encoder=EncoderConfig(
+            hidden_dim=64, num_layers=1, num_heads=2, head_dim=32, mlp_dim=128,
+            image_size=32, patch_size=16, tubelet_t=2, num_frames=4,
+        ),
+        decoder=DecoderConfig(
+            vocab_size=512, hidden_dim=64, num_layers=2, num_heads=2,
+            num_kv_heads=2, head_dim=32, mlp_dim=128, max_seq_len=512,
+        ),
+        dtype="float32",
+    )
+
+
+class TestTrainer:
+    def test_loss_decreases_on_fixed_batch(self):
+        mesh = build_mesh({"data": 4, "model": 2})
+        trainer = Trainer(
+            micro_config(), mesh,
+            TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=50),
+        )
+        rng = np.random.default_rng(0)
+        patches, tokens = synthetic_batch(rng, micro_config(), batch=4, text_len=48)
+        first = trainer.step(patches, tokens)
+        for _ in range(8):
+            last = trainer.step(patches, tokens)
+        assert np.isfinite(first["loss"]) and np.isfinite(last["loss"])
+        assert last["loss"] < first["loss"]
+        assert trainer.step_count == 9
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        import jax
+
+        mesh = build_mesh({"data": 8, "model": 1})
+        trainer = Trainer(micro_config(), mesh)
+        rng = np.random.default_rng(1)
+        patches, tokens = synthetic_batch(rng, micro_config(), batch=8, text_len=32)
+        trainer.step(patches, tokens)
+        trainer.save_checkpoint(str(tmp_path))
+
+        restored = Trainer(micro_config(), mesh, seed=123)
+        restored.restore_checkpoint(str(tmp_path / f"params_{trainer.step_count}"))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(trainer.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestSyntheticData:
+    def test_dfa_sample_is_valid_json(self):
+        import json
+
+        dfa = (
+            DfaBuilder()
+            .literal('{"a": ')
+            .free_string(1, 10)
+            .literal(', "b": ')
+            .string_list(1, 8)
+            .literal("}")
+            .finish()
+        )
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            text = sample_dfa_text(dfa, rng)
+            parsed = json.loads(text)
+            assert "a" in parsed and "b" in parsed
+
+    def test_synthetic_batch_shapes(self):
+        config = micro_config()
+        rng = np.random.default_rng(0)
+        patches, tokens = synthetic_batch(rng, config, batch=3, text_len=32)
+        assert patches.shape == (3, config.video_tokens, config.encoder.patch_dim)
+        assert tokens.shape == (3, 32)
+        assert tokens.dtype == np.int32

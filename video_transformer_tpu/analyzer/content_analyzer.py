@@ -1,0 +1,453 @@
+"""ContentAnalyzer: on-device video analysis producing knowledge notes.
+
+The reference implementation uploads the video to Gemini and streams back
+JSON (content_analyzer.py:560-719). This analyzer keeps the same public
+surface — ``analyze_video(path) -> AnalysisResult``, ``generate_report``,
+``rewrite_visual_schema`` — but the engine is a local JAX video-LM:
+
+  decode frames -> preprocess on device -> ViT encode -> constrained JSON
+  generation (schema DFA) -> contract gate (AnalysisResult.from_api_response)
+
+Long videos are segmented by the budget planner and analyzed as **sharded
+batches** over the mesh data axis (the reference's sequential loop at
+content_analyzer.py:822-964), with the segment manifest keeping per-segment
+resume state and per-segment outputs cached to disk as JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from ..contracts import AnalysisResult
+from ..contracts.timefmt import format_seconds
+from ..utils.budget_planner import SegmentPlan, plan_segments_with_budget
+from ..utils.counter import APICounter, APILimitExceeded
+from ..video.containers import read_frames
+from ..video.probe import probe_duration
+from ..video.segmenter import (
+    SegmentEntry,
+    get_manifest_path,
+    load_or_create_manifest,
+    pending_segments,
+    save_manifest,
+    update_segment_status,
+)
+from .json_repair import RepairError, repair_json
+from .prompts import render_prompt
+from .schema import note_dfa, schema_dfa
+from .segmentation import (
+    accept_consolidation,
+    format_gap_note,
+    merge_segment_outputs,
+    offset_timestamps,
+)
+
+__all__ = ["ContentAnalyzer"]
+
+REQUIRED_NOTE_FIELDS = {
+    "title",
+    "one_sentence_summary",
+    "key_takeaways",
+    "deep_dive",
+    "glossary",
+}
+
+
+class ContentAnalyzer:
+    """Analyzes videos with a local TPU engine; no network, no API keys."""
+
+    def __init__(
+        self,
+        config: dict[str, Any],
+        api_counter: APICounter,
+        logger: logging.Logger | None = None,
+        engine: Any = None,
+    ):
+        self.config = config
+        self.api_counter = api_counter
+        self.logger = logger or logging.getLogger("video_transformer")
+        self.analyzer_config = config.get("analyzer", {})
+        self.engine_config = config.get("engine", {})
+        self.model_name = self.analyzer_config.get("model", "vtx-local")
+        self._engine = engine
+        self._extra_llm_calls_used = 0
+
+        system = config.get("system", {})
+        self.temp_dir = Path(system.get("temp_dir", "./data/temp"))
+
+    # -- engine --------------------------------------------------------------
+
+    @property
+    def engine(self):
+        """The inference engine, built lazily from config when not injected."""
+        if self._engine is None:
+            from ..models.config import get_preset
+            from ..parallel.engine import InferenceEngine
+            from ..parallel.mesh import build_mesh
+
+            preset = get_preset(self.engine_config.get("model_preset", "tiny"))
+            self._engine = InferenceEngine(
+                preset,
+                mesh=build_mesh(self.engine_config.get("mesh")),
+                dfa=note_dfa(preset.decoder.vocab_size),
+                max_new_tokens=int(self.engine_config.get("max_new_tokens", 3072)),
+                temperature=float(self.engine_config.get("temperature", 0.7)),
+                structure_bias=float(self.engine_config.get("structure_bias", 1.5)),
+            )
+        return self._engine
+
+    # -- public API ----------------------------------------------------------
+
+    def analyze_video(self, video_path: str | Path) -> AnalysisResult:
+        """Analyze one video into a validated AnalysisResult."""
+        video_path = Path(video_path)
+        start_time = time.perf_counter()
+        duration = probe_duration(video_path)
+        plan = plan_segments_with_budget(
+            duration, self.config, self.api_counter.current_count
+        )
+        long_video = self.analyzer_config.get("long_video", {}) or {}
+
+        if self._should_use_segmentation(duration, plan, long_video):
+            result = self._analyze_video_segments(video_path, duration, plan)
+        else:
+            result = self._analyze_single(video_path, duration)
+
+        elapsed = time.perf_counter() - start_time
+        result.metadata.setdefault("duration", duration)
+        result.metadata["analyze_seconds"] = round(elapsed, 3)
+        result.metadata["model"] = self.model_name
+        self.logger.info(
+            f"event=analyze_complete video={video_path.name} "
+            f"duration={duration:.1f} elapsed_s={elapsed:.1f} "
+            f"segments={result.metadata.get('segments', 1)}"
+        )
+        return result
+
+    def generate_report(
+        self,
+        analysis: AnalysisResult,
+        image_relative_path: str | None = None,
+        self_check_mode: str = "static",
+    ) -> str:
+        """Render the final Markdown (render config decides concept index)."""
+        system_config = self.config.get("system", {})
+        render_config = system_config.get("render", {})
+        include_concept_index = render_config.get("include_concept_index")
+        return analysis.to_markdown(
+            image_paths=[image_relative_path] if image_relative_path else None,
+            self_check_mode=self_check_mode,
+            include_concept_index=include_concept_index,
+        )
+
+    def rewrite_visual_schema(self, original_structure: str, feedback: str) -> str:
+        """Regenerate a visual schema addressing validator feedback."""
+        prompt = render_prompt(
+            "rewrite", {"schema": original_structure, "feedback": feedback}
+        )
+        self.api_counter.increment("local")
+        dfa = schema_dfa(self.engine.tokenizer.vocab_size)
+        text = self.engine.generate_text([prompt], dfa=dfa)[0]
+        try:
+            parsed = self._parse_json(text)
+            schemas = parsed.get("visual_schemas", [])
+            if schemas and isinstance(schemas[0], dict):
+                return schemas[0].get("schema", original_structure)
+        except (RepairError, ValueError):
+            pass
+        return original_structure
+
+    # -- single-pass path ------------------------------------------------------
+
+    def _analyze_single(self, video_path: Path, duration: float) -> AnalysisResult:
+        if not self.api_counter.can_call():
+            raise APILimitExceeded(
+                f"Model call budget exhausted: {self.api_counter.current_count}"
+            )
+        frames = self._decode_clip(video_path, 0.0, duration or None)
+        prompt = render_prompt(
+            "analysis", {"duration_label": format_seconds(duration or 0.0)}
+        )
+        self.api_counter.increment("local")
+        text = self.engine.generate(frames[None], [prompt])[0]
+        data = self._parse_note_json(text)
+        data = self._maybe_consolidate_note(data, context="single")
+        return AnalysisResult.from_api_response(
+            video_path,
+            data,
+            metadata={
+                "duration": duration,
+                "segments": 1,
+                "engine": self.engine.stats.as_dict(),
+            },
+        )
+
+    # -- segmented path --------------------------------------------------------
+
+    def _analyze_video_segments(
+        self, video_path: Path, duration: float, plan: SegmentPlan
+    ) -> AnalysisResult:
+        if plan.num_segments == 0:
+            raise APILimitExceeded(
+                "Segment plan does not fit the remaining model-call budget"
+            )
+        # Long-video mode raises the soft cap to the hard cap
+        # (reference content_analyzer.py:837-840).
+        self.api_counter.set_max_calls(plan.hard_max_calls, plan.hard_max_calls)
+
+        video_id = video_path.stem
+        manifest = load_or_create_manifest(
+            video_id=video_id,
+            duration=duration,
+            segment_seconds=plan.segment_duration,
+            overlap_seconds=plan.overlap,
+            temp_dir=self.temp_dir,
+        )
+        manifest_path = get_manifest_path(video_id, self.temp_dir)
+
+        outputs: list[dict[str, Any]] = []
+        gap_notes: list[str] = []
+
+        # Resume: reload cached outputs of already-completed segments.
+        for segment in manifest["segments"]:
+            if segment["status"] == "completed":
+                cached = self._load_segment_output(segment)
+                if cached is not None:
+                    outputs.append(cached)
+                else:
+                    segment["status"] = "pending"
+
+        pending = pending_segments(manifest)
+        consolidation_reserve = 1 if self._quality_gates_enabled() else 0
+        budget = max(self.api_counter.remaining() - consolidation_reserve, 0)
+        to_analyze = pending[:budget]
+        skipped = pending[budget:]
+
+        # Sharded batches over the mesh data axis instead of a per-segment loop.
+        chunk_size = max(self.engine.data_parallel, 1) * 4
+        total = len(manifest["segments"])
+        for chunk_start in range(0, len(to_analyze), chunk_size):
+            chunk = to_analyze[chunk_start : chunk_start + chunk_size]
+            for segment in chunk:
+                update_segment_status(
+                    manifest, segment["id"], "processing", increment_attempts=True
+                )
+            save_manifest(manifest_path, manifest)
+
+            frames = np.stack(
+                [
+                    self._decode_clip(video_path, s["start"], s["end"])
+                    for s in chunk
+                ]
+            )
+            prompts = [
+                render_prompt(
+                    "segment_analysis",
+                    {
+                        "segment_index": s["id"] + 1,
+                        "segment_total": total,
+                        "start_label": format_seconds(s["start"]),
+                        "end_label": format_seconds(s["end"]),
+                    },
+                )
+                for s in chunk
+            ]
+            texts = self.engine.generate(frames, prompts)
+
+            for segment, text in zip(chunk, texts):
+                self.api_counter.increment("local")
+                try:
+                    data = self._parse_note_json(text)
+                except (RepairError, ValueError) as exc:
+                    update_segment_status(
+                        manifest, segment["id"], "failed", error=str(exc)
+                    )
+                    gap_notes.append(
+                        format_gap_note(segment["effective_start"], segment["effective_end"])
+                    )
+                    self.logger.warning(
+                        f"event=segment_failed id={segment['id']} error={exc}"
+                    )
+                    continue
+                data = offset_timestamps(data, segment["effective_start"])
+                output = {
+                    "start": segment["effective_start"],
+                    "end": segment["effective_end"],
+                    "data": data,
+                }
+                self._save_segment_output(segment, output)
+                outputs.append(output)
+                update_segment_status(manifest, segment["id"], "completed")
+            save_manifest(manifest_path, manifest)
+
+        for segment in skipped:
+            update_segment_status(
+                manifest, segment["id"], "skipped", error="budget_exhausted"
+            )
+            gap_notes.append(
+                format_gap_note(segment["effective_start"], segment["effective_end"])
+            )
+        if skipped:
+            save_manifest(manifest_path, manifest)
+            self.logger.warning(
+                f"event=segments_skipped count={len(skipped)} reason=budget"
+            )
+
+        if not outputs:
+            raise RuntimeError("All video segments failed to analyze")
+
+        merged = merge_segment_outputs(outputs, gap_notes)
+        merged = self._maybe_consolidate_note(merged, context="segments")
+
+        return AnalysisResult.from_api_response(
+            video_path,
+            merged,
+            metadata={
+                "duration": duration,
+                "segments": len(manifest["segments"]),
+                "segments_analyzed": len(outputs),
+                "segment_gaps": gap_notes,
+                "engine": self.engine.stats.as_dict(),
+            },
+        )
+
+    # -- consolidation ---------------------------------------------------------
+
+    def _maybe_consolidate_note(
+        self, note: dict[str, Any], *, context: str
+    ) -> dict[str, Any]:
+        """One optional model pass reorganizing the note into 2-6 chapters.
+
+        Skipped (with a logged reason) when quality gates are off, the extra
+        LLM-call allowance is used up, or the budget is exhausted. A rejected
+        candidate falls back to the input note (reference
+        content_analyzer.py:1068-1231).
+        """
+        if not self._quality_gates_enabled():
+            self.logger.info(
+                f"event=consolidation_skipped reason=quality_gates_disabled context={context}"
+            )
+            return note
+        max_extra = self._max_extra_llm_calls()
+        if max_extra <= 0 or self._extra_llm_calls_used >= max_extra:
+            self.logger.info(
+                f"event=consolidation_skipped reason=extra_llm_calls context={context}"
+            )
+            return note
+        if not self.api_counter.can_call():
+            self.logger.warning(
+                f"event=consolidation_skipped reason=api_budget_exhausted context={context}"
+            )
+            return note
+        if not note.get("deep_dive"):
+            return note
+
+        self._extra_llm_calls_used += 1
+        try:
+            prompt = render_prompt(
+                "consolidate",
+                {
+                    "segment_count": len(note.get("deep_dive", [])),
+                    "merged_json": json.dumps(note, ensure_ascii=False)[:2000],
+                },
+            )
+            self.api_counter.increment("local")
+            text = self.engine.generate_text([prompt])[0]
+            parsed = self._parse_json(text)
+        except Exception as exc:
+            self.logger.warning(
+                f"event=consolidation_failed context={context} error={exc}"
+            )
+            return note
+
+        accepted = accept_consolidation(parsed, note)
+        if accepted is None:
+            self.logger.warning(
+                f"event=consolidation_rejected context={context}"
+            )
+            return note
+        self.logger.info(f"event=consolidation_accepted context={context}")
+        return accepted
+
+    # -- helpers -----------------------------------------------------------------
+
+    def _decode_clip(
+        self, video_path: Path, start: float, end: float | None
+    ) -> np.ndarray:
+        cfg = self.engine.config.encoder
+        return read_frames(video_path, cfg.num_frames, start=start, end=end)
+
+    def _parse_json(self, text: str) -> dict[str, Any]:
+        try:
+            parsed = json.loads(text)
+        except json.JSONDecodeError:
+            parsed, strategy = repair_json(text)
+            self.logger.warning(f"event=json_repaired strategy={strategy}")
+        if not isinstance(parsed, dict):
+            raise ValueError("Engine output is not a JSON object")
+        return parsed
+
+    def _parse_note_json(self, text: str) -> dict[str, Any]:
+        data = self._parse_json(text)
+        missing = REQUIRED_NOTE_FIELDS - data.keys()
+        if missing:
+            raise ValueError(
+                f"Engine output missing required fields: {', '.join(sorted(missing))}"
+            )
+        return data
+
+    def _segment_output_path(self, segment: SegmentEntry) -> Path:
+        return Path(segment["file_path"]).with_suffix(".json")
+
+    def _save_segment_output(
+        self, segment: SegmentEntry, output: dict[str, Any]
+    ) -> None:
+        path = self._segment_output_path(segment)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(output, ensure_ascii=False), encoding="utf-8")
+
+    def _load_segment_output(self, segment: SegmentEntry) -> dict[str, Any] | None:
+        path = self._segment_output_path(segment)
+        if not path.exists():
+            return None
+        try:
+            return json.loads(path.read_text(encoding="utf-8"))
+        except (json.JSONDecodeError, OSError):
+            return None
+
+    def _quality_gates_enabled(self) -> bool:
+        system = self.config.get("system", {})
+        gates = system.get("quality_gates", {})
+        return bool(gates.get("enabled", False)) if isinstance(gates, dict) else False
+
+    def _max_extra_llm_calls(self) -> int:
+        system = self.config.get("system", {})
+        gates = system.get("quality_gates", {})
+        if not isinstance(gates, dict):
+            return 0
+        try:
+            return max(int(gates.get("max_extra_llm_calls", 1)), 0)
+        except (TypeError, ValueError):
+            return 1
+
+    def _should_use_segmentation(
+        self, duration: float, plan: SegmentPlan, long_video_config: dict[str, Any]
+    ) -> bool:
+        if duration <= 0:
+            return False
+        if not long_video_config.get("enabled", True):
+            return False
+        threshold = long_video_config.get("duration_threshold_seconds")
+        if threshold is not None:
+            try:
+                if duration >= float(threshold):
+                    return True
+            except (TypeError, ValueError):
+                pass
+        return plan.num_segments > 1

@@ -95,7 +95,7 @@ def _tiny() -> VLMConfig:
             num_kv_heads=1,
             head_dim=128,
             mlp_dim=256,
-            max_seq_len=2048,
+            max_seq_len=8192,
         ),
     )
 

@@ -71,6 +71,15 @@ class VideoLM(nn.Module):
         logits, cache = self.decoder(inputs, cache=cache, dtype=self.compute_dtype)
         return logits[:, -1, :], cache
 
+    def prefill_text(
+        self, prompt_tokens: jax.Array, cache: Cache
+    ) -> tuple[jax.Array, Cache]:
+        """Text-only prefill (validator / consolidation / rewrite passes)."""
+        logits, cache = self.decoder(
+            prompt_tokens, cache=cache, dtype=self.compute_dtype
+        )
+        return logits[:, -1, :], cache
+
     def decode_step(
         self, tokens: jax.Array, cache: Cache
     ) -> tuple[jax.Array, Cache]:

