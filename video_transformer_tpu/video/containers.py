@@ -155,6 +155,14 @@ def _parse_y4m_header(path: Path) -> _Y4MLayout:
 
 
 def _read_y4m_frames(path: Path, indices: np.ndarray) -> np.ndarray:
+    # Fast path: the native C++ shim decodes + converts in one pass.
+    from .native_reader import y4m_decode_frames
+
+    data = path.read_bytes()
+    native = y4m_decode_frames(data, np.asarray(indices))
+    if native is not None:
+        return native
+
     layout = _parse_y4m_header(path)
     per_frame = len(b"FRAME\n") + layout.frame_size
     w, h = layout.width, layout.height
