@@ -171,6 +171,35 @@ class TestAnalyzeVideoEndToEnd:
         )
 
 
+@pytest.mark.slow
+class TestBatchAnalysis:
+    def test_analyze_videos_shards_short_clips(self, tmp_path, engine):
+        clips = [
+            write_clip(tmp_path / f"clip{i}.npzv", seconds=4) for i in range(3)
+        ]
+        counter = APICounter(max_calls=20)
+        analyzer = ContentAnalyzer(
+            make_config(tmp_path), counter, logging.getLogger("t"), engine=engine
+        )
+        results = analyzer.analyze_videos(clips)
+        assert len(results) == 3
+        assert all(r.title for r in results)
+        assert counter.current_count == 3
+        # One engine.generate call batched all three (plus padding).
+        assert all(r.metadata["segments"] == 1 for r in results)
+
+    def test_analyze_videos_mixed_lengths(self, tmp_path, engine):
+        short = write_clip(tmp_path / "s.npzv", seconds=4)
+        long = write_clip(tmp_path / "l.npzv", seconds=25)
+        analyzer = ContentAnalyzer(
+            make_config(tmp_path), APICounter(max_calls=50),
+            logging.getLogger("t"), engine=engine,
+        )
+        results = analyzer.analyze_videos([short, long])
+        assert results[0].metadata["segments"] == 1
+        assert results[1].metadata["segments"] == 3  # 25s / 10s segments
+
+
 class TestSegmentationLogic:
     def out(self, start, end, title="T", topics=None, takeaways=None, glossary=None):
         sections = [

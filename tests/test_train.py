@@ -45,6 +45,32 @@ class TestTrainer:
         assert last["loss"] < first["loss"]
         assert trainer.step_count == 9
 
+    def test_remat_and_accumulation(self):
+        mesh = build_mesh({"data": 4, "model": 2})
+        trainer = Trainer(
+            micro_config(), mesh,
+            TrainConfig(
+                learning_rate=1e-3, warmup_steps=1, total_steps=50,
+                accum_steps=2, remat=True,
+            ),
+        )
+        rng = np.random.default_rng(2)
+        patches, tokens = synthetic_batch(rng, micro_config(), batch=4, text_len=32)
+        import jax
+
+        before = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0]).copy()
+        trainer.step(patches, tokens)  # accumulation step: no param update yet
+        assert int(trainer.opt_state.gradient_step) == 0
+        mid = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
+        np.testing.assert_allclose(before, mid)
+        # Three more micro-steps: 2 applied updates, the second past warmup
+        # (the first applied update runs at warmup lr=0).
+        for _ in range(3):
+            trainer.step(patches, tokens)
+        assert int(trainer.opt_state.gradient_step) == 2
+        after = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
+        assert not np.allclose(before, after)
+
     def test_checkpoint_roundtrip(self, tmp_path):
         import jax
 

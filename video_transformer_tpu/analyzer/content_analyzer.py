@@ -130,6 +130,63 @@ class ContentAnalyzer:
         )
         return result
 
+    def analyze_videos(self, video_paths: list[str | Path]) -> list[AnalysisResult]:
+        """Batch-analyze many videos, sharding SHORT videos across devices.
+
+        The throughput mode the reference cannot express (its batch loop is
+        strictly sequential, pipeline.py:376-394): single-segment videos are
+        decoded together and analyzed as one sharded forward per chunk; long
+        videos fall back to the segmented path individually (their segments
+        already batch internally).
+        """
+        paths = [Path(p) for p in video_paths]
+        durations = [probe_duration(p) for p in paths]
+        long_video = self.analyzer_config.get("long_video", {}) or {}
+
+        short_indices: list[int] = []
+        results: list[AnalysisResult | None] = [None] * len(paths)
+        for i, (path, duration) in enumerate(zip(paths, durations)):
+            plan = plan_segments_with_budget(
+                duration, self.config, self.api_counter.current_count
+            )
+            if self._should_use_segmentation(duration, plan, long_video):
+                results[i] = self.analyze_video(path)
+            else:
+                short_indices.append(i)
+
+        chunk_size = max(self.engine.data_parallel, 1) * 4
+        for chunk_start in range(0, len(short_indices), chunk_size):
+            chunk = short_indices[chunk_start : chunk_start + chunk_size]
+            for i in chunk:
+                if not self.api_counter.can_call():
+                    raise APILimitExceeded("Model call budget exhausted mid-batch")
+                self.api_counter.increment("local")
+            frames = np.stack(
+                [self._decode_clip(paths[i], 0.0, durations[i] or None) for i in chunk]
+            )
+            prompts = [
+                render_prompt(
+                    "analysis",
+                    {"duration_label": format_seconds(durations[i] or 0.0)},
+                )
+                for i in chunk
+            ]
+            texts = self.engine.generate(frames, prompts)
+            for i, text in zip(chunk, texts):
+                data = self._parse_note_json(text)
+                results[i] = AnalysisResult.from_api_response(
+                    paths[i],
+                    data,
+                    metadata={
+                        "duration": durations[i],
+                        "segments": 1,
+                        "engine": self.engine.stats.as_dict(),
+                        "model": self.model_name,
+                    },
+                )
+        assert all(r is not None for r in results)
+        return results  # type: ignore[return-value]
+
     def generate_report(
         self,
         analysis: AnalysisResult,

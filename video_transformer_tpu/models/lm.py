@@ -167,10 +167,14 @@ class Decoder(nn.Module):
     """Token/embedding-input decoder producing logits.
 
     Accepts either token ids [B, S] or pre-computed input embeddings
-    [B, S, H] (used by the VLM to splice in video tokens).
+    [B, S, H] (used by the VLM to splice in video tokens). ``remat=True``
+    rematerializes each block in the backward pass (activation memory
+    ~O(layers) -> O(1) at the cost of one extra forward), the standard
+    HBM-for-FLOPs trade for the base/7b presets.
     """
 
     config: DecoderConfig
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
@@ -178,8 +182,11 @@ class Decoder(nn.Module):
             cfg.vocab_size, cfg.hidden_dim, name="embed",
             embedding_init=nn.initializers.normal(0.02),
         )
+        block_cls = (
+            nn.remat(DecoderBlock, static_argnums=()) if self.remat else DecoderBlock
+        )
         self.blocks = [
-            DecoderBlock(cfg, layer_idx=i, name=f"layer_{i}")
+            block_cls(cfg, layer_idx=i, name=f"layer_{i}")
             for i in range(cfg.num_layers)
         ]
         self.final_norm = RMSNorm(cfg.hidden_dim, name="final_norm")

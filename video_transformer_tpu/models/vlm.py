@@ -28,6 +28,8 @@ __all__ = ["VideoLM"]
 
 class VideoLM(nn.Module):
     config: VLMConfig
+    remat: bool = False
+    """Rematerialize decoder blocks in the backward pass (training only)."""
 
     def setup(self):
         cfg = self.config
@@ -38,7 +40,7 @@ class VideoLM(nn.Module):
         self.projector_down = nn.Dense(
             cfg.decoder.hidden_dim, use_bias=False, name="projector_down"
         )
-        self.decoder = Decoder(cfg.decoder, name="decoder")
+        self.decoder = Decoder(cfg.decoder, remat=self.remat, name="decoder")
 
     @property
     def compute_dtype(self) -> jnp.dtype:

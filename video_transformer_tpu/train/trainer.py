@@ -37,6 +37,11 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     b1: float = 0.9
     b2: float = 0.95
+    accum_steps: int = 1
+    """Gradient accumulation: optimizer applies every accum_steps micro-steps
+    (effective batch = device batch * accum_steps)."""
+    remat: bool = False
+    """Rematerialize decoder blocks (HBM for FLOPs; base/7b presets)."""
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -47,7 +52,7 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
         decay_steps=max(config.total_steps, config.warmup_steps + 1),
         end_value=config.learning_rate * 0.1,
     )
-    return optax.chain(
+    optimizer = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adamw(
             schedule,
@@ -56,6 +61,9 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
             weight_decay=config.weight_decay,
         ),
     )
+    if config.accum_steps > 1:
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=config.accum_steps)
+    return optimizer
 
 
 def distillation_loss(
@@ -111,11 +119,10 @@ class Trainer:
         mesh: Mesh,
         train_config: TrainConfig | None = None,
         seed: int = 0,
-        remat: bool = False,
     ):
-        self.model = VideoLM(model_config)
         self.mesh = mesh
         self.train_config = train_config or TrainConfig()
+        self.model = VideoLM(model_config, remat=self.train_config.remat)
         self.optimizer = make_optimizer(self.train_config)
 
         params = self.model.init_variables(jax.random.PRNGKey(seed))
