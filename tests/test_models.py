@@ -191,6 +191,55 @@ class TestConstrainedDecoding:
         assert isinstance(parsed["items"], list) and len(parsed["items"]) >= 1
         assert isinstance(parsed["map"], dict) and len(parsed["map"]) >= 1
 
+    def test_forced_tables(self):
+        dfa = (
+            DfaBuilder()
+            .literal('{"key": ')
+            .free_string(1, 4)
+            .literal("}")
+            .finish()
+        )
+        forced_len, forced_tok, forced_end = dfa.forced_tables(max_run=16)
+        # The start state forces the entire '{"key": "' literal (the opening
+        # quote of the free string is also forced).
+        run = bytes(
+            int(t) for t in forced_tok[dfa.start, : forced_len[dfa.start]]
+        ).decode()
+        assert run == '{"key": "'
+        # The end of the run is the free-text state (many allowed tokens).
+        end_state = forced_end[dfa.start]
+        assert (dfa.next_state[end_state] >= 0).sum() > 50
+        # The accept state forces nothing (EOS is special).
+        assert forced_len[dfa.accept] == 0
+
+    def test_fast_forward_output_matches_slow_path(self):
+        """Generation through the block decoder must be byte-identical to a
+        token-at-a-time DFA walk with the same sampling decisions (greedy)."""
+        import json
+
+        from video_transformer_tpu.parallel.engine import InferenceEngine
+        from video_transformer_tpu.parallel.mesh import build_mesh
+
+        dfa = (
+            DfaBuilder()
+            .literal('{"alpha": ')
+            .free_string(1, 6)
+            .literal(', "beta": ')
+            .string_list(1, 4)
+            .literal("}")
+            .finish()
+        )
+        config = micro_config()
+        mesh = build_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1])
+        engine = InferenceEngine(
+            config, mesh=mesh, dfa=dfa, max_new_tokens=256,
+            temperature=0.0, seed=0,
+        )
+        frames = np.zeros((1, 4, 32, 32, 3), np.uint8)
+        text = engine.generate(frames, ["x"], prompt_len=8)[0]
+        parsed = json.loads(text)
+        assert set(parsed) == {"alpha", "beta"}
+
     def test_timecode_field(self):
         import re
 

@@ -286,23 +286,29 @@ class ContentAnalyzer:
         to_analyze = pending[:budget]
         skipped = pending[budget:]
 
-        # Sharded batches over the mesh data axis instead of a per-segment loop.
+        # Sharded batches over the mesh data axis instead of a per-segment
+        # loop; host decode of the next chunk overlaps device generation.
+        from ..video.prefetch import prefetch_map
+
         chunk_size = max(self.engine.data_parallel, 1) * 4
         total = len(manifest["segments"])
-        for chunk_start in range(0, len(to_analyze), chunk_size):
-            chunk = to_analyze[chunk_start : chunk_start + chunk_size]
+        chunks = [
+            to_analyze[i : i + chunk_size]
+            for i in range(0, len(to_analyze), chunk_size)
+        ]
+
+        def decode_chunk(chunk: list[SegmentEntry]) -> np.ndarray:
+            return np.stack(
+                [self._decode_clip(video_path, s["start"], s["end"]) for s in chunk]
+            )
+
+        for chunk, frames in zip(chunks, prefetch_map(decode_chunk, chunks)):
             for segment in chunk:
                 update_segment_status(
                     manifest, segment["id"], "processing", increment_attempts=True
                 )
             save_manifest(manifest_path, manifest)
 
-            frames = np.stack(
-                [
-                    self._decode_clip(video_path, s["start"], s["end"])
-                    for s in chunk
-                ]
-            )
             prompts = [
                 render_prompt(
                     "segment_analysis",

@@ -28,12 +28,16 @@ Cache = dict[str, Any]
 def init_kv_cache(
     config: DecoderConfig, batch: int, max_len: int, dtype: jnp.dtype
 ) -> Cache:
-    """Allocate an empty KV cache: per-layer k/v of [B, Hkv, max_len, D]."""
+    """Allocate an empty KV cache: per-layer k/v of [B, Hkv, max_len, D].
+
+    ``index`` is PER ROW ([B]) so batch rows can advance asynchronously —
+    grammar fast-forward appends different run lengths per row.
+    """
     shape = (batch, config.num_kv_heads, max_len, config.head_dim)
     return {
         "k": jnp.zeros((config.num_layers,) + shape, dtype),
         "v": jnp.zeros((config.num_layers,) + shape, dtype),
-        "index": jnp.zeros((), jnp.int32),
+        "index": jnp.zeros((batch,), jnp.int32),
     }
 
 
@@ -82,16 +86,14 @@ class Attention(nn.Module):
             # Prefill / training: full self-attention over the sequence.
             out = flash_attention(q, k, v, causal=True)
         else:
-            # Incremental decode: write new k/v at cache.index, attend to
-            # the full cache with a length mask. s is 1 in steady state.
-            index = cache["index"]
-            k_cache = jax.lax.dynamic_update_slice(
-                cache["k"][self.layer_idx], k.astype(cache["k"].dtype),
-                (0, 0, index, 0),
+            # Incremental decode: write new k/v at each row's cache index,
+            # attend to the full cache with a per-row causal length mask.
+            index = cache["index"]  # [B]
+            k_cache = _update_cache_rows(
+                cache["k"][self.layer_idx], k.astype(cache["k"].dtype), index
             )
-            v_cache = jax.lax.dynamic_update_slice(
-                cache["v"][self.layer_idx], v.astype(cache["v"].dtype),
-                (0, 0, index, 0),
+            v_cache = _update_cache_rows(
+                cache["v"][self.layer_idx], v.astype(cache["v"].dtype), index
             )
             cache = dict(
                 cache,
@@ -105,15 +107,27 @@ class Attention(nn.Module):
         return out, cache
 
 
+def _update_cache_rows(
+    cache_layer: jax.Array, new: jax.Array, index: jax.Array
+) -> jax.Array:
+    """Write new [B, H, s, D] into cache [B, H, S, D] at per-row offsets."""
+
+    def write_row(row_cache: jax.Array, row_new: jax.Array, row_index: jax.Array):
+        return jax.lax.dynamic_update_slice(row_cache, row_new, (0, row_index, 0))
+
+    return jax.vmap(write_row)(cache_layer, new, index)
+
+
 def _cache_attention(
     q: jax.Array, k_cache: jax.Array, v_cache: jax.Array, index: jax.Array
 ) -> jax.Array:
-    """Causal attention of a query block (absolute positions index..index+s)
-    against the whole cache.
+    """Causal attention of a query block against the whole cache, with
+    per-row absolute positions index[b]..index[b]+s.
 
-    Serves both cache-prefill (s > 1) and incremental decode (s = 1). The
-    decode step is bandwidth-bound — one cache read — which XLA handles at
-    roofline already, so no Pallas kernel is spent here.
+    Serves cache-prefill (s > 1), incremental decode (s = 1), and grammar
+    fast-forward blocks. The decode step is bandwidth-bound — one cache
+    read — which XLA handles at roofline already, so no Pallas kernel is
+    spent here.
     """
     b, hq, s_q, d = q.shape
     hkv = k_cache.shape[1]
@@ -123,7 +137,10 @@ def _cache_attention(
         "bhgqd,bhkd->bhgqk", qg, k_cache.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ) * (1.0 / jnp.sqrt(jnp.float32(d)))
-    q_pos = index + jnp.arange(s_q)[None, None, None, :, None]
+    q_pos = (
+        index[:, None, None, None, None]
+        + jnp.arange(s_q)[None, None, None, :, None]
+    )
     k_pos = jnp.arange(k_cache.shape[2])[None, None, None, None, :]
     logits = jnp.where(k_pos <= q_pos, logits, -1e30)
     weights = jax.nn.softmax(logits, axis=-1)
@@ -209,9 +226,14 @@ class Decoder(nn.Module):
         b, s, _ = x.shape
 
         if positions is None:
-            start = cache["index"] if cache is not None else 0
-            positions = start + jnp.arange(s)[None, :].astype(jnp.int32)
-            positions = jnp.broadcast_to(positions, (b, s))
+            if cache is not None:
+                positions = cache["index"][:, None] + jnp.arange(s)[None, :].astype(
+                    jnp.int32
+                )
+            else:
+                positions = jnp.broadcast_to(
+                    jnp.arange(s)[None, :].astype(jnp.int32), (b, s)
+                )
 
         rope = rope_angles(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta)
 

@@ -89,6 +89,18 @@ class VideoLM(nn.Module):
         logits, cache = self.decoder(tokens, cache=cache, dtype=self.compute_dtype)
         return logits[:, -1, :], cache
 
+    def decode_block(
+        self, tokens: jax.Array, cache: Cache
+    ) -> tuple[jax.Array, Cache]:
+        """Multi-token decode against the cache: [B, W] -> ([B, W, V], cache).
+
+        Used by grammar fast-forward: a sampled token plus its forced literal
+        run are consumed in one call; the caller picks each row's logits at
+        its last valid position.
+        """
+        logits, cache = self.decoder(tokens, cache=cache, dtype=self.compute_dtype)
+        return logits, cache
+
     def __call__(
         self, patches: jax.Array, tokens: jax.Array
     ) -> jax.Array:

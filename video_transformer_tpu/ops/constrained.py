@@ -56,6 +56,50 @@ class JsonDfa:
     def device_table(self) -> jax.Array:
         return jnp.asarray(self.next_state)
 
+    def forced_tables(
+        self, max_run: int = 24
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Grammar fast-forward tables: per-state forced literal runs.
+
+        A state with exactly one allowed token "forces" that token; chains of
+        forced states are the JSON skeleton's literals (keys, punctuation).
+        Returns (forced_len [S], forced_tokens [S, max_run], forced_end [S]):
+        starting at s, the next forced_len[s] tokens are forced_tokens[s, :],
+        after which the automaton sits at forced_end[s]. The decode loop can
+        therefore append an entire literal run in ONE decoder call — the
+        model never needs to be consulted for tokens it cannot influence
+        (deterministic speculation, zero misprediction).
+
+        EOS is never included in a run (the loop handles termination).
+        """
+        num_states, _ = self.next_state.shape
+        allowed_counts = (self.next_state >= 0).sum(axis=1)
+        single = allowed_counts == 1
+        # The single allowed token per forcing state (0 where not forcing).
+        single_token = np.where(single, np.argmax(self.next_state >= 0, axis=1), 0)
+
+        forced_len = np.zeros((num_states,), np.int32)
+        forced_tokens = np.zeros((num_states, max_run), np.int32)
+        forced_end = np.arange(num_states, dtype=np.int32)
+
+        for s in range(num_states):
+            cur = s
+            run: list[int] = []
+            while (
+                len(run) < max_run
+                and single[cur]
+                and cur != self.accept
+            ):
+                token = int(single_token[cur])
+                if token >= 256:  # specials (EOS) end the run
+                    break
+                run.append(token)
+                cur = int(self.next_state[cur, token])
+            forced_len[s] = len(run)
+            forced_tokens[s, : len(run)] = run
+            forced_end[s] = cur
+        return forced_len, forced_tokens, forced_end
+
 
 class DfaBuilder:
     """Imperative left-to-right DFA builder.

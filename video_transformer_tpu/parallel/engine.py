@@ -79,6 +79,7 @@ class InferenceEngine:
         max_new_tokens: int = 1024,
         temperature: float = 0.7,
         structure_bias: float = 0.0,
+        max_forced_run: int = 24,
         seed: int = 0,
         params: Any = None,
     ):
@@ -92,6 +93,7 @@ class InferenceEngine:
         self.max_new_tokens = max_new_tokens
         self.temperature = float(temperature)
         self.structure_bias = float(structure_bias)
+        self.max_forced_run = int(max_forced_run)
         self.tokenizer = ByteTokenizer(config.decoder.vocab_size)
         self.model = VideoLM(config)
         self.stats = EngineStats()
@@ -126,12 +128,29 @@ class InferenceEngine:
         temperature = self.temperature
         max_new = self.max_new_tokens
         eos = self.tokenizer.EOS
+
+        # Grammar fast-forward: per-state forced literal runs let one decoder
+        # call append (1 + run) tokens. ~half the JSON skeleton is forced, so
+        # this roughly halves decode iterations with zero misprediction.
+        if dfa is not None:
+            max_run = self.max_forced_run
+            f_len, f_tok, f_end = dfa.forced_tables(max_run=max_run)
+            forced_len = jnp.asarray(f_len)
+            forced_tok = jnp.asarray(f_tok)
+            forced_end = jnp.asarray(f_end)
+            block_width = 1 + max_run
+        else:
+            block_width = 1
+
         video_tokens = cfg.video_tokens if with_video else 0
-        cache_len = _round_up(video_tokens + prompt_len + max_new + 1, 128)
+        cache_len = _round_up(
+            video_tokens + prompt_len + max_new + block_width + 1, 128
+        )
         if cache_len > cfg.decoder.max_seq_len:
             raise ValueError(
                 f"sequence {cache_len} exceeds max_seq_len {cfg.decoder.max_seq_len}"
             )
+        out_width = max_new + block_width
         data_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
 
         if self.structure_bias != 0.0:
@@ -165,7 +184,8 @@ class InferenceEngine:
                 )
             state = jnp.full((b,), dfa.start if dfa else 0, jnp.int32)
             done = jnp.zeros((b,), bool)
-            tokens = jnp.full((b, max_new), eos, jnp.int32)
+            tokens = jnp.full((b, out_width), eos, jnp.int32)
+            out_pos = jnp.zeros((b,), jnp.int32)
 
             def sample(logits, state, done, key):
                 if table is not None:
@@ -179,31 +199,67 @@ class InferenceEngine:
                 # Finished rows keep emitting EOS.
                 return jnp.where(done, eos, tok).astype(jnp.int32)
 
+            write_rows = jax.vmap(
+                lambda row, block, pos: jax.lax.dynamic_update_slice(
+                    row, block, (pos,)
+                )
+            )
+
             def cond(carry):
-                step, _, _, _, _, done, _ = carry
-                return jnp.logical_and(step < max_new, ~jnp.all(done))
+                step, _, _, _, _, out_pos, done, _ = carry
+                return (
+                    (step < max_new)
+                    & ~jnp.all(done)
+                    & (jnp.max(out_pos) < max_new)
+                )
 
             def body(carry):
-                step, logits, cache, state, tokens, done, rng = carry
+                step, logits, cache, state, tokens, out_pos, done, rng = carry
                 rng, key = jax.random.split(rng)
                 tok = sample(logits, state, done, key)
-                tokens = jax.lax.dynamic_update_slice(
-                    tokens, tok[:, None], (0, step)
-                )
-                if table is not None:
-                    new_state = advance_state(state, tok, table)
-                    state = jnp.where(done, state, new_state)
-                    done = done | (state == dfa.accept)
-                else:
-                    done = done | (tok == eos)
-                logits, cache = model.apply(
-                    params, tok[:, None], cache, method=VideoLM.decode_step
-                )
-                return step + 1, logits, cache, state, tokens, done, rng
 
-            carry = (jnp.int32(0), logits, cache, state, tokens, done, rng)
-            steps, _, _, _, tokens, _, _ = jax.lax.while_loop(cond, body, carry)
-            return tokens, steps
+                if table is not None:
+                    mid_state = advance_state(state, tok, table)
+                    mid_state = jnp.where(done, state, mid_state)
+                    # Fast-forward the forced literal run from mid_state.
+                    run = jnp.where(done, 0, forced_len[mid_state])  # [B]
+                    cols = jnp.arange(block_width - 1)[None, :]
+                    run_block = jnp.where(
+                        cols < run[:, None], forced_tok[mid_state], eos
+                    )
+                    block = jnp.concatenate([tok[:, None], run_block], axis=1)
+                    new_state = jnp.where(run > 0, forced_end[mid_state], mid_state)
+                    done = done | (new_state == dfa.accept)
+                    state = new_state
+                else:
+                    run = jnp.zeros((b,), jnp.int32)
+                    block = tok[:, None]
+                    done = done | (tok == eos)
+
+                tokens = write_rows(tokens, block, out_pos)
+                advance = jnp.where(done & (run == 0) & (tok == eos), 0, 1 + run)
+                out_pos = out_pos + advance
+
+                index_before = cache["index"]
+                block_logits, cache = model.apply(
+                    params, block, cache, method=VideoLM.decode_block
+                )
+                # Each row's next logits sit after its last VALID token; the
+                # decoder advanced index by the full block width — rewind to
+                # the per-row logical position.
+                cache = dict(cache, index=index_before + advance)
+                logits = jnp.take_along_axis(
+                    block_logits, run[:, None, None], axis=1
+                )[:, 0, :]
+                return step + 1, logits, cache, state, tokens, out_pos, done, rng
+
+            carry = (
+                jnp.int32(0), logits, cache, state, tokens, out_pos, done, rng
+            )
+            _, _, _, _, tokens, out_pos, _, _ = jax.lax.while_loop(
+                cond, body, carry
+            )
+            return tokens, out_pos
 
         replicated = NamedSharding(self.mesh, P())
         if with_video:
@@ -297,16 +353,19 @@ class InferenceEngine:
 
         self._rng, key = jax.random.split(self._rng)
         start = time.perf_counter()
-        tokens, steps = fn(self.params, patches, jnp.asarray(prompt_tokens), key)
+        tokens, out_pos = fn(self.params, patches, jnp.asarray(prompt_tokens), key)
         tokens = np.asarray(tokens)
+        out_pos = np.asarray(out_pos)
         elapsed = time.perf_counter() - start
 
         self.stats.generate_calls += 1
-        self.stats.tokens_generated += int(steps) * b_real
+        self.stats.tokens_generated += int(out_pos[:b_real].sum())
         self.stats.generate_seconds += elapsed
         self.stats.prefill_tokens += b_real * (self.config.video_tokens + prompt_len)
 
-        return [self.tokenizer.decode(tokens[i]) for i in range(b_real)]
+        return [
+            self.tokenizer.decode(tokens[i, : out_pos[i]]) for i in range(b_real)
+        ]
 
     def generate_text(
         self,
@@ -322,13 +381,16 @@ class InferenceEngine:
         fn = self._get_generate(b_padded, prompt_len, False, dfa)
         self._rng, key = jax.random.split(self._rng)
         start = time.perf_counter()
-        tokens, steps = fn(self.params, jnp.asarray(prompt_tokens), key)
+        tokens, out_pos = fn(self.params, jnp.asarray(prompt_tokens), key)
         tokens = np.asarray(tokens)
+        out_pos = np.asarray(out_pos)
         elapsed = time.perf_counter() - start
 
         self.stats.generate_calls += 1
-        self.stats.tokens_generated += int(steps) * b_real
+        self.stats.tokens_generated += int(out_pos[:b_real].sum())
         self.stats.generate_seconds += elapsed
         self.stats.prefill_tokens += b_real * prompt_len
 
-        return [self.tokenizer.decode(tokens[i]) for i in range(b_real)]
+        return [
+            self.tokenizer.decode(tokens[i, : out_pos[i]]) for i in range(b_real)
+        ]
