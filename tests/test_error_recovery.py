@@ -118,8 +118,10 @@ def write_clip(path, seconds=30, fps=4.0, writer=write_npzv, size=16):
 class TestSegmentFailureIsolation:
     def test_one_bad_segment_becomes_gap_note(self, tmp_path):
         clip = write_clip(tmp_path / "v.npzv", seconds=30)
+        # Initial pass: one malformed response; the two re-asks also fail.
         engine = ScriptedEngine(
             [note_json("A", "一", 1, 5), "THIS IS NOT JSON AT ALL ((", note_json("C", "三", 21, 29)]
+            + ["still bad ((", "still bad (("]
         )
         analyzer = ContentAnalyzer(
             make_config(tmp_path), APICounter(50), logging.getLogger("t"),
@@ -138,13 +140,29 @@ class TestSegmentFailureIsolation:
 
     def test_all_segments_failing_raises(self, tmp_path):
         clip = write_clip(tmp_path / "v2.npzv", seconds=30)
-        engine = ScriptedEngine(["bad", "bad", "bad"])
+        engine = ScriptedEngine(["bad"] * 9)  # 3 segments x (1 + 2 re-asks)
         analyzer = ContentAnalyzer(
             make_config(tmp_path), APICounter(50), logging.getLogger("t"),
             engine=engine,
         )
         with pytest.raises(RuntimeError, match="All video segments failed"):
             analyzer.analyze_video(clip)
+
+    def test_reask_recovers_flaky_segment(self, tmp_path):
+        """A malformed response recovered by the re-ask loop leaves no gap."""
+        clip = write_clip(tmp_path / "vr.npzv", seconds=30)
+        engine = ScriptedEngine(
+            [note_json("A", "一", 1, 5), "flaky garbage ((", note_json("C", "三", 21, 29)]
+            + [note_json("B", "二", 11, 15)]  # re-ask succeeds
+        )
+        analyzer = ContentAnalyzer(
+            make_config(tmp_path), APICounter(50), logging.getLogger("t"),
+            engine=engine,
+        )
+        result = analyzer.analyze_video(clip)
+        assert result.metadata["segments_analyzed"] == 3
+        assert result.metadata["segment_gaps"] == []
+        assert engine.calls == 4  # 3 + 1 re-ask
 
     def test_engine_crash_propagates(self, tmp_path):
         clip = write_clip(tmp_path / "v3.npzv", seconds=5)

@@ -157,10 +157,8 @@ class ContentAnalyzer:
         chunk_size = max(self.engine.data_parallel, 1) * 4
         for chunk_start in range(0, len(short_indices), chunk_size):
             chunk = short_indices[chunk_start : chunk_start + chunk_size]
-            for i in chunk:
-                if not self.api_counter.can_call():
-                    raise APILimitExceeded("Model call budget exhausted mid-batch")
-                self.api_counter.increment("local")
+            if self.api_counter.remaining() < len(chunk):
+                raise APILimitExceeded("Model call budget exhausted mid-batch")
             frames = np.stack(
                 [self._decode_clip(paths[i], 0.0, durations[i] or None) for i in chunk]
             )
@@ -171,9 +169,12 @@ class ContentAnalyzer:
                 )
                 for i in chunk
             ]
-            texts = self.engine.generate(frames, prompts)
-            for i, text in zip(chunk, texts):
-                data = self._parse_note_json(text)
+            data_list = self._generate_note(frames, prompts)
+            for i, data in zip(chunk, data_list):
+                if data is None:
+                    raise ValueError(
+                        f"Engine produced no valid note JSON for {paths[i]}"
+                    )
                 results[i] = AnalysisResult.from_api_response(
                     paths[i],
                     data,
@@ -231,9 +232,9 @@ class ContentAnalyzer:
         prompt = render_prompt(
             "analysis", {"duration_label": format_seconds(duration or 0.0)}
         )
-        self.api_counter.increment("local")
-        text = self.engine.generate(frames[None], [prompt])[0]
-        data = self._parse_note_json(text)
+        data = self._generate_note(frames[None], [prompt])[0]
+        if data is None:
+            raise ValueError("Engine produced no valid note JSON after retries")
         data = self._maybe_consolidate_note(data, context="single")
         return AnalysisResult.from_api_response(
             video_path,
@@ -244,6 +245,53 @@ class ContentAnalyzer:
                 "engine": self.engine.stats.as_dict(),
             },
         )
+
+    def _generate_note(
+        self, frames: np.ndarray, prompts: list[str], reasks: int = 2
+    ) -> list[dict[str, Any] | None]:
+        """Generate + parse note JSON per clip, re-asking failures.
+
+        Mirrors the reference's JSON re-ask loop (content_analyzer.py:508-558:
+        <= 2 regeneration attempts per item before giving up). Each attempt
+        consumes budget; None marks a permanently failed item.
+        """
+        for _ in range(frames.shape[0]):
+            self.api_counter.increment("local")
+        texts = self.engine.generate(frames, prompts)
+
+        results: list[dict[str, Any] | None] = [None] * len(prompts)
+        failed: list[int] = []
+        for i, text in enumerate(texts):
+            try:
+                results[i] = self._parse_note_json(text)
+            except (RepairError, ValueError) as exc:
+                self.logger.warning(f"event=note_parse_failed item={i} error={exc}")
+                failed.append(i)
+
+        for attempt in range(1, reasks + 1):
+            if not failed:
+                break
+            if self.api_counter.remaining() < len(failed):
+                self.logger.warning(
+                    f"event=note_reask_skipped reason=budget failed={len(failed)}"
+                )
+                break
+            self.logger.info(
+                f"event=note_reask attempt={attempt} items={len(failed)}"
+            )
+            for _ in failed:
+                self.api_counter.increment("local")
+            retry_texts = self.engine.generate(
+                frames[np.asarray(failed)], [prompts[i] for i in failed]
+            )
+            still_failed: list[int] = []
+            for i, text in zip(failed, retry_texts):
+                try:
+                    results[i] = self._parse_note_json(text)
+                except (RepairError, ValueError):
+                    still_failed.append(i)
+            failed = still_failed
+        return results
 
     # -- segmented path --------------------------------------------------------
 
@@ -321,21 +369,18 @@ class ContentAnalyzer:
                 )
                 for s in chunk
             ]
-            texts = self.engine.generate(frames, prompts)
+            data_list = self._generate_note(frames, prompts)
 
-            for segment, text in zip(chunk, texts):
-                self.api_counter.increment("local")
-                try:
-                    data = self._parse_note_json(text)
-                except (RepairError, ValueError) as exc:
+            for segment, data in zip(chunk, data_list):
+                if data is None:
                     update_segment_status(
-                        manifest, segment["id"], "failed", error=str(exc)
+                        manifest, segment["id"], "failed", error="note_parse_failed"
                     )
                     gap_notes.append(
                         format_gap_note(segment["effective_start"], segment["effective_end"])
                     )
                     self.logger.warning(
-                        f"event=segment_failed id={segment['id']} error={exc}"
+                        f"event=segment_failed id={segment['id']}"
                     )
                     continue
                 data = offset_timestamps(data, segment["effective_start"])

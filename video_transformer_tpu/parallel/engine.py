@@ -31,7 +31,7 @@ from ..models.tokenizer import ByteTokenizer
 from ..models.vlm import VideoLM
 from ..ops.constrained import JsonDfa, advance_state, constrain_logits
 from ..ops.preprocess import preprocess_frames
-from .mesh import DATA_AXIS, build_mesh
+from .mesh import DATA_AXIS, MODEL_AXIS, build_mesh
 from .sharding import param_shardings
 
 __all__ = ["InferenceEngine", "EngineStats"]
@@ -161,16 +161,26 @@ class InferenceEngine:
         else:
             close_bias = None
 
+        # Cache layout [L, B, Hkv, S, D]: batch over "data"; kv heads over
+        # "model" too when they divide the axis (k/v are produced
+        # head-sharded by the column-parallel projections, so this keeps
+        # them resident without an all-gather).
+        model_axis = self.mesh.shape[MODEL_AXIS]
+        if model_axis > 1 and cfg.decoder.num_kv_heads % model_axis == 0:
+            kv_spec = P(None, DATA_AXIS, MODEL_AXIS)
+        else:
+            kv_spec = P(None, DATA_AXIS)
+
         def generate(params, patches, prompt, rng):
             b = prompt.shape[0]
             dtype = jnp.dtype(cfg.dtype)
             cache = init_kv_cache(cfg.decoder, b, cache_len, dtype)
             cache = {
                 "k": jax.lax.with_sharding_constraint(
-                    cache["k"], NamedSharding(self.mesh, P(None, DATA_AXIS))
+                    cache["k"], NamedSharding(self.mesh, kv_spec)
                 ),
                 "v": jax.lax.with_sharding_constraint(
-                    cache["v"], NamedSharding(self.mesh, P(None, DATA_AXIS))
+                    cache["v"], NamedSharding(self.mesh, kv_spec)
                 ),
                 "index": cache["index"],
             }
