@@ -100,6 +100,10 @@ class ContentAnalyzer:
                 temperature=float(self.engine_config.get("temperature", 0.7)),
                 structure_bias=float(self.engine_config.get("structure_bias", 1.5)),
             )
+            checkpoint_dir = self.engine_config.get("checkpoint_dir")
+            if checkpoint_dir:
+                self._engine.restore(checkpoint_dir)
+                self.logger.info(f"event=engine_restored checkpoint={checkpoint_dir}")
         return self._engine
 
     # -- public API ----------------------------------------------------------

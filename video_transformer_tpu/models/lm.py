@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import flash_attention, mha_reference
+from ..ops.attention import flash_attention
 from ..ops.norms import rms_norm
 from ..ops.rotary import apply_rope, rope_angles
 from .config import DecoderConfig

@@ -16,8 +16,7 @@ round-trip.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Any
 
 import jax
@@ -115,6 +114,30 @@ class InferenceEngine:
                 dfa.device_table(), NamedSharding(self.mesh, P())
             )
         return self._tables[key]
+
+    def restore(self, checkpoint_path: str) -> None:
+        """Restore trained parameters from an orbax checkpoint.
+
+        Accepts either a concrete ``params_N`` directory or a parent
+        directory of them (the highest step is taken). Restored arrays adopt
+        the engine's existing shardings.
+        """
+        from pathlib import Path
+
+        import orbax.checkpoint as ocp
+
+        path = Path(checkpoint_path)
+        if path.is_dir() and not path.name.startswith("params_"):
+            candidates = sorted(
+                (p for p in path.iterdir() if p.name.startswith("params_")),
+                key=lambda p: int(p.name.split("_")[-1]),
+            )
+            if not candidates:
+                raise FileNotFoundError(f"no params_N checkpoints under {path}")
+            path = candidates[-1]
+        with ocp.StandardCheckpointer() as checkpointer:
+            self.params = checkpointer.restore(str(path.resolve()), self.params)
+        self._generate_cache.clear()
 
     # -- compiled program ----------------------------------------------------
 

@@ -1,0 +1,138 @@
+"""Training driver CLI.
+
+Distills (clip, teacher-note) pairs into the VideoLM. Data comes from a
+staging directory (``--data``: <id>.<ext> + <id>.note.json pairs, see
+train/data.py) or, when absent, from schema-valid synthetic samples — useful
+for smoke runs, throughput measurement, and scaling tests.
+
+  python -m video_transformer_tpu.train.run --preset tiny --steps 200 \\
+      --batch 8 --out ./checkpoints [--data ./staged] [--tp 2] [--remat]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+from ..analyzer.schema import note_dfa
+from ..models.config import get_preset
+from ..models.tokenizer import ByteTokenizer
+from ..ops.preprocess import preprocess_frames
+from ..parallel.mesh import build_mesh
+from ..utils.logger import setup_logging
+from .data import distillation_records, synthetic_batch
+from .trainer import TrainConfig, Trainer
+
+__all__ = ["main"]
+
+
+def _staged_batches(data_dir, config, batch, text_len, logger):
+    """Cycle over staged (video, note) pairs, yielding device-ready batches."""
+    import jax.numpy as jnp
+    import json
+
+    from ..video.containers import read_frames
+
+    tok = ByteTokenizer(config.decoder.vocab_size)
+    records = list(distillation_records(data_dir))
+    if not records:
+        raise SystemExit(f"no (video, note) pairs found under {data_dir}")
+    logger.info(f"staged records: {len(records)}")
+    cursor = 0
+    while True:
+        patches_list, tokens_list = [], []
+        for _ in range(batch):
+            video, note = records[cursor % len(records)]
+            cursor += 1
+            frames = read_frames(video, config.encoder.num_frames)
+            patches = preprocess_frames(
+                jnp.asarray(frames[None]), config.encoder, jnp.float32
+            )[0]
+            patches_list.append(np.asarray(patches))
+            text = json.dumps(note, ensure_ascii=False)
+            tokens_list.append(tok.encode_array(text, text_len, add_bos=True))
+        yield np.stack(patches_list), np.stack(tokens_list)
+
+
+def _synthetic_batches(config, batch, text_len, dfa):
+    rng = np.random.default_rng(0)
+    while True:
+        yield synthetic_batch(rng, config, batch, text_len, dfa=dfa)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="train/distill the VideoLM")
+    parser.add_argument("--preset", default="tiny", choices=["tiny", "base", "7b"])
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--text-len", type=int, default=512)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--accum", type=int, default=1)
+    parser.add_argument("--tp", type=int, default=1, help="model-axis size")
+    parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--data", help="staging dir of (video, note) pairs")
+    parser.add_argument("--out", default="./data/checkpoints")
+    parser.add_argument("--checkpoint-every", type=int, default=500)
+    parser.add_argument("--log-dir", default="./data/output/logs")
+    args = parser.parse_args(argv)
+
+    logger = setup_logging(args.log_dir, log_name="train.log")
+    config = get_preset(args.preset)
+    mesh = build_mesh({"model": args.tp})
+    data_axis = mesh.shape["data"]
+    if args.batch % data_axis:
+        args.batch = ((args.batch + data_axis - 1) // data_axis) * data_axis
+        logger.info(f"batch rounded up to {args.batch} (data axis {data_axis})")
+    logger.info(f"mesh: {dict(mesh.shape)} preset={args.preset}")
+
+    trainer = Trainer(
+        config,
+        mesh,
+        TrainConfig(
+            learning_rate=args.lr,
+            total_steps=args.steps,
+            warmup_steps=max(args.steps // 20, 1),
+            accum_steps=args.accum,
+            remat=args.remat,
+        ),
+    )
+
+    if args.data:
+        batches = _staged_batches(args.data, config, args.batch, args.text_len, logger)
+    else:
+        logger.info("no --data given: training on schema-valid synthetic pairs")
+        batches = _synthetic_batches(
+            config, args.batch, args.text_len, note_dfa(config.decoder.vocab_size)
+        )
+
+    start = time.perf_counter()
+    tokens_seen = 0
+    for step in range(1, args.steps + 1):
+        patches, tokens = next(batches)
+        metrics = trainer.step(patches, tokens)
+        tokens_seen += int(metrics.get("tokens", 0))
+        if step % 10 == 0 or step == 1:
+            elapsed = time.perf_counter() - start
+            logger.info(
+                f"event=train_step step={step} loss={metrics['loss']:.4f} "
+                f"acc={metrics['accuracy']:.3f} grad_norm={metrics['grad_norm']:.3f} "
+                f"tokens_per_s={tokens_seen / max(elapsed, 1e-6):.0f}"
+            )
+        if args.checkpoint_every and step % args.checkpoint_every == 0:
+            trainer.save_checkpoint(args.out)
+            logger.info(f"event=checkpoint step={step} dir={args.out}")
+
+    trainer.save_checkpoint(args.out)
+    logger.info(
+        f"event=train_complete steps={args.steps} "
+        f"final_loss={metrics['loss']:.4f} checkpoint={args.out}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,7 +11,6 @@ GSPMD, optional remat on decoder blocks for HBM headroom.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax
