@@ -189,6 +189,19 @@ class TestSingleVideoFlow:
             "# 测试笔记"
         )
 
+    def test_saved_note_passes_offline_linter(self, tmp_path, monkeypatch, clip):
+        from video_transformer_tpu.tools.validate_note import validate_file
+
+        pipeline, _ = build_pipeline(
+            tmp_path, monkeypatch,
+            validator=StubValidator([90]), auditor=StubAuditor(90),
+            self_check_mode="lecture",
+        )
+        result = pipeline.process_single_video(str(clip))
+        report = validate_file(result.document_path)
+        assert report.format == "lecture"
+        assert report.ok, report.errors
+
     def test_validation_rewrite_loop(self, tmp_path, monkeypatch, clip):
         validator = StubValidator([50, 60, 90])
         pipeline, analyzer = build_pipeline(
