@@ -170,6 +170,29 @@ def _flash_attention_pallas(
     )(q, k, v)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_attention_diff(q, k, v, causal):
+    return _flash_attention_pallas(q, k, v, causal=causal)
+
+
+def _flash_diff_fwd(q, k, v, causal):
+    return _flash_attention_pallas(q, k, v, causal=causal), (q, k, v)
+
+
+def _flash_diff_bwd(causal, residuals, grad_out):
+    # Backward via the XLA reference: recomputes attention (flash-style
+    # recomputation, no saved probability matrix) and lets XLA derive exact
+    # gradients. Memory O(S^2) per head during bwd — fine at this
+    # framework's training sequence lengths; a Pallas bwd kernel is the
+    # upgrade path for long-context training.
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q_, k_, v_: mha_reference(q_, k_, v_, causal), q, k, v)
+    return vjp(grad_out)
+
+
+_flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -179,9 +202,11 @@ def flash_attention(
 ) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
 
-    Sequence lengths must be multiples of the chosen block size on the Pallas
-    path; shapes in this framework are static and MXU-aligned by design.
+    Differentiable everywhere: the TPU path carries a custom VJP (Pallas
+    forward, recomputed-reference backward). Sequence lengths must be
+    multiples of the chosen block size on the Pallas path; shapes in this
+    framework are static and MXU-aligned by design.
     """
     if force_reference or jax.default_backend() != "tpu":
         return mha_reference(q, k, v, causal=causal)
-    return _flash_attention_pallas(q, k, v, causal=causal)
+    return _flash_attention_diff(q, k, v, causal)

@@ -29,8 +29,24 @@ class Topic:
     bullets: list[str] = field(default_factory=list)
 
 
+_MAP_CHAPTER_RE = re.compile(r"^- 第(\d+)章：(.+)$")
+_MAP_TOPIC_RE = re.compile(r"^  - (.+)$")
+
+
 def parse_topics(markdown: str) -> list[Topic]:
-    """Extract topics (#### headings) with their first few content bullets."""
+    """Extract topics with their first few content bullets.
+
+    Legacy notes carry topics as `#### N. topic` section headings; lecture
+    notes carry them as concept-map sub-bullets (with 内容串讲 bullets as
+    the supporting content).
+    """
+    topics = _parse_legacy_topics(markdown)
+    if topics:
+        return topics
+    return _parse_lecture_topics(markdown)
+
+
+def _parse_legacy_topics(markdown: str) -> list[Topic]:
     topics: list[Topic] = []
     chapter = ""
     for line in markdown.splitlines():
@@ -49,6 +65,43 @@ def parse_topics(markdown: str) -> list[Topic]:
             text = line.strip()[2:].strip()
             if text:
                 topics[-1].bullets.append(text)
+    return topics
+
+
+def _parse_lecture_topics(markdown: str) -> list[Topic]:
+    """Concept-map sub-bullets become topics; 内容串讲 bullets back them."""
+    topics: list[Topic] = []
+    chapter = ""
+    in_map = False
+    narration_chapter = ""
+    narration: dict[str, list[str]] = {}
+
+    for line in markdown.splitlines():
+        if line.startswith("## "):
+            in_map = line.strip() == "## 核心概念图谱"
+        if in_map:
+            chapter_match = _MAP_CHAPTER_RE.match(line)
+            if chapter_match:
+                chapter = chapter_match.group(2).strip()
+                continue
+            topic_match = _MAP_TOPIC_RE.match(line)
+            if topic_match and chapter:
+                topics.append(Topic(title=topic_match.group(1).strip(), chapter=chapter))
+                continue
+        chapter_heading = _CHAPTER_RE.match(line.strip())
+        if chapter_heading:
+            narration_chapter = chapter_heading.group(2).strip()
+            narration.setdefault(narration_chapter, [])
+            continue
+        if narration_chapter and line.strip().startswith("- "):
+            narration[narration_chapter].append(line.strip()[2:].strip())
+
+    # Attach the chapter's narration bullets to its first topic.
+    seen_chapters: set[str] = set()
+    for topic in topics:
+        if topic.chapter not in seen_chapters:
+            seen_chapters.add(topic.chapter)
+            topic.bullets = narration.get(topic.chapter, [])[:2]
     return topics
 
 
