@@ -1,0 +1,69 @@
+"""Opt-in hardware integration tests (the reference's live-service analog).
+
+The reference gates live Gemini/Kimi tests on local services being up
+(test_analyzer_integration.py:28-45). Here the "live service" is the TPU:
+these tests run only when the suite is pointed at real hardware —
+
+    VTX_TEST_PLATFORM=axon python -m pytest tests/test_tpu_integration.py
+
+Under the default CPU-forced test harness they skip.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="real TPU required (VTX_TEST_PLATFORM)"
+)
+
+
+@requires_tpu
+@pytest.mark.integration
+class TestTPUEndToEnd:
+    def test_tiny_engine_generates_valid_json_on_chip(self):
+        from video_transformer_tpu.analyzer.schema import note_dfa
+        from video_transformer_tpu.models.config import get_preset
+        from video_transformer_tpu.parallel.engine import InferenceEngine
+        from video_transformer_tpu.parallel.mesh import build_mesh
+
+        engine = InferenceEngine(
+            get_preset("tiny"),
+            mesh=build_mesh({"model": 1}),
+            dfa=note_dfa(512, scale=0.25),
+            max_new_tokens=1400,
+            temperature=1.0,
+            structure_bias=2.5,
+        )
+        frames = np.random.default_rng(0).integers(
+            0, 255, (1, 4, 64, 64, 3), dtype=np.uint8
+        )
+        # Warm up (first call compiles); measure the steady-state call.
+        engine.generate(frames, ["analyze"], prompt_len=32)
+        engine.stats.__init__()
+        text = engine.generate(frames, ["analyze"], prompt_len=32)[0]
+        parsed = json.loads(text)
+        assert {"title", "deep_dive", "glossary"} <= parsed.keys()
+        assert engine.stats.tokens_per_second > 100
+
+    def test_flash_attention_matches_reference_on_chip(self):
+        import jax.numpy as jnp
+
+        from video_transformer_tpu.ops.attention import (
+            _flash_attention_pallas,
+            mha_reference,
+        )
+
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(keys[0], (1, 2, 256, 128), jnp.bfloat16)
+        k = jax.random.normal(keys[1], (1, 1, 256, 128), jnp.bfloat16)
+        v = jax.random.normal(keys[2], (1, 1, 256, 128), jnp.bfloat16)
+        out = _flash_attention_pallas(q, k, v, causal=True)
+        ref = mha_reference(q, k, v, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )

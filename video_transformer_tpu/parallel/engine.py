@@ -30,6 +30,7 @@ from ..models.tokenizer import ByteTokenizer
 from ..models.vlm import VideoLM
 from ..ops.constrained import JsonDfa, advance_state, constrain_logits
 from ..ops.preprocess import preprocess_frames
+from ..utils.tracing import tracer
 from .mesh import DATA_AXIS, MODEL_AXIS, build_mesh
 from .sharding import param_shardings
 
@@ -38,6 +39,27 @@ __all__ = ["InferenceEngine", "EngineStats"]
 
 def _round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
+
+
+_compilation_cache_enabled = False
+
+
+def enable_compilation_cache(cache_dir: str) -> None:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    The full generate program costs minutes of XLA compile on first trace;
+    the on-disk cache turns every later process start (serving restarts,
+    bench runs) into a cache hit.
+    """
+    global _compilation_cache_enabled
+    if _compilation_cache_enabled:
+        return
+    from pathlib import Path
+
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    _compilation_cache_enabled = True
 
 
 @dataclass
@@ -81,11 +103,14 @@ class InferenceEngine:
         max_forced_run: int = 24,
         seed: int = 0,
         params: Any = None,
+        compilation_cache_dir: str | None = "./data/cache/jax",
     ):
         """``structure_bias`` is a length-control logit bias added to JSON
         closing tokens (quote/bracket/brace/EOS) — positive values steer
         generation toward compact output, bounding expected length under the
         token cap (essential for untrained or high-temperature sampling)."""
+        if compilation_cache_dir:
+            enable_compilation_cache(compilation_cache_dir)
         self.config = config
         self.mesh = mesh if mesh is not None else build_mesh({"model": 1})
         self.dfa = dfa
@@ -337,10 +362,11 @@ class InferenceEngine:
     def preprocess(self, frames: np.ndarray) -> jax.Array:
         """uint8 [B, T, H, W, 3] -> patches, timed into stats."""
         start = time.perf_counter()
-        patches = preprocess_frames(
-            jnp.asarray(frames), self.config.encoder, jnp.dtype(self.config.dtype)
-        )
-        patches.block_until_ready()
+        with tracer.span("engine.preprocess", frames=frames.shape[0] * frames.shape[1]):
+            patches = preprocess_frames(
+                jnp.asarray(frames), self.config.encoder, jnp.dtype(self.config.dtype)
+            )
+            patches.block_until_ready()
         self.stats.preprocess_seconds += time.perf_counter() - start
         self.stats.frames_preprocessed += frames.shape[0] * frames.shape[1]
         return patches
@@ -386,8 +412,11 @@ class InferenceEngine:
 
         self._rng, key = jax.random.split(self._rng)
         start = time.perf_counter()
-        tokens, out_pos = fn(self.params, patches, jnp.asarray(prompt_tokens), key)
-        tokens = np.asarray(tokens)
+        with tracer.span("engine.generate", batch=b_padded):
+            tokens, out_pos = fn(
+                self.params, patches, jnp.asarray(prompt_tokens), key
+            )
+            tokens = np.asarray(tokens)
         out_pos = np.asarray(out_pos)
         elapsed = time.perf_counter() - start
 
@@ -414,8 +443,9 @@ class InferenceEngine:
         fn = self._get_generate(b_padded, prompt_len, False, dfa)
         self._rng, key = jax.random.split(self._rng)
         start = time.perf_counter()
-        tokens, out_pos = fn(self.params, jnp.asarray(prompt_tokens), key)
-        tokens = np.asarray(tokens)
+        with tracer.span("engine.generate_text", batch=b_padded):
+            tokens, out_pos = fn(self.params, jnp.asarray(prompt_tokens), key)
+            tokens = np.asarray(tokens)
         out_pos = np.asarray(out_pos)
         elapsed = time.perf_counter() - start
 

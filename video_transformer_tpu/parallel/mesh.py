@@ -17,10 +17,33 @@ from typing import Any, Mapping
 import jax
 from jax.sharding import Mesh
 
-__all__ = ["build_mesh", "mesh_shape_from_config", "DATA_AXIS", "MODEL_AXIS"]
+__all__ = [
+    "build_mesh",
+    "mesh_shape_from_config",
+    "maybe_initialize_distributed",
+    "DATA_AXIS",
+    "MODEL_AXIS",
+]
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def maybe_initialize_distributed() -> bool:
+    """Join a multi-host JAX cluster when the standard env vars are set.
+
+    Multi-host pods set JAX_COORDINATOR_ADDRESS (+ JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID or TPU auto-detection); single-host runs are untouched.
+    After initialization, build_mesh() sees every chip in the pod and the
+    same shardings scale across hosts — collectives ride ICI within a slice
+    and DCN across slices, chosen by XLA from the device order.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") is None:
+        return False
+    jax.distributed.initialize()
+    return True
 
 
 def mesh_shape_from_config(
