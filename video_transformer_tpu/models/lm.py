@@ -61,6 +61,7 @@ class Attention(nn.Module):
         positions: jax.Array,  # [B, S] or [S]
         rope: tuple[jax.Array, jax.Array],
         cache: Cache | None,
+        prefill: bool = False,
     ) -> tuple[jax.Array, Cache | None]:
         cfg = self.config
         b, s, _ = x.shape
@@ -100,7 +101,13 @@ class Attention(nn.Module):
                 k=cache["k"].at[self.layer_idx].set(k_cache),
                 v=cache["v"].at[self.layer_idx].set(v_cache),
             )
-            out = _cache_attention(q, k_cache, v_cache, index)
+            if prefill:
+                # Cache-filling prefill starts at index 0: in-block causal
+                # flash attention is exact and avoids attending the padded
+                # cache tail (S_block^2 instead of S_block * cache_len).
+                out = flash_attention(q, k, v, causal=True)
+            else:
+                out = _cache_attention(q, k_cache, v_cache, index)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, s, q_dim)
         out = nn.Dense(cfg.hidden_dim, use_bias=False, dtype=dtype, name="out")(out)
@@ -169,10 +176,13 @@ class DecoderBlock(nn.Module):
     layer_idx: int
 
     @nn.compact
-    def __call__(self, x, positions, rope, cache):
+    def __call__(self, x, positions, rope, cache, prefill=False):
         attn_out, cache = Attention(
             self.config, self.layer_idx, name="attn"
-        )(RMSNorm(self.config.hidden_dim, name="attn_norm")(x), positions, rope, cache)
+        )(
+            RMSNorm(self.config.hidden_dim, name="attn_norm")(x),
+            positions, rope, cache, prefill,
+        )
         x = x + attn_out
         mlp_out = SwiGLU(self.config, name="mlp")(
             RMSNorm(self.config.hidden_dim, name="mlp_norm")(x)
@@ -217,6 +227,7 @@ class Decoder(nn.Module):
         positions: jax.Array | None = None,
         cache: Cache | None = None,
         dtype: jnp.dtype = jnp.bfloat16,
+        prefill: bool = False,
     ) -> tuple[jax.Array, Cache | None]:
         cfg = self.config
         if inputs.ndim == 2:
@@ -238,7 +249,7 @@ class Decoder(nn.Module):
         rope = rope_angles(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta)
 
         for block in self.blocks:
-            x, cache = block(x, positions, rope, cache)
+            x, cache = block(x, positions, rope, cache, prefill)
 
         x = self.final_norm(x)
         # Tied logits: reuse the embedding table (fp32 accumulate).

@@ -70,7 +70,9 @@ class VideoLM(nn.Module):
         """Encode video + prompt, fill the KV cache; returns (last_logits, cache)."""
         video_embeds = self.encode_video(patches)
         inputs = self._splice(video_embeds, prompt_tokens)
-        logits, cache = self.decoder(inputs, cache=cache, dtype=self.compute_dtype)
+        logits, cache = self.decoder(
+            inputs, cache=cache, dtype=self.compute_dtype, prefill=True
+        )
         return logits[:, -1, :], cache
 
     def prefill_text(
@@ -78,7 +80,7 @@ class VideoLM(nn.Module):
     ) -> tuple[jax.Array, Cache]:
         """Text-only prefill (validator / consolidation / rewrite passes)."""
         logits, cache = self.decoder(
-            prompt_tokens, cache=cache, dtype=self.compute_dtype
+            prompt_tokens, cache=cache, dtype=self.compute_dtype, prefill=True
         )
         return logits[:, -1, :], cache
 
