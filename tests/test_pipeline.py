@@ -281,6 +281,59 @@ class TestBatchFlow:
         assert second.error_message == "已处理(跳过)"
 
 
+class TestShardedBatch:
+    def _analyzer_with_batch(self):
+        analyzer = StubAnalyzer()
+
+        def analyze_videos(paths):
+            analyzer.batched = list(paths)
+            return [make_result(str(p)) for p in paths]
+
+        analyzer.analyze_videos = analyze_videos
+        return analyzer
+
+    def test_sharded_batch_happy_path(self, tmp_path, monkeypatch, clip):
+        analyzer = self._analyzer_with_batch()
+        pipeline, _ = build_pipeline(
+            tmp_path, monkeypatch, analyzer=analyzer,
+            validator=StubValidator([90]), auditor=StubAuditor(90),
+        )
+        batch = pipeline.process_batch_sharded([str(clip)])
+        assert batch.successful == 1 and batch.failed == 0
+        assert analyzer.batched == [clip]
+        assert batch.results[0].document_path
+
+    def test_sharded_batch_missing_video_recorded(self, tmp_path, monkeypatch, clip):
+        analyzer = self._analyzer_with_batch()
+        pipeline, _ = build_pipeline(
+            tmp_path, monkeypatch, analyzer=analyzer,
+            validator=StubValidator([90]), auditor=StubAuditor(90),
+        )
+        batch = pipeline.process_batch_sharded(
+            [str(clip), str(tmp_path / "missing.npzv")]
+        )
+        assert batch.successful == 1 and batch.failed == 1
+        assert batch.results[0].success is False  # download failure first
+        assert batch.results[1].success is True
+
+    def test_sharded_batch_falls_back_on_analysis_crash(
+        self, tmp_path, monkeypatch, clip
+    ):
+        analyzer = StubAnalyzer()
+
+        def broken(paths):
+            raise RuntimeError("device lost")
+
+        analyzer.analyze_videos = broken
+        pipeline, _ = build_pipeline(
+            tmp_path, monkeypatch, analyzer=analyzer,
+            validator=StubValidator([90]), auditor=StubAuditor(90),
+        )
+        batch = pipeline.process_batch_sharded([str(clip)])
+        # Falls back to the sequential path, which succeeds via analyze_video.
+        assert batch.successful == 1
+
+
 class TestVideoIdExtraction:
     def test_bilibili(self):
         assert VideoPipeline._extract_video_id(

@@ -79,7 +79,10 @@ class VideoTransformerCLI:
         if not urls:
             logger.info("所有视频均已处理")
             return 0
-        batch_result = pipeline.process_batch(urls)
+        if self.args.sharded:
+            batch_result = pipeline.process_batch_sharded(urls)
+        else:
+            batch_result = pipeline.process_batch(urls)
         self._print_batch_result(batch_result)
         return 0 if batch_result.failed == 0 else 1
 
@@ -142,6 +145,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--no-checkpoint", action="store_true", help="disable batch resume"
+    )
+    parser.add_argument(
+        "--sharded",
+        action="store_true",
+        help="batch mode: shard analysis of all videos across devices",
     )
     parser.add_argument("--verbose", action="store_true")
     return parser

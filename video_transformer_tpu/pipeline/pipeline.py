@@ -122,103 +122,9 @@ class VideoPipeline:
             self.logger.info(
                 f"✅ 分析完成 (章节: {len(analysis_result.knowledge_doc.deep_dive)})"
             )
-
-            self.logger.info("[3/5] 校验知识蓝图 Visual Schema...")
-            schemas = analysis_result.knowledge_doc.visual_schemas
-            first_schema = schemas[0].schema if schemas else ""
-            note_markdown = analysis_result.knowledge_doc.to_markdown(
-                self_check_mode=self.self_check_mode,
-                include_concept_index=self.include_concept_index,
-            )
-            final_structure, validation_score = self._validation_loop(
-                first_schema, note_markdown, analyzer
-            )
-
-            image_data = None
-            audit_result = None
-            image_timeout = False
-            if final_structure:
-                self.logger.info("[4/5] 生成知识蓝图图片...")
-                try:
-                    image_data = self.generator.generate_blueprint(final_structure)
-                except RuntimeError as exc:
-                    reason = "timeout" if "timeout" in str(exc) else "error"
-                    self.logger.warning(
-                        f"event=image_generation_failed reason={reason} "
-                        f"video_id={video_id} error={exc}"
-                    )
-                    image_data = None
-                    image_timeout = reason == "timeout"
-                except Exception as exc:
-                    self.logger.error(f"图片生成失败: {exc}")
-                    image_data = None
-
-                if image_data:
-                    self.logger.info("[5/5] 审核图片质量...")
-                    temp_png = self.output_dir / "temp" / f"{video_id}_temp.png"
-                    temp_png.parent.mkdir(parents=True, exist_ok=True)
-                    try:
-                        self.generator.save_image(image_data, temp_png)
-                        audit_result = auditor.audit_image(
-                            image_path=temp_png,
-                            knowledge_doc_content=note_markdown,
-                        )
-                        if not audit_result.passed:
-                            self.logger.warning(
-                                f"审核未通过 ({audit_result.score:.1f} < "
-                                f"{auditor.threshold}); 丢弃图片"
-                            )
-                            image_data = None
-                            audit_result = None
-                    except Exception as exc:
-                        # Audit crash (not a quality verdict): keep the image.
-                        self.logger.warning(f"审核过程出错，保留原图: {exc}")
-                    finally:
-                        if temp_png.exists():
-                            temp_png.unlink()
-            else:
-                self.logger.warning("Visual Schema 为空，跳过图片生成与审核")
-
-            image_relative_path = (
-                f"../blueprints/{video_id}_mind_map.png" if image_data else None
-            )
-            document_content = analyzer.generate_report(
-                analysis_result,
-                image_relative_path,
-                self_check_mode=self.self_check_mode,
-            )
-            if image_timeout:
-                document_content = (
-                    "⚠️ Image generation timed out, Markdown-only output\n\n"
-                    + document_content
-                )
-
-            doc_path, blueprint_path = self._save_outputs(
-                video_id=video_id,
-                document_content=document_content,
-                image_data=image_data,
-                duration=analysis_result.metadata.get("duration"),
-            )
-
-            api_calls_used = self.api_counter.current_count - api_calls_start
-            processing_time = time.time() - start_time
-            if self.progress_tracker:
-                self.progress_tracker.mark_processed(video_id)
-
-            self.logger.info(
-                f"event=video_complete video_id={video_id} "
-                f"elapsed_s={processing_time:.1f}"
-            )
-            return ProcessResult(
-                video_id=video_id,
-                url=url,
-                success=True,
-                document_path=str(doc_path),
-                blueprint_path=str(blueprint_path) if blueprint_path else None,
-                api_calls_used=api_calls_used,
-                processing_time=processing_time,
-                validation_score=validation_score,
-                audit_score=audit_result.score if audit_result else 0.0,
+            return self._finalize_video(
+                video_id, url, analysis_result, analyzer, auditor,
+                start_time, api_calls_start,
             )
 
         except APILimitExceeded as exc:
@@ -251,6 +157,119 @@ class VideoPipeline:
                 processing_time=processing_time,
             )
 
+    def _finalize_video(
+        self,
+        video_id: str,
+        url: str,
+        analysis_result,
+        analyzer: ContentAnalyzer,
+        auditor: QualityAuditor,
+        start_time: float,
+        api_calls_start: int,
+    ) -> ProcessResult:
+        """Steps 3-5 + save: validation loop, blueprint render, audit, output.
+
+        Shared by the sequential per-video flow and the sharded batch flow.
+        """
+        self.logger.info("[3/5] 校验知识蓝图 Visual Schema...")
+        schemas = analysis_result.knowledge_doc.visual_schemas
+        first_schema = schemas[0].schema if schemas else ""
+        note_markdown = analysis_result.knowledge_doc.to_markdown(
+            self_check_mode=self.self_check_mode,
+            include_concept_index=self.include_concept_index,
+        )
+        final_structure, validation_score = self._validation_loop(
+            first_schema, note_markdown, analyzer
+        )
+
+        image_data = None
+        audit_result = None
+        image_timeout = False
+        if final_structure:
+            self.logger.info("[4/5] 生成知识蓝图图片...")
+            try:
+                image_data = self.generator.generate_blueprint(final_structure)
+            except RuntimeError as exc:
+                reason = "timeout" if "timeout" in str(exc) else "error"
+                self.logger.warning(
+                    f"event=image_generation_failed reason={reason} "
+                    f"video_id={video_id} error={exc}"
+                )
+                image_data = None
+                image_timeout = reason == "timeout"
+            except Exception as exc:
+                self.logger.error(f"图片生成失败: {exc}")
+                image_data = None
+
+            if image_data:
+                self.logger.info("[5/5] 审核图片质量...")
+                temp_png = self.output_dir / "temp" / f"{video_id}_temp.png"
+                temp_png.parent.mkdir(parents=True, exist_ok=True)
+                try:
+                    self.generator.save_image(image_data, temp_png)
+                    audit_result = auditor.audit_image(
+                        image_path=temp_png,
+                        knowledge_doc_content=note_markdown,
+                    )
+                    if not audit_result.passed:
+                        self.logger.warning(
+                            f"审核未通过 ({audit_result.score:.1f} < "
+                            f"{auditor.threshold}); 丢弃图片"
+                        )
+                        image_data = None
+                        audit_result = None
+                except Exception as exc:
+                    # Audit crash (not a quality verdict): keep the image.
+                    self.logger.warning(f"审核过程出错，保留原图: {exc}")
+                finally:
+                    if temp_png.exists():
+                        temp_png.unlink()
+        else:
+            self.logger.warning("Visual Schema 为空，跳过图片生成与审核")
+
+        image_relative_path = (
+            f"../blueprints/{video_id}_mind_map.png" if image_data else None
+        )
+        document_content = analyzer.generate_report(
+            analysis_result,
+            image_relative_path,
+            self_check_mode=self.self_check_mode,
+        )
+        if image_timeout:
+            document_content = (
+                "⚠️ Image generation timed out, Markdown-only output\n\n"
+                + document_content
+            )
+
+        doc_path, blueprint_path = self._save_outputs(
+            video_id=video_id,
+            document_content=document_content,
+            image_data=image_data,
+            duration=analysis_result.metadata.get("duration"),
+        )
+
+        api_calls_used = self.api_counter.current_count - api_calls_start
+        processing_time = time.time() - start_time
+        if self.progress_tracker:
+            self.progress_tracker.mark_processed(video_id)
+
+        self.logger.info(
+            f"event=video_complete video_id={video_id} "
+            f"elapsed_s={processing_time:.1f}"
+        )
+        return ProcessResult(
+            video_id=video_id,
+            url=url,
+            success=True,
+            document_path=str(doc_path),
+            blueprint_path=str(blueprint_path) if blueprint_path else None,
+            api_calls_used=api_calls_used,
+            processing_time=processing_time,
+            validation_score=validation_score,
+            audit_score=audit_result.score if audit_result else 0.0,
+        )
+
+
     # -- batch flow --------------------------------------------------------------
 
     def process_batch(self, urls: list[str]) -> BatchResult:
@@ -273,6 +292,108 @@ class VideoPipeline:
                 result.failed += 1
 
         self.logger.info(f"批量处理完成: {result}")
+        return result
+
+    def process_batch_sharded(self, urls: list[str]) -> BatchResult:
+        """Batch mode that shards ANALYSIS across devices.
+
+        All videos are resolved first, analyzed together through
+        ContentAnalyzer.analyze_videos (short clips batch over the mesh data
+        axis; long ones run their internally-batched segmented path), then
+        post-processed per video. Falls back to the sequential flow when the
+        batched analysis fails as a whole.
+        """
+        total = len(urls)
+        self.logger.info(f"开始分片批量处理 {total} 个视频")
+        result = BatchResult(total=total, successful=0, failed=0)
+
+        analyzer = ContentAnalyzer(
+            config=self.config,
+            api_counter=self.api_counter,
+            logger=self.logger,
+            engine=self._engine,
+        )
+        auditor = QualityAuditor(
+            config=self.config, api_counter=self.api_counter, logger=self.logger
+        )
+
+        # Phase 1: resolve every video (downloads overlap nothing on-device).
+        pending: list[tuple[str, str, Path]] = []  # (url, video_id, path)
+        start_times: dict[str, float] = {}
+        for url in urls:
+            start_times[url] = time.time()
+            video_id = self._extract_video_id(url)
+            if self.progress_tracker and self.progress_tracker.is_processed(
+                video_id
+            ):
+                result.add_result(
+                    ProcessResult(
+                        video_id=video_id, url=url, success=True,
+                        error_message="已处理(跳过)", processing_time=0.0,
+                    )
+                )
+                result.successful += 1
+                continue
+            path = self.downloader.download_video(url)
+            if not path:
+                result.add_result(
+                    ProcessResult(
+                        video_id=video_id, url=url, success=False,
+                        error_message="视频下载失败",
+                        processing_time=time.time() - start_times[url],
+                    )
+                )
+                result.failed += 1
+                if self.progress_tracker:
+                    self.progress_tracker.mark_failed(video_id, "视频下载失败")
+                continue
+            pending.append((url, video_id, path))
+
+        if not pending:
+            return result
+
+        # Phase 2: one sharded analysis pass over everything pending.
+        api_calls_start = self.api_counter.current_count
+        try:
+            analyses = analyzer.analyze_videos([p for _, _, p in pending])
+        except Exception as exc:
+            self.logger.warning(
+                f"event=sharded_batch_fallback error={exc}; 退回逐视频处理"
+            )
+            for url, _, _ in pending:
+                video_result = self.process_single_video(url)
+                result.add_result(video_result)
+                if video_result.success:
+                    result.successful += 1
+                else:
+                    result.failed += 1
+            return result
+
+        # Phase 3: per-video validation / render / audit / save.
+        for (url, video_id, _), analysis in zip(pending, analyses):
+            try:
+                video_result = self._finalize_video(
+                    video_id, url, analysis, analyzer, auditor,
+                    start_times[url], api_calls_start,
+                )
+            except Exception as exc:
+                self.logger.error(
+                    f"event=video_failed video_id={video_id} error={exc}"
+                )
+                if self.progress_tracker:
+                    self.progress_tracker.mark_failed(video_id, str(exc))
+                video_result = ProcessResult(
+                    video_id=video_id, url=url, success=False,
+                    error_message=str(exc),
+                    processing_time=time.time() - start_times[url],
+                )
+            result.add_result(video_result)
+            if video_result.success:
+                result.successful += 1
+            else:
+                result.failed += 1
+
+        self.logger.info(f"分片批量处理完成: {result}")
         return result
 
     # -- validation loop -----------------------------------------------------------
