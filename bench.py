@@ -27,7 +27,10 @@ import numpy as np
 
 NORTH_STAR_MIN_PER_MIN_PER_CHIP = 3.75  # 60 min / 2 min / 8 chips
 
-VIDEO_SECONDS = 240.0
+import os
+
+PRESET = os.environ.get("VTX_BENCH_PRESET", "tiny")
+VIDEO_SECONDS = float(os.environ.get("VTX_BENCH_VIDEO_SECONDS", "240"))
 FPS = 2.0
 SEGMENT_SECONDS = 60
 
@@ -40,7 +43,7 @@ def build_engine():
     from video_transformer_tpu.parallel.engine import InferenceEngine
     from video_transformer_tpu.parallel.mesh import build_mesh
 
-    config = get_preset("tiny")
+    config = get_preset(PRESET)
     mesh = build_mesh({"data": len(jax.devices()), "model": 1})
     return InferenceEngine(
         config,
@@ -156,7 +159,7 @@ def main() -> int:
                         "segments": result.metadata.get("segments"),
                         "decode_tokens_per_s": stats["tokens_per_second"],
                         "preproc_frames_per_s": round(preproc_fps, 1),
-                        "model_preset": "tiny",
+                        "model_preset": PRESET,
                     },
                 },
                 ensure_ascii=False,

@@ -107,7 +107,11 @@ class Attention(nn.Module):
                 # cache tail (S_block^2 instead of S_block * cache_len).
                 out = flash_attention(q, k, v, causal=True)
             else:
-                out = _cache_attention(q, k_cache, v_cache, index)
+                # Paged decode attention: stream only the valid cache prefix
+                # (row 0 sees index+1 positions; later block rows +1 each).
+                from ..ops.decode_attention import decode_attention
+
+                out = decode_attention(q, k_cache, v_cache, index + 1)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, s, q_dim)
         out = nn.Dense(cfg.hidden_dim, use_bias=False, dtype=dtype, name="out")(out)
@@ -123,38 +127,6 @@ def _update_cache_rows(
         return jax.lax.dynamic_update_slice(row_cache, row_new, (0, row_index, 0))
 
     return jax.vmap(write_row)(cache_layer, new, index)
-
-
-def _cache_attention(
-    q: jax.Array, k_cache: jax.Array, v_cache: jax.Array, index: jax.Array
-) -> jax.Array:
-    """Causal attention of a query block against the whole cache, with
-    per-row absolute positions index[b]..index[b]+s.
-
-    Serves cache-prefill (s > 1), incremental decode (s = 1), and grammar
-    fast-forward blocks. The decode step is bandwidth-bound — one cache
-    read — which XLA handles at roofline already, so no Pallas kernel is
-    spent here.
-    """
-    b, hq, s_q, d = q.shape
-    hkv = k_cache.shape[1]
-    group = hq // hkv
-    qg = q.reshape(b, hkv, group, s_q, d).astype(jnp.float32)
-    logits = jnp.einsum(
-        "bhgqd,bhkd->bhgqk", qg, k_cache.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ) * (1.0 / jnp.sqrt(jnp.float32(d)))
-    q_pos = (
-        index[:, None, None, None, None]
-        + jnp.arange(s_q)[None, None, None, :, None]
-    )
-    k_pos = jnp.arange(k_cache.shape[2])[None, None, None, None, :]
-    logits = jnp.where(k_pos <= q_pos, logits, -1e30)
-    weights = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum(
-        "bhgqk,bhkd->bhgqd", weights, v_cache.astype(jnp.float32)
-    )
-    return out.reshape(b, hq, s_q, d).astype(q.dtype)
 
 
 class SwiGLU(nn.Module):

@@ -1,0 +1,219 @@
+"""Length-aware decode attention: paged KV reads with block skipping.
+
+The XLA decode path (models/lm.py::_cache_attention) reads the ENTIRE padded
+cache every step — at cache_len 4096 with ~500 valid positions that is ~8x
+wasted HBM bandwidth, and decode is bandwidth-bound. This Pallas kernel keeps
+K/V in HBM and DMAs only the blocks inside each row's valid prefix, double-
+buffered so the next block streams while the current one computes
+(pallas_guide.md: Double Buffering + PrefetchScalarGridSpec).
+
+Layout: q [B, Hq, W, D] (W = decode block width), k/v caches
+[B, Hkv, S, D], per-row valid lengths [B] (= index + W). Grid (B, Hkv);
+each program streams ceil(length/BLK) K/V blocks for its (row, kv-head) and
+runs online softmax for the G*W query rows of that group.
+
+Falls back to the XLA path off-TPU or for unaligned shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["decode_attention", "decode_attention_reference"]
+
+_NEG_INF = -1e30
+_BLOCK = 512
+
+
+def decode_attention_reference(
+    q: jax.Array, k_cache: jax.Array, v_cache: jax.Array, lengths: jax.Array
+) -> jax.Array:
+    """XLA oracle: full-cache masked attention (per-row causal lengths).
+
+    q [B, Hq, W, D]; lengths[b] is the count of valid cache positions for
+    the FIRST query row; query row j may additionally see positions up to
+    lengths[b] + j (in-block causality).
+    """
+    b, hq, w, d = q.shape
+    hkv = k_cache.shape[1]
+    group = hq // hkv
+    qg = q.reshape(b, hkv, group, w, d).astype(jnp.float32)
+    logits = jnp.einsum(
+        "bhgqd,bhkd->bhgqk", qg, k_cache.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / math.sqrt(d))
+    q_extra = jnp.arange(w)[None, None, None, :, None]
+    k_pos = jnp.arange(k_cache.shape[2])[None, None, None, None, :]
+    limit = lengths[:, None, None, None, None] + q_extra
+    logits = jnp.where(k_pos < limit, logits, _NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", weights, v_cache.astype(jnp.float32))
+    return out.reshape(b, hq, w, d).astype(q.dtype)
+
+
+def _kernel(
+    len_ref,  # scalar prefetch [B]
+    q_ref,  # [1, 1, GW, D] VMEM
+    k_hbm,  # [B, Hkv, S, D] ANY
+    v_hbm,
+    o_ref,  # [1, 1, GW, D] VMEM
+    k_scratch,  # [2, BLK, D]
+    v_scratch,
+    sems,  # DMA sems (2, 2)
+    *,
+    block: int,
+    width: int,
+    group: int,
+    scale: float,
+):
+    row = pl.program_id(0)
+    head = pl.program_id(1)
+    length = len_ref[row]  # valid positions for query row 0
+    # Query row j (within width) may see length + j positions; the maximum
+    # extent decides how many blocks to stream.
+    max_len = length + width - 1
+    num_blocks = (max_len + block - 1) // block
+
+    gw, d = q_ref.shape[2], q_ref.shape[3]
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [GW, D]
+
+    def get_dma_pair(slot, blk_idx):
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[row, head, pl.ds(blk_idx * block, block), :],
+                k_scratch.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[row, head, pl.ds(blk_idx * block, block), :],
+                v_scratch.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    k0, v0 = get_dma_pair(0, 0)
+    k0.start()
+    v0.start()
+
+    # Positions of query rows within the block: row j has extra budget j.
+    q_extra = jax.lax.broadcasted_iota(jnp.int32, (gw, block), 0) % width
+
+    def body(blk_idx, carry):
+        acc, m_prev, l_prev = carry
+        slot = blk_idx % 2
+
+        @pl.when(blk_idx + 1 < num_blocks)
+        def _():
+            kn, vn = get_dma_pair((blk_idx + 1) % 2, blk_idx + 1)
+            kn.start()
+            vn.start()
+
+        kc, vc = get_dma_pair(slot, blk_idx)
+        kc.wait()
+        vc.wait()
+
+        k_blk = k_scratch[slot].astype(jnp.float32)  # [BLK, D]
+        v_blk = v_scratch[slot].astype(jnp.float32)
+
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_pos = blk_idx * block + jax.lax.broadcasted_iota(
+            jnp.int32, (gw, block), 1
+        )
+        logits = jnp.where(k_pos < length + q_extra, logits, _NEG_INF)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    acc = jnp.zeros((gw, d), jnp.float32)
+    m0 = jnp.full((gw, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((gw, 1), jnp.float32)
+    acc, _, l_final = jax.lax.fori_loop(0, num_blocks, body, (acc, m0, l0))
+
+    o_ref[0, 0] = (acc / jnp.maximum(l_final, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attention_pallas(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    lengths: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    b, hq, w, d = q.shape
+    hkv, s = k_cache.shape[1], k_cache.shape[2]
+    group = hq // hkv
+    scale = 1.0 / math.sqrt(d)
+    block = min(_BLOCK, s)
+
+    # Queries for one kv head, flattened: [B, Hkv, G*W, D], with the row
+    # count padded to the fp32 sublane multiple (8) for clean VMEM tiling.
+    gw = group * w
+    gw_pad = ((gw + 7) // 8) * 8
+    qg = q.reshape(b, hkv, group, w, d).reshape(b, hkv, gw, d)
+    if gw_pad != gw:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gw_pad - gw), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, gw_pad, d),
+                lambda i, j, *_: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, gw_pad, d),
+            lambda i, j, *_: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            # Scratch keeps the cache dtype: blocks stream at native width
+            # and cast to fp32 on-chip (no full-cache cast in HBM).
+            pltpu.VMEM((2, block, d), k_cache.dtype),
+            pltpu.VMEM((2, block, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, block=block, width=w, group=group, scale=scale
+        ),
+        out_shape=jax.ShapeDtypeStruct(qg.shape, q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qg, k_cache, v_cache)
+    out = out[:, :, :gw, :]
+    return out.reshape(b, hkv, group, w, d).reshape(b, hq, w, d)
+
+
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    lengths: jax.Array,
+    force_reference: bool = False,
+) -> jax.Array:
+    """Dispatch: paged Pallas kernel on TPU, XLA reference elsewhere."""
+    if force_reference or jax.default_backend() != "tpu":
+        return decode_attention_reference(q, k_cache, v_cache, lengths)
+    return _decode_attention_pallas(q, k_cache, v_cache, lengths)
