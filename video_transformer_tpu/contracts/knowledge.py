@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
-from .normalize import normalize_deep_dive
+from .normalize import normalize_deep_dive, normalize_field_value, normalize_list_field
 from .render import render_markdown
 from .validators import detect_stub_output, validate_markdown_structure
 
@@ -179,12 +179,26 @@ class AnalysisResult:
                     )
                 )
 
+        # Top-level type drift is coerced like section fields are (the
+        # reference normalized only deep_dive internals, models.py:1369-1375;
+        # hardening found by fuzzing: scalar key_takeaways / non-dict
+        # glossary must not crash rendering).
+        raw_takeaways = response_data["key_takeaways"]
+        if isinstance(raw_takeaways, list):
+            key_takeaways = raw_takeaways
+        else:
+            key_takeaways = normalize_list_field(raw_takeaways)
+        raw_glossary = response_data.get("glossary", {})
+        glossary = raw_glossary if isinstance(raw_glossary, dict) else {}
+
         knowledge_doc = KnowledgeDocument(
-            title=response_data["title"],
-            one_sentence_summary=response_data["one_sentence_summary"],
-            key_takeaways=response_data["key_takeaways"],
+            title=normalize_field_value(response_data["title"]),
+            one_sentence_summary=normalize_field_value(
+                response_data["one_sentence_summary"]
+            ),
+            key_takeaways=key_takeaways,
             deep_dive=normalize_deep_dive(response_data["deep_dive"]),
-            glossary=response_data.get("glossary", {}),
+            glossary=glossary,
             visual_schemas=visual_schemas,
         )
 
