@@ -41,10 +41,21 @@ class TestRefineNote:
         assert "### 示例 2：B" not in refined
 
     def test_budget_warning_when_still_over(self):
-        # Mostly headings (untouchable by trims): warning comment appended.
-        note = "\n".join(f"## 标题 {i}\n正文 {i}" for i in range(400))
+        # Lecture note whose bulk is prose paragraphs (untouchable by the
+        # trimming cascade): warning comment appended.
+        note = lecture_note(n_bullets=3) + "\n" + "\n".join(
+            f"第 {i} 段补充说明。" for i in range(400)
+        )
         refined = refine_note(note, 60, {"min_lines": 100, "max_lines": 120})
         assert "<!-- BUDGET_EXCEEDED: actual=" in refined
+
+    def test_legacy_over_budget_rebuilds(self):
+        # Non-lecture notes over budget go through the contract rebuild.
+        note = "# 旧笔记\n\n## 📝 关键结论 (Key Takeaways)\n\n- 结论\n\n" + "\n".join(
+            f"#### {i}. 主题{i}\n**💡 原理解析**：\n解释。\n" for i in range(1, 200)
+        )
+        refined = refine_note(note, 60, {"min_lines": 100, "max_lines": 150})
+        assert "## ⭐ 知识重点" in refined
 
     def test_bullet_cap(self):
         note = lecture_note(n_bullets=500)
