@@ -1,0 +1,89 @@
+"""7b-preset scale validation without allocating anything.
+
+jax.eval_shape traces the full model abstractly: parameter counts, per-device
+HBM footprints under tensor parallelism, and cache sizes are validated
+against v5e-class budgets (16 GB/chip) — the shape math that decides whether
+the flagship preset actually serves.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_transformer_tpu.models.config import get_preset
+from video_transformer_tpu.models.lm import init_kv_cache
+from video_transformer_tpu.models.vlm import VideoLM
+from video_transformer_tpu.parallel.sharding import spec_for_path
+
+V5E_HBM_BYTES = 16 * 1024**3
+
+
+@pytest.fixture(scope="module")
+def abstract_params():
+    config = get_preset("7b")
+    model = VideoLM(config)
+
+    def init():
+        return model.init_variables(jax.random.PRNGKey(0))
+
+    return config, jax.eval_shape(init)
+
+
+def _param_bytes_per_device(params, tp: int, bytes_per_param: int) -> int:
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        names = tuple(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path
+        )
+        spec = spec_for_path(names)
+        size = int(np.prod(leaf.shape)) * bytes_per_param
+        sharded = any(axis == "model" for axis in spec if axis is not None)
+        total += size // tp if sharded else size
+    return total
+
+
+class Test7bScale:
+    def test_parameter_count_in_7b_class(self, abstract_params):
+        _, params = abstract_params
+        count = sum(
+            int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params)
+        )
+        assert 5e9 < count < 9e9, f"{count / 1e9:.2f}B params"
+
+    def test_bf16_weights_fit_v5e_at_tp8(self, abstract_params):
+        _, params = abstract_params
+        per_device = _param_bytes_per_device(params, tp=8, bytes_per_param=2)
+        # Weights must leave headroom for cache + activations.
+        assert per_device < 0.5 * V5E_HBM_BYTES, f"{per_device / 1e9:.1f} GB"
+
+    def test_bf16_weights_do_not_fit_single_chip(self, abstract_params):
+        """Documents WHY tp is required: 7b bf16 exceeds half of one chip."""
+        _, params = abstract_params
+        single = _param_bytes_per_device(params, tp=1, bytes_per_param=2)
+        assert single > 0.7 * V5E_HBM_BYTES
+
+    def test_kv_cache_budget_at_serving_shapes(self, abstract_params):
+        config, _ = abstract_params
+
+        def cache():
+            return init_kv_cache(config.decoder, 8, 8192, jnp.bfloat16)
+
+        shapes = jax.eval_shape(cache)
+        total = sum(
+            int(np.prod(l.shape)) * l.dtype.itemsize
+            for l in jax.tree_util.tree_leaves(shapes)
+        )
+        # Sharded over data(8 rows)/model: per-device slice must be modest.
+        per_device = total // 8
+        assert per_device < 0.15 * V5E_HBM_BYTES, f"{per_device / 1e9:.2f} GB"
+
+    def test_all_contractions_mxu_aligned(self, abstract_params):
+        config, params = abstract_params
+        assert config.decoder.head_dim == 128
+        assert config.decoder.vocab_size % 128 == 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            if leaf.shape and leaf.shape[-1] >= 128 and len(leaf.shape) == 2:
+                assert leaf.shape[-1] % 128 == 0 or leaf.shape[0] % 128 == 0, (
+                    path, leaf.shape,
+                )

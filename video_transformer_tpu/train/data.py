@@ -20,7 +20,75 @@ from ..models.config import VLMConfig
 from ..models.tokenizer import ByteTokenizer
 from ..ops.constrained import JsonDfa
 
-__all__ = ["sample_dfa_text", "synthetic_batch", "distillation_records"]
+__all__ = [
+    "sample_dfa_text",
+    "templated_teacher_note",
+    "synthetic_batch",
+    "distillation_records",
+]
+
+# Topic/phrase pools for templated teacher notes (readable English content
+# within the constrained-decoding ASCII alphabet).
+_TOPICS = [
+    "gradient descent", "backpropagation", "attention", "regularization",
+    "batch norm", "tokenization", "embeddings", "fine tuning",
+    "data loading", "overfitting", "learning rate", "checkpointing",
+]
+_VERBS = ["updates", "controls", "stabilizes", "improves", "bounds", "drives"]
+_NOUNS = ["the loss", "training", "convergence", "the model", "generalization"]
+
+
+def templated_teacher_note(rng: np.random.Generator) -> dict:
+    """A readable, schema-shaped synthetic teacher note.
+
+    Unlike pure DFA sampling (uniform bytes), these pairs teach the model
+    phrase-level structure, so smoke-trained checkpoints emit legible text.
+    """
+    def phrase() -> str:
+        return f"{rng.choice(_TOPICS)} {rng.choice(_VERBS)} {rng.choice(_NOUNS)}"
+
+    def qa() -> dict:
+        topic = rng.choice(_TOPICS)
+        return {"q": f"what is {topic}?", "a": f"{topic} {rng.choice(_VERBS)} {rng.choice(_NOUNS)}"}
+
+    def section(start: int) -> dict:
+        topic = str(rng.choice(_TOPICS))
+        return {
+            "topic": topic,
+            "timestamp": f"{start // 60:02d}:{start % 60:02d}",
+            "explanation": f"{topic} {rng.choice(_VERBS)} {rng.choice(_NOUNS)}. " + phrase(),
+            "example": f"for example, {phrase()}",
+            "code": f"x = step({topic.split()[0]})",
+            "common_mistakes": [f"ignoring {rng.choice(_TOPICS)}"],
+            "connections": [str(rng.choice(_TOPICS))],
+            "self_check": [qa()],
+        }
+
+    chapters = []
+    for c in range(int(rng.integers(1, 3))):
+        sections = [section(60 * c + 15 * s) for s in range(int(rng.integers(1, 3)))]
+        chapters.append(
+            {
+                "chapter_title": f"chapter on {rng.choice(_TOPICS)}",
+                "chapter_summary": phrase(),
+                "chapter_self_check": [qa()],
+                "sections": sections,
+            }
+        )
+    return {
+        "title": f"lecture on {rng.choice(_TOPICS)}",
+        "one_sentence_summary": phrase(),
+        "key_takeaways": [phrase() for _ in range(int(rng.integers(1, 4)))],
+        "deep_dive": chapters,
+        "glossary": {str(rng.choice(_TOPICS)): phrase()},
+        "visual_schemas": [
+            {
+                "type": "overview",
+                "description": f"map of {rng.choice(_TOPICS)}",
+                "schema": f"{rng.choice(_TOPICS)} -> {rng.choice(_TOPICS)} -> {rng.choice(_TOPICS)}",
+            }
+        ],
+    }
 
 
 def sample_dfa_text(
@@ -58,15 +126,24 @@ def synthetic_batch(
     batch: int,
     text_len: int,
     dfa: JsonDfa | None = None,
+    templated: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(patches [B, Nv, patch_dim] f32, tokens [B, text_len] i32)."""
+    """(patches [B, Nv, patch_dim] f32, tokens [B, text_len] i32).
+
+    templated=True (default) pairs frames with readable templated teacher
+    notes; dfa-sampling and random-byte modes remain for grammar-shape and
+    throughput testing.
+    """
     tok = ByteTokenizer(config.decoder.vocab_size)
     patches = rng.standard_normal(
         (batch, config.video_tokens, config.encoder.patch_dim), dtype=np.float32
     )
     tokens = np.full((batch, text_len), tok.PAD, dtype=np.int32)
     for i in range(batch):
-        if dfa is not None:
+        if templated:
+            text = json.dumps(templated_teacher_note(rng), ensure_ascii=False)
+            ids = tok.encode(text, add_bos=True, add_eos=True)[:text_len]
+        elif dfa is not None:
             text = sample_dfa_text(dfa, rng, max_tokens=text_len - 2)
             ids = tok.encode(text, add_bos=True, add_eos=True)[:text_len]
         else:

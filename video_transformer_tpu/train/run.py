@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--preset", default="tiny", choices=["tiny", "base", "7b"])
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--batch", type=int, default=8)
-    parser.add_argument("--text-len", type=int, default=512)
+    parser.add_argument("--text-len", type=int, default=2048)
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--accum", type=int, default=1)
     parser.add_argument("--tp", type=int, default=1, help="model-axis size")
