@@ -341,8 +341,9 @@ class TestJsonRepair:
 
 class TestSchemas:
     def test_note_dfa_size_reasonable(self):
-        dfa = note_dfa(512)
-        assert dfa.num_states < 4000  # table stays small: states * 512 * 4B
+        dfa = note_dfa(512)  # unicode grammar: ~3 extra states per free byte
+        assert dfa.num_states < 10000  # table < 21MB (states * 512 * 4B)
+        assert note_dfa(512, unicode_text=False).num_states < 4000
 
     def test_validator_and_audit_dfas_build(self):
         assert validator_dfa(512).num_states > 10

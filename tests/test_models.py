@@ -240,6 +240,39 @@ class TestConstrainedDecoding:
         parsed = json.loads(text)
         assert set(parsed) == {"alpha", "beta"}
 
+    def test_unicode_free_text_walks_are_valid_utf8(self):
+        import json
+
+        from video_transformer_tpu.train.data import sample_dfa_text
+
+        dfa = (
+            DfaBuilder(unicode_text=True)
+            .literal('{"t": ')
+            .free_string(2, 24)
+            .literal("}")
+            .finish()
+        )
+        rng = np.random.default_rng(0)
+        saw_cjk = False
+        for _ in range(20):
+            text = sample_dfa_text(dfa, rng, max_tokens=64)
+            parsed = json.loads(text)  # implies valid UTF-8 + JSON
+            assert len(parsed["t"].encode("utf-8")) <= 24
+            if any("䀀" <= ch <= "鿿" for ch in parsed["t"]):
+                saw_cjk = True
+        assert saw_cjk  # the CJK plane is actually reachable
+
+    def test_unicode_respects_byte_budget_at_boundary(self):
+        # max_len 4: a 3-byte char may start at byte 0 or 1, never at 2/3.
+        dfa = DfaBuilder(unicode_text=True).free_string(1, 4).finish()
+        # Walk the field's opening quote then two ASCII bytes; the resulting
+        # state must not allow a 3-byte lead (needs 3 remaining, has 2).
+        state = int(dfa.next_state[dfa.start, ord('"')])
+        state = int(dfa.next_state[state, ord("a")])
+        state_at_2 = int(dfa.next_state[state, ord("b")])
+        assert dfa.next_state[state_at_2, 0xE4] == -1
+        assert dfa.next_state[state_at_2, ord("c")] >= 0
+
     def test_timecode_field(self):
         import re
 

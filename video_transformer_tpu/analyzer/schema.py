@@ -60,13 +60,18 @@ def _visual_schema_item(b: DfaBuilder, s: float) -> None:
 
 
 @functools.lru_cache(maxsize=8)
-def note_dfa(vocab_size: int = 512, scale: float = 1.0) -> JsonDfa:
+def note_dfa(
+    vocab_size: int = 512, scale: float = 1.0, unicode_text: bool = True
+) -> JsonDfa:
     """Full knowledge-note schema: the single-pass analysis grammar.
 
     ``scale`` multiplies all free-field length budgets (tests use compact
     grammars so untrained-model sampling terminates within small token caps).
+    ``unicode_text`` admits well-formed CJK UTF-8 in free fields — the
+    product's notes are Chinese (reference config/prompts.yaml) — while
+    malformed byte sequences stay unreachable.
     """
-    b = DfaBuilder(ByteTokenizer(vocab_size))
+    b = DfaBuilder(ByteTokenizer(vocab_size), unicode_text=unicode_text)
     b.literal('{"title": ').free_string(*_scaled(scale, 6, 60))
     b.literal(', "one_sentence_summary": ').free_string(*_scaled(scale, 10, 120))
     b.literal(', "key_takeaways": ').string_list(*_scaled(scale, 5, 80))

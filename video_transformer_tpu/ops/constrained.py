@@ -34,6 +34,12 @@ __all__ = ["JsonDfa", "DfaBuilder", "constrain_logits", "advance_state"]
 
 _FREE_BYTES = tuple(b for b in range(0x20, 0x7F) if b not in (0x22, 0x5C))
 _DIGIT_BYTES = tuple(range(0x30, 0x3A))
+# UTF-8 extension for free text: 2-byte leads (Latin/Greek/Cyrillic) and the
+# 3-byte leads covering the CJK Unified Ideographs plane (0xE4-0xE9 -> all
+# continuations land in U+4000-U+9FFF; always valid scalar values).
+_LEAD2_BYTES = tuple(range(0xC2, 0xE0))
+_LEAD3_BYTES = tuple(range(0xE4, 0xEA))
+_CONT_BYTES = tuple(range(0x80, 0xC0))
 
 
 @dataclass(frozen=True)
@@ -108,9 +114,14 @@ class DfaBuilder:
     returns self for chaining.
     """
 
-    def __init__(self, tokenizer: ByteTokenizer | None = None):
+    def __init__(
+        self,
+        tokenizer: ByteTokenizer | None = None,
+        unicode_text: bool = False,
+    ):
         self.tokenizer = tokenizer or ByteTokenizer()
         self.vocab = self.tokenizer.vocab_size
+        self.unicode_text = unicode_text
         self._rows: list[np.ndarray] = []
         self.state = self._new_state()
 
@@ -133,14 +144,41 @@ class DfaBuilder:
             self.state = nxt
         return self
 
-    def free_string(self, min_len: int = 1, max_len: int = 64) -> "DfaBuilder":
-        """Quoted free-text field '"..."' with content length in [min, max]."""
+    def free_string(
+        self, min_len: int = 1, max_len: int = 64, unicode: bool | None = None
+    ) -> "DfaBuilder":
+        """Quoted free-text field '"..."' with content length in [min, max].
+
+        Lengths are in BYTES. With ``unicode=True`` the field also admits
+        well-formed 2-byte UTF-8 and 3-byte CJK sequences (lead bytes only
+        where the full sequence fits the remaining budget), so trained
+        models can emit Chinese while malformed byte sequences stay
+        impossible.
+        """
+        if unicode is None:
+            unicode = self.unicode_text
         self.literal('"')
         exit_state = self._new_state()
         positions = [self.state] + [self._new_state() for _ in range(max_len)]
         for i in range(max_len):
             for byte in _FREE_BYTES:
                 self._link(positions[i], byte, positions[i + 1])
+        if unicode:
+            for i in range(max_len):
+                if i + 2 <= max_len:
+                    cont = self._new_state()
+                    for byte in _LEAD2_BYTES:
+                        self._link(positions[i], byte, cont)
+                    for byte in _CONT_BYTES:
+                        self._link(cont, byte, positions[i + 2])
+                if i + 3 <= max_len:
+                    cont_a = self._new_state()
+                    cont_b = self._new_state()
+                    for byte in _LEAD3_BYTES:
+                        self._link(positions[i], byte, cont_a)
+                    for byte in _CONT_BYTES:
+                        self._link(cont_a, byte, cont_b)
+                        self._link(cont_b, byte, positions[i + 3])
         for i in range(min_len, max_len + 1):
             self._link(positions[i], 0x22, exit_state)
         self.state = exit_state
