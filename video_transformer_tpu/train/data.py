@@ -27,40 +27,68 @@ __all__ = [
     "distillation_records",
 ]
 
-# Topic/phrase pools for templated teacher notes (readable English content
-# within the constrained-decoding ASCII alphabet).
+# Topic/phrase pools for templated teacher notes. Chinese pools match the
+# product's output language (the unicode grammar admits CJK); the English
+# pools remain for ASCII-only grammars.
 _TOPICS = [
+    "梯度下降", "反向传播", "注意力机制", "正则化", "批归一化",
+    "分词", "词向量", "微调", "数据加载", "过拟合", "学习率", "模型保存",
+]
+_VERBS = ["更新", "控制", "稳定", "改进", "约束", "驱动"]
+_NOUNS = ["损失函数", "训练过程", "收敛速度", "模型参数", "泛化能力"]
+_TOPICS_ASCII = [
     "gradient descent", "backpropagation", "attention", "regularization",
     "batch norm", "tokenization", "embeddings", "fine tuning",
     "data loading", "overfitting", "learning rate", "checkpointing",
 ]
-_VERBS = ["updates", "controls", "stabilizes", "improves", "bounds", "drives"]
-_NOUNS = ["the loss", "training", "convergence", "the model", "generalization"]
 
 
-def templated_teacher_note(rng: np.random.Generator) -> dict:
+def templated_teacher_note(
+    rng: np.random.Generator, language: str = "zh"
+) -> dict:
     """A readable, schema-shaped synthetic teacher note.
 
     Unlike pure DFA sampling (uniform bytes), these pairs teach the model
     phrase-level structure, so smoke-trained checkpoints emit legible text.
+    ``language="zh"`` (default) matches the product's Chinese notes;
+    ``"en"`` targets ASCII-only grammars.
     """
-    def phrase() -> str:
-        return f"{rng.choice(_TOPICS)} {rng.choice(_VERBS)} {rng.choice(_NOUNS)}"
+    if language == "zh":
+        topics, verbs, nouns = _TOPICS, _VERBS, _NOUNS
+
+        def phrase() -> str:
+            return f"{rng.choice(topics)}{rng.choice(verbs)}{rng.choice(nouns)}"
+
+        def question(topic: str) -> str:
+            return f"什么是{topic}"
+
+    else:
+        topics = _TOPICS_ASCII
+        verbs = ["updates", "controls", "stabilizes", "improves", "bounds"]
+        nouns = ["the loss", "training", "convergence", "the model"]
+
+        def phrase() -> str:
+            return f"{rng.choice(topics)} {rng.choice(verbs)} {rng.choice(nouns)}"
+
+        def question(topic: str) -> str:
+            return f"what is {topic}?"
 
     def qa() -> dict:
-        topic = rng.choice(_TOPICS)
-        return {"q": f"what is {topic}?", "a": f"{topic} {rng.choice(_VERBS)} {rng.choice(_NOUNS)}"}
+        topic = str(rng.choice(topics))
+        return {"q": question(topic), "a": f"{topic}{rng.choice(verbs)}{rng.choice(nouns)}"
+                if language == "zh" else f"{topic} {rng.choice(verbs)} {rng.choice(nouns)}"}
 
     def section(start: int) -> dict:
-        topic = str(rng.choice(_TOPICS))
+        topic = str(rng.choice(topics))
         return {
             "topic": topic,
             "timestamp": f"{start // 60:02d}:{start % 60:02d}",
-            "explanation": f"{topic} {rng.choice(_VERBS)} {rng.choice(_NOUNS)}. " + phrase(),
-            "example": f"for example, {phrase()}",
-            "code": f"x = step({topic.split()[0]})",
-            "common_mistakes": [f"ignoring {rng.choice(_TOPICS)}"],
-            "connections": [str(rng.choice(_TOPICS))],
+            "explanation": f"{phrase()}. {phrase()}",
+            "example": f"例如 {phrase()}" if language == "zh" else f"e.g. {phrase()}",
+            "code": "x = train_step(x)",
+            "common_mistakes": [f"忽略{rng.choice(topics)}" if language == "zh"
+                                else f"ignoring {rng.choice(topics)}"],
+            "connections": [str(rng.choice(topics))],
             "self_check": [qa()],
         }
 
@@ -69,23 +97,25 @@ def templated_teacher_note(rng: np.random.Generator) -> dict:
         sections = [section(60 * c + 15 * s) for s in range(int(rng.integers(1, 3)))]
         chapters.append(
             {
-                "chapter_title": f"chapter on {rng.choice(_TOPICS)}",
+                "chapter_title": str(rng.choice(topics)),
                 "chapter_summary": phrase(),
                 "chapter_self_check": [qa()],
                 "sections": sections,
             }
         )
     return {
-        "title": f"lecture on {rng.choice(_TOPICS)}",
+        "title": f"{rng.choice(topics)}精讲" if language == "zh"
+        else f"lecture on {rng.choice(topics)}",
         "one_sentence_summary": phrase(),
         "key_takeaways": [phrase() for _ in range(int(rng.integers(1, 4)))],
         "deep_dive": chapters,
-        "glossary": {str(rng.choice(_TOPICS)): phrase()},
+        "glossary": {str(rng.choice(topics)): phrase()},
         "visual_schemas": [
             {
                 "type": "overview",
-                "description": f"map of {rng.choice(_TOPICS)}",
-                "schema": f"{rng.choice(_TOPICS)} -> {rng.choice(_TOPICS)} -> {rng.choice(_TOPICS)}",
+                "description": f"{rng.choice(topics)}总览" if language == "zh"
+                else f"map of {rng.choice(topics)}",
+                "schema": f"{rng.choice(topics)} -> {rng.choice(topics)} -> {rng.choice(topics)}",
             }
         ],
     }
