@@ -102,8 +102,18 @@ class ContentAnalyzer:
             )
             checkpoint_dir = self.engine_config.get("checkpoint_dir")
             if checkpoint_dir:
-                self._engine.restore(checkpoint_dir)
-                self.logger.info(f"event=engine_restored checkpoint={checkpoint_dir}")
+                try:
+                    self._engine.restore(checkpoint_dir)
+                    self.logger.info(
+                        f"event=engine_restored checkpoint={checkpoint_dir}"
+                    )
+                except (FileNotFoundError, ValueError) as exc:
+                    # Missing/incompatible checkpoint: keep random init —
+                    # structure stays valid either way (constrained decoding).
+                    self.logger.warning(
+                        f"event=engine_restore_failed checkpoint={checkpoint_dir} "
+                        f"error={exc}"
+                    )
         return self._engine
 
     # -- public API ----------------------------------------------------------
