@@ -157,29 +157,43 @@ def synthetic_batch(
     text_len: int,
     dfa: JsonDfa | None = None,
     templated: bool = True,
+    prompt: str | None = None,
+    prompt_len: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(patches [B, Nv, patch_dim] f32, tokens [B, text_len] i32).
 
     templated=True (default) pairs frames with readable templated teacher
     notes; dfa-sampling and random-byte modes remain for grammar-shape and
     throughput testing.
+
+    When ``prompt`` is given, every sequence starts with the SAME fixed-width
+    prompt block the serving engine prefills (BOS + prompt, PAD-padded to
+    ``prompt_len``) so train and serve token positions line up exactly;
+    callers mask the prompt region out of the loss.
     """
     tok = ByteTokenizer(config.decoder.vocab_size)
     patches = rng.standard_normal(
         (batch, config.video_tokens, config.encoder.patch_dim), dtype=np.float32
     )
     tokens = np.full((batch, text_len), tok.PAD, dtype=np.int32)
+    prefix: list[int] = []
+    if prompt is not None and prompt_len > 0:
+        prefix = list(tok.encode_array(prompt, prompt_len, add_bos=True))
+    body_len = text_len - len(prefix)
     for i in range(batch):
         if templated:
             text = json.dumps(templated_teacher_note(rng), ensure_ascii=False)
-            ids = tok.encode(text, add_bos=True, add_eos=True)[:text_len]
+            ids = tok.encode(text, add_eos=True)[:body_len]
         elif dfa is not None:
-            text = sample_dfa_text(dfa, rng, max_tokens=text_len - 2)
-            ids = tok.encode(text, add_bos=True, add_eos=True)[:text_len]
+            text = sample_dfa_text(dfa, rng, max_tokens=body_len - 2)
+            ids = tok.encode(text, add_eos=True)[:body_len]
         else:
-            length = int(rng.integers(8, text_len))
-            ids = [tok.BOS] + list(rng.integers(32, 127, size=length - 2)) + [tok.EOS]
-        tokens[i, : len(ids)] = ids
+            length = int(rng.integers(8, body_len))
+            ids = list(rng.integers(32, 127, size=length - 1)) + [tok.EOS]
+        if not prefix:
+            ids = [tok.BOS] + ids[: body_len - 1]
+        row = prefix + ids
+        tokens[i, : len(row)] = row
     return patches, tokens
 
 

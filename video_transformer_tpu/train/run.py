@@ -30,7 +30,8 @@ from .trainer import TrainConfig, Trainer
 __all__ = ["main"]
 
 
-def _staged_batches(data_dir, config, batch, text_len, logger):
+def _staged_batches(data_dir, config, batch, text_len, logger, prompt=None,
+                    prompt_len=0):
     """Cycle over staged (video, note) pairs, yielding device-ready batches."""
     import jax.numpy as jnp
     import json
@@ -42,6 +43,11 @@ def _staged_batches(data_dir, config, batch, text_len, logger):
     if not records:
         raise SystemExit(f"no (video, note) pairs found under {data_dir}")
     logger.info(f"staged records: {len(records)}")
+    prefix = (
+        list(tok.encode_array(prompt, prompt_len, add_bos=True))
+        if prompt and prompt_len > 0
+        else []
+    )
     cursor = 0
     while True:
         patches_list, tokens_list = [], []
@@ -54,14 +60,23 @@ def _staged_batches(data_dir, config, batch, text_len, logger):
             )[0]
             patches_list.append(np.asarray(patches))
             text = json.dumps(note, ensure_ascii=False)
-            tokens_list.append(tok.encode_array(text, text_len, add_bos=True))
+            row = np.full((text_len,), tok.PAD, dtype=np.int32)
+            body = tok.encode(text, add_eos=True)[: text_len - len(prefix)]
+            if not prefix:
+                body = [tok.BOS] + body[: text_len - 1]
+            ids = prefix + list(body)
+            row[: len(ids)] = ids
+            tokens_list.append(row)
         yield np.stack(patches_list), np.stack(tokens_list)
 
 
-def _synthetic_batches(config, batch, text_len, dfa):
+def _synthetic_batches(config, batch, text_len, dfa, prompt, prompt_len):
     rng = np.random.default_rng(0)
     while True:
-        yield synthetic_batch(rng, config, batch, text_len, dfa=dfa)
+        yield synthetic_batch(
+            rng, config, batch, text_len, dfa=dfa,
+            prompt=prompt, prompt_len=prompt_len,
+        )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -75,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--tp", type=int, default=1, help="model-axis size")
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--data", help="staging dir of (video, note) pairs")
+    parser.add_argument(
+        "--prompt-len", type=int, default=256,
+        help="serving prompt block width prepended to each sequence "
+             "(masked from the loss; 0 disables)",
+    )
     parser.add_argument("--out", default="./data/checkpoints")
     parser.add_argument("--checkpoint-every", type=int, default=500)
     parser.add_argument("--log-dir", default="./data/output/logs")
@@ -98,15 +118,30 @@ def main(argv: list[str] | None = None) -> int:
             warmup_steps=max(args.steps // 20, 1),
             accum_steps=args.accum,
             remat=args.remat,
+            prompt_len=args.prompt_len,
         ),
     )
 
+    # Train with the SAME prompt block the analyzer serves with, so token
+    # positions match between distillation and inference.
+    from ..analyzer.prompts import render_prompt
+
+    prompt = (
+        render_prompt("analysis", {"duration_label": "00:04:00"})
+        if args.prompt_len > 0
+        else None
+    )
+
     if args.data:
-        batches = _staged_batches(args.data, config, args.batch, args.text_len, logger)
+        batches = _staged_batches(
+            args.data, config, args.batch, args.text_len, logger,
+            prompt=prompt, prompt_len=args.prompt_len,
+        )
     else:
         logger.info("no --data given: training on schema-valid synthetic pairs")
         batches = _synthetic_batches(
-            config, args.batch, args.text_len, note_dfa(config.decoder.vocab_size)
+            config, args.batch, args.text_len,
+            note_dfa(config.decoder.vocab_size), prompt, args.prompt_len,
         )
 
     start = time.perf_counter()

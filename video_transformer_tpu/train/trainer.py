@@ -41,6 +41,9 @@ class TrainConfig:
     (effective batch = device batch * accum_steps)."""
     remat: bool = False
     """Rematerialize decoder blocks (HBM for FLOPs; base/7b presets)."""
+    prompt_len: int = 0
+    """Width of the serving prompt block at the start of each sequence
+    (masked out of the loss; aligns train positions with inference)."""
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -71,14 +74,23 @@ def distillation_loss(
     patches: jax.Array,  # [B, Nv, patch_dim]
     tokens: jax.Array,  # [B, St] teacher text (BOS ... EOS PAD*)
     pad_id: int,
+    prompt_len: int = 0,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """Next-token CE on text positions; video tokens condition only."""
+    """Next-token CE on text positions; video tokens condition only.
+
+    ``prompt_len`` masks the serving prompt block (positions 0..prompt_len)
+    out of the loss so the model learns to CONTINUE the prompt, never to
+    reproduce it — matching the inference layout exactly.
+    """
     video_tokens = model.config.video_tokens
     logits = model.apply(params, patches, tokens)  # [B, Nv+St, V]
     # Position Nv+k-1 predicts text token k (inputs are [video, text]).
     text_logits = logits[:, video_tokens - 1 : -1, :]  # predicts tokens[:, 0:St]
     targets = tokens
     mask = (targets != pad_id).astype(jnp.float32)
+    if prompt_len > 0:
+        positions = jnp.arange(targets.shape[1])[None, :]
+        mask = mask * (positions >= prompt_len).astype(jnp.float32)
     log_probs = jax.nn.log_softmax(text_logits.astype(jnp.float32), axis=-1)
     token_ll = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
     denom = jnp.maximum(mask.sum(), 1.0)
@@ -93,12 +105,15 @@ def make_train_step(
     model: VideoLM,
     optimizer: optax.GradientTransformation,
     pad_id: int = ByteTokenizer.PAD,
+    prompt_len: int = 0,
 ):
     """Build the (jittable) train step: (params, opt_state, batch) -> updated."""
 
     def train_step(params, opt_state, patches, tokens):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: distillation_loss(model, p, patches, tokens, pad_id),
+            lambda p: distillation_loss(
+                model, p, patches, tokens, pad_id, prompt_len
+            ),
             has_aux=True,
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -134,7 +149,10 @@ class Trainer:
 
         data_sharding = NamedSharding(mesh, P(DATA_AXIS))
         self._step = jax.jit(
-            make_train_step(self.model, self.optimizer),
+            make_train_step(
+                self.model, self.optimizer,
+                prompt_len=self.train_config.prompt_len,
+            ),
             in_shardings=(sharding, param_shardings(mesh, opt_state),
                           data_sharding, data_sharding),
             out_shardings=(sharding, param_shardings(mesh, opt_state), None),
