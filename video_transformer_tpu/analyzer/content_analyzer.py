@@ -78,6 +78,19 @@ class ContentAnalyzer:
         self._engine = engine
         self._extra_llm_calls_used = 0
 
+        # Pacing + transient-failure retry around engine calls. Local TPU
+        # inference defaults to no pacing (min_call_interval 0); the knobs
+        # exist for shared-device deployments and cloud seams
+        # (reference gemini_throttle.py semantics).
+        from ..utils.pacer import InferencePacer
+
+        self.pacer = InferencePacer(
+            min_interval=float(self.analyzer_config.get("min_call_interval", 0) or 0),
+            max_retries=int(self.analyzer_config.get("retry_times", 0) or 0),
+            max_total_wait=float(self.analyzer_config.get("max_retry_wait", 600.0)),
+            logger=self.logger,
+        )
+
         system = config.get("system", {})
         self.temp_dir = Path(system.get("temp_dir", "./data/temp"))
 
@@ -271,7 +284,7 @@ class ContentAnalyzer:
         """
         for _ in range(frames.shape[0]):
             self.api_counter.increment("local")
-        texts = self.engine.generate(frames, prompts)
+        texts = self.pacer.call_with_retry(self.engine.generate, frames, prompts)
 
         results: list[dict[str, Any] | None] = [None] * len(prompts)
         failed: list[int] = []

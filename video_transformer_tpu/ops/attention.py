@@ -98,14 +98,17 @@ def _flash_kernel(
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-def _pick_block(s: int, preferred: int) -> int:
-    """Largest power-of-two block <= preferred that divides s."""
+def _pick_block(s: int, preferred: int) -> int | None:
+    """Largest power-of-two block <= preferred that divides s exactly.
+
+    None when no power of two >= 8 divides s — the dispatcher must fall back
+    to the XLA reference rather than silently dropping the tail block."""
     block = preferred
-    while block > 8:
+    while block >= 8:
         if s % block == 0:
             return block
         block //= 2
-    return max(s, 1) if s <= 8 else 8
+    return s if 0 < s < 8 else None
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "interpret"))
@@ -124,6 +127,7 @@ def _flash_attention_pallas(
 
     block_q = _pick_block(s_q, 512)
     block_k = _pick_block(s_k, 512)
+    assert block_q is not None and block_k is not None  # dispatcher-checked
 
     grid = (b, hq, s_q // block_q)
 
@@ -203,10 +207,15 @@ def flash_attention(
     """Dispatch: Pallas kernel on TPU, XLA reference elsewhere.
 
     Differentiable everywhere: the TPU path carries a custom VJP (Pallas
-    forward, recomputed-reference backward). Sequence lengths must be
-    multiples of the chosen block size on the Pallas path; shapes in this
-    framework are static and MXU-aligned by design.
+    forward, recomputed-reference backward). Sequence lengths without a
+    power-of-two divisor fall back to the XLA reference rather than dropping
+    a partial tail block.
     """
-    if force_reference or jax.default_backend() != "tpu":
+    if (
+        force_reference
+        or jax.default_backend() != "tpu"
+        or _pick_block(q.shape[2], 512) is None
+        or _pick_block(k.shape[2], 512) is None
+    ):
         return mha_reference(q, k, v, causal=causal)
     return _flash_attention_diff(q, k, v, causal)

@@ -155,7 +155,8 @@ def _decode_attention_pallas(
     hkv, s = k_cache.shape[1], k_cache.shape[2]
     group = hq // hkv
     scale = 1.0 / math.sqrt(d)
-    block = min(_BLOCK, s)
+    block = _pick_cache_block(s)
+    assert block is not None  # dispatcher guarantees divisibility
 
     # Queries for one kv head, flattened: [B, Hkv, G*W, D], with the row
     # count padded to the fp32 sublane multiple (8) for clean VMEM tiling.
@@ -206,6 +207,18 @@ def _decode_attention_pallas(
     return out.reshape(b, hkv, group, w, d).reshape(b, hq, w, d)
 
 
+def _pick_cache_block(s: int) -> int | None:
+    """Largest block in {512, 256, 128} that divides the cache length.
+
+    The engine rounds cache_len to a 128 multiple, so 128 always divides in
+    practice; None signals the dispatcher to fall back (the block-count loop
+    would otherwise DMA past the end of the cache on the last block)."""
+    for block in (512, 256, 128):
+        if s % block == 0:
+            return block
+    return None
+
+
 def decode_attention(
     q: jax.Array,
     k_cache: jax.Array,
@@ -213,7 +226,12 @@ def decode_attention(
     lengths: jax.Array,
     force_reference: bool = False,
 ) -> jax.Array:
-    """Dispatch: paged Pallas kernel on TPU, XLA reference elsewhere."""
-    if force_reference or jax.default_backend() != "tpu":
+    """Dispatch: paged Pallas kernel on TPU, XLA reference elsewhere or for
+    cache lengths not divisible by a supported block size."""
+    if (
+        force_reference
+        or jax.default_backend() != "tpu"
+        or _pick_cache_block(k_cache.shape[2]) is None
+    ):
         return decode_attention_reference(q, k_cache, v_cache, lengths)
     return _decode_attention_pallas(q, k_cache, v_cache, lengths)

@@ -42,7 +42,14 @@ class QualityAuditor:
         self.logger = logger or logging.getLogger("video_transformer")
         auditor_config = config.get("auditor", {})
         self.threshold = float(auditor_config.get("threshold", 75.0))
+        self.use_engine = bool(auditor_config.get("use_engine", False))
         self._engine = engine
+
+    def attach_engine(self, engine: Any) -> None:
+        """Late-bind the shared inference engine; only consulted when
+        auditor.use_engine is set (image forensics are the default judge)."""
+        if self.use_engine and engine is not None:
+            self._engine = engine
 
     def audit_image(
         self, image_path: str | Path, knowledge_doc_content: str

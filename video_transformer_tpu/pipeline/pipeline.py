@@ -25,7 +25,6 @@ from typing import Any
 from ..analyzer.content_analyzer import ContentAnalyzer
 from ..contracts import BatchResult, ProcessResult
 from ..utils.counter import APICounter, APILimitExceeded
-from ..utils.pacer import InferencePacer
 from ..utils.progress import ProgressTracker
 from ..utils.quality import apply_quality_gates
 from ..utils.refiner import refine_note
@@ -73,13 +72,6 @@ class VideoPipeline:
         self.validation_threshold = float(validator_config.get("threshold", 75.0))
         self.max_validation_rounds = int(validator_config.get("max_rounds", 3))
 
-        analyzer_config = config.get("analyzer", {})
-        self.pacer = InferencePacer(
-            min_interval=float(analyzer_config.get("min_call_interval", 0) or 0),
-            max_retries=int(analyzer_config.get("retry_times", 10)),
-            max_total_wait=float(analyzer_config.get("max_retry_wait", 600.0)),
-            logger=logger,
-        )
         self.logger.info("VideoPipeline 初始化完成")
 
     # -- per-video flow --------------------------------------------------------
@@ -171,6 +163,14 @@ class VideoPipeline:
 
         Shared by the sequential per-video flow and the sharded batch flow.
         """
+        # The analyzer's engine exists by now (analysis ran); components
+        # that opted into model scoring (use_engine config) share it.
+        shared_engine = getattr(analyzer, "_engine", None)
+        if hasattr(self.validator, "attach_engine"):
+            self.validator.attach_engine(shared_engine)
+        if hasattr(auditor, "attach_engine"):
+            auditor.attach_engine(shared_engine)
+
         self.logger.info("[3/5] 校验知识蓝图 Visual Schema...")
         schemas = analysis_result.knowledge_doc.visual_schemas
         first_schema = schemas[0].schema if schemas else ""
@@ -353,7 +353,7 @@ class VideoPipeline:
             return result
 
         # Phase 2: one sharded analysis pass over everything pending.
-        api_calls_start = self.api_counter.current_count
+        analysis_calls_start = self.api_counter.current_count
         try:
             analyses = analyzer.analyze_videos([p for _, _, p in pending])
         except Exception as exc:
@@ -369,12 +369,17 @@ class VideoPipeline:
                     result.failed += 1
             return result
 
-        # Phase 3: per-video validation / render / audit / save.
+        # Phase 3: per-video validation / render / audit / save. The shared
+        # analysis cost is attributed evenly; finalize calls per video.
+        analysis_share = (
+            self.api_counter.current_count - analysis_calls_start
+        ) // max(len(pending), 1)
         for (url, video_id, _), analysis in zip(pending, analyses):
             try:
+                finalize_start = self.api_counter.current_count
                 video_result = self._finalize_video(
                     video_id, url, analysis, analyzer, auditor,
-                    start_times[url], api_calls_start,
+                    start_times[url], finalize_start - analysis_share,
                 )
             except Exception as exc:
                 self.logger.error(

@@ -62,7 +62,12 @@ class WatchService:
         self._stop.set()
 
     def scan(self) -> list[Path]:
-        """Unprocessed video files, oldest first (stable processing order)."""
+        """Unprocessed video files, oldest first (stable processing order).
+
+        Failed videos are skipped too — a crashing input must not be retried
+        every poll (it would drain the shared call budget); the operator
+        clears it via ProgressTracker.reset() or by removing the file.
+        """
         if not self.input_dir.exists():
             return []
         candidates = [
@@ -71,7 +76,12 @@ class WatchService:
             if p.is_file() and p.suffix.lower() in VIDEO_SUFFIXES
         ]
         candidates.sort(key=lambda p: (p.stat().st_mtime, p.name))
-        return [p for p in candidates if not self.tracker.is_processed(p.stem)]
+        return [
+            p
+            for p in candidates
+            if not self.tracker.is_processed(p.stem)
+            and not self.tracker.is_failed(p.stem)
+        ]
 
     def process_pending(self) -> list[ProcessResult]:
         results: list[ProcessResult] = []
@@ -82,9 +92,10 @@ class WatchService:
             result = self.pipeline.process_single_video(str(path))
             results.append(result)
             if not result.success:
-                # Failures are recorded (tracker.mark_failed in the pipeline)
-                # but not retried within the same scan; the next scan picks
-                # them up again only if the operator resets progress.
+                # Record the failure so later scans skip this file (see
+                # scan()); the pipeline's own tracker.mark_failed only runs
+                # for some failure classes, so mark here unconditionally.
+                self.tracker.mark_failed(result.video_id, result.error_message or "")
                 self.logger.warning(
                     f"event=service_video_failed video={path.name} "
                     f"error={result.error_message}"

@@ -51,7 +51,15 @@ class ConsistencyValidator:
         self.logger = logger or logging.getLogger("video_transformer")
         validator_config = config.get("validator", {})
         self.threshold = float(validator_config.get("threshold", 75))
+        self.use_engine = bool(validator_config.get("use_engine", False))
         self._engine = engine
+
+    def attach_engine(self, engine: Any) -> None:
+        """Late-bind the shared inference engine (built lazily by the
+        analyzer); only consulted when validator.use_engine is set —
+        the deterministic structural scorer outranks an unjudged model."""
+        if self.use_engine and engine is not None:
+            self._engine = engine
 
     def validate(
         self, mind_map_structure: str, knowledge_doc_content: str

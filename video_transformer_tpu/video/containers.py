@@ -74,6 +74,23 @@ def _read_npzv(path: Path) -> tuple[np.ndarray, float]:
     return frames, fps
 
 
+def _npzv_meta(path: Path) -> tuple[tuple[int, ...], float]:
+    """Read (frames shape, fps) from the archive WITHOUT materializing the
+    frames array — probing must stay O(header) on the decode hot path."""
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        with zf.open("frames.npy") as f:
+            version = np.lib.format.read_magic(f)
+            if version >= (2, 0):
+                shape, _, _ = np.lib.format.read_array_header_2_0(f)
+            else:
+                shape, _, _ = np.lib.format.read_array_header_1_0(f)
+        with zf.open("fps.npy") as f:
+            fps = float(np.lib.format.read_array(f))
+    return shape, fps
+
+
 # ---------------------------------------------------------------------------
 # Y4M (YUV4MPEG2, 4:2:0)
 # ---------------------------------------------------------------------------
@@ -271,8 +288,7 @@ def probe_clip(path: str | Path) -> ClipMeta | None:
     suffix = p.suffix.lower()
     try:
         if suffix in _NPZ_SUFFIXES:
-            frames, fps = _read_npzv(p)
-            t, h, w, _ = frames.shape
+            (t, h, w, _), fps = _npzv_meta(p)
             duration = t / fps if fps > 0 else 0.0
             return ClipMeta(duration, fps, t, w, h, "npzv")
         if suffix == _Y4M_SUFFIX:
