@@ -178,6 +178,10 @@ def synthetic_batch(
     tokens = np.full((batch, text_len), tok.PAD, dtype=np.int32)
     prefix: list[int] = []
     if prompt is not None and prompt_len > 0:
+        if prompt_len >= text_len:
+            raise ValueError(
+                f"prompt_len {prompt_len} leaves no room in text_len {text_len}"
+            )
         prefix = list(tok.encode_array(prompt, prompt_len, add_bos=True))
     body_len = text_len - len(prefix)
     for i in range(batch):

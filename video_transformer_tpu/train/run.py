@@ -101,6 +101,11 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     logger = setup_logging(args.log_dir, log_name="train.log")
+    if args.prompt_len >= args.text_len:
+        args.prompt_len = args.text_len // 2
+        logger.info(
+            f"prompt_len clamped to {args.prompt_len} (text_len {args.text_len})"
+        )
     config = get_preset(args.preset)
     mesh = build_mesh({"model": args.tp})
     data_axis = mesh.shape["data"]
