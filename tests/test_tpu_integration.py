@@ -49,6 +49,30 @@ class TestTPUEndToEnd:
         assert {"title", "deep_dive", "glossary"} <= parsed.keys()
         assert engine.stats.tokens_per_second > 100
 
+    def test_paged_decode_kernel_at_engine_bucket_shape(self):
+        """128-block path (cache_len not divisible by 512) on hardware."""
+        import jax.numpy as jnp
+
+        from video_transformer_tpu.ops.decode_attention import (
+            _decode_attention_pallas,
+            _pick_cache_block,
+            decode_attention_reference,
+        )
+
+        s = 3456  # tiny preset + analyzer defaults round to this bucket
+        assert _pick_cache_block(s) == 128
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(keys[0], (2, 2, 25, 128), jnp.bfloat16)
+        k = jax.random.normal(keys[1], (2, 1, s, 128), jnp.bfloat16)
+        v = jax.random.normal(keys[2], (2, 1, s, 128), jnp.bfloat16)
+        lengths = jnp.array([3400, 77], jnp.int32)
+        out = _decode_attention_pallas(q, k, v, lengths)
+        ref = decode_attention_reference(q, k, v, lengths)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
+
     def test_flash_attention_matches_reference_on_chip(self):
         import jax.numpy as jnp
 
