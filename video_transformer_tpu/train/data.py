@@ -157,7 +157,7 @@ def synthetic_batch(
     text_len: int,
     dfa: JsonDfa | None = None,
     templated: bool = True,
-    prompt: str | None = None,
+    prompt=None,  # str | Callable[[np.random.Generator], str] | None
     prompt_len: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(patches [B, Nv, patch_dim] f32, tokens [B, text_len] i32).
@@ -166,25 +166,29 @@ def synthetic_batch(
     notes; dfa-sampling and random-byte modes remain for grammar-shape and
     throughput testing.
 
-    When ``prompt`` is given, every sequence starts with the SAME fixed-width
-    prompt block the serving engine prefills (BOS + prompt, PAD-padded to
-    ``prompt_len``) so train and serve token positions line up exactly;
-    callers mask the prompt region out of the loss.
+    When ``prompt`` is given (a string or a callable(rng) -> string), every
+    sequence starts with the fixed-width prompt block the serving engine
+    prefills (BOS + prompt, PAD-padded to ``prompt_len``) so train and serve
+    token positions line up exactly; callers mask the prompt region out of
+    the loss.
     """
     tok = ByteTokenizer(config.decoder.vocab_size)
     patches = rng.standard_normal(
         (batch, config.video_tokens, config.encoder.patch_dim), dtype=np.float32
     )
     tokens = np.full((batch, text_len), tok.PAD, dtype=np.int32)
-    prefix: list[int] = []
-    if prompt is not None and prompt_len > 0:
-        if prompt_len >= text_len:
-            raise ValueError(
-                f"prompt_len {prompt_len} leaves no room in text_len {text_len}"
-            )
-        prefix = list(tok.encode_array(prompt, prompt_len, add_bos=True))
-    body_len = text_len - len(prefix)
+    if prompt is not None and prompt_len >= text_len:
+        raise ValueError(
+            f"prompt_len {prompt_len} leaves no room in text_len {text_len}"
+        )
+    body_len = text_len - (prompt_len if prompt is not None else 0)
     for i in range(batch):
+        prefix: list[int] = []
+        if prompt is not None and prompt_len > 0:
+            # prompt may be a str or a callable(rng) -> str (e.g. randomized
+            # duration labels so every serving prompt is in-distribution).
+            text_prompt = prompt(rng) if callable(prompt) else prompt
+            prefix = list(tok.encode_array(text_prompt, prompt_len, add_bos=True))
         if templated:
             text = json.dumps(templated_teacher_note(rng), ensure_ascii=False)
             ids = tok.encode(text, add_eos=True)[:body_len]

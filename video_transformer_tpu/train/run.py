@@ -127,15 +127,30 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
 
-    # Train with the SAME prompt block the analyzer serves with, so token
-    # positions match between distillation and inference.
+    # Train with the SAME prompt blocks the analyzer serves with (analysis +
+    # segment prompts, randomized duration labels) so every serving prompt
+    # stays in-distribution.
     from ..analyzer.prompts import render_prompt
+    from ..contracts.timefmt import format_seconds
 
-    prompt = (
-        render_prompt("analysis", {"duration_label": "00:04:00"})
-        if args.prompt_len > 0
-        else None
-    )
+    def sample_prompt(rng: np.random.Generator) -> str:
+        if rng.random() < 0.7:
+            return render_prompt(
+                "analysis",
+                {"duration_label": format_seconds(float(rng.integers(30, 7200)))},
+            )
+        start = float(rng.integers(0, 3600))
+        return render_prompt(
+            "segment_analysis",
+            {
+                "segment_index": int(rng.integers(1, 9)),
+                "segment_total": int(rng.integers(2, 10)),
+                "start_label": format_seconds(start),
+                "end_label": format_seconds(start + float(rng.integers(60, 600))),
+            },
+        )
+
+    prompt = sample_prompt if args.prompt_len > 0 else None
 
     if args.data:
         batches = _staged_batches(
