@@ -478,6 +478,26 @@ class VideoPipeline:
         doc_path.write_text(document_content, encoding="utf-8")
         self.logger.info(f"文档已保存: {doc_path}")
 
+        # Post-save lint (offline QA tool run inline): failures never block
+        # the save, but they are visible in logs for operators.
+        try:
+            from ..tools.validate_note import validate_note
+
+            profile = str(system.get("note_profile", "default"))
+            lint = validate_note(document_content, profile=profile)
+            if lint.errors:
+                self.logger.warning(
+                    f"event=note_lint video_id={video_id} status=fail "
+                    f"errors={len(lint.errors)}: {'; '.join(lint.errors[:3])}"
+                )
+            else:
+                self.logger.info(
+                    f"event=note_lint video_id={video_id} status=pass "
+                    f"format={lint.format} warnings={len(lint.warnings)}"
+                )
+        except Exception as exc:
+            self.logger.warning(f"event=note_lint_error video_id={video_id} {exc}")
+
         blueprint_path = None
         if image_data:
             blueprint_path = self.blueprint_dir / f"{video_id}_mind_map.png"

@@ -44,6 +44,64 @@ class ImageGenerationConfig:
     poll_timeout: float = 180.0
 
 
+def _layout_nodes(
+    nodes: list[str],
+    edges: list[tuple[str, str]],
+    width: int,
+    height: int,
+    margin: int,
+    top: int,
+) -> tuple[dict[str, tuple[float, float]], float, float]:
+    """Node positions: layered left-to-right by edge depth when the schema
+    has flow structure, square grid otherwise. Returns (centers, box_w, box_h).
+    """
+    depth: dict[str, int] = {}
+    if edges:
+        # Longest-path layering (cycle-guarded by a fixed iteration count).
+        for node in nodes:
+            depth[node] = 0
+        for _ in range(len(nodes)):
+            changed = False
+            for src, dst in edges:
+                if src in depth and dst in depth and depth[dst] < depth[src] + 1:
+                    depth[dst] = depth[src] + 1
+                    changed = True
+            if not changed:
+                break
+
+    centers: dict[str, tuple[float, float]] = {}
+    if edges and len(set(depth.values())) > 1:
+        layers: dict[int, list[str]] = {}
+        for node in nodes:
+            layers.setdefault(depth.get(node, 0), []).append(node)
+        num_layers = max(layers) + 1
+        cell_w = (width - 2 * margin) / num_layers
+        tallest = max(len(members) for members in layers.values())
+        cell_h = (height - top - margin) / max(tallest, 1)
+        box_w = cell_w * 0.82
+        box_h = min(cell_h * 0.6, height / 7)
+        for layer, members in layers.items():
+            span = (height - top - margin) / (len(members) + 1)
+            for i, node in enumerate(members, 1):
+                cx = margin + (layer + 0.5) * cell_w
+                cy = top + i * span
+                centers[node] = (cx, cy)
+    else:
+        columns = min(4, max(1, round(len(nodes) ** 0.5)))
+        rows = (len(nodes) + columns - 1) // columns
+        cell_w = (width - 2 * margin) / columns
+        cell_h = (height - top - margin) / max(rows, 1)
+        box_w = cell_w * 0.82
+        box_h = min(cell_h * 0.55, height / 7)
+        for idx, node in enumerate(nodes):
+            row, col = divmod(idx, columns)
+            centers[node] = (
+                margin + (col + 0.5) * cell_w,
+                top + (row + 0.5) * cell_h,
+            )
+    return centers, box_w, box_h
+
+
 def parse_schema_graph(schema: str) -> tuple[str, list[str], list[tuple[str, str]]]:
     """Parse free-form schema text into (title, nodes, edges).
 
@@ -184,20 +242,10 @@ class ImageGenerator:
         if not nodes:
             nodes = ["(empty schema)"]
 
-        # Grid layout: up to 4 columns, rows as needed.
-        columns = min(4, max(1, round(len(nodes) ** 0.5)))
-        rows = (len(nodes) + columns - 1) // columns
         top = margin * 2 + (width // 30 if title else 0)
-        cell_w = (width - 2 * margin) / columns
-        cell_h = (height - top - margin) / max(rows, 1)
-        box_w, box_h = cell_w * 0.82, min(cell_h * 0.55, height / 7)
-
-        centers: dict[str, tuple[float, float]] = {}
-        for idx, node in enumerate(nodes):
-            row, col = divmod(idx, columns)
-            cx = margin + (col + 0.5) * cell_w
-            cy = top + (row + 0.5) * cell_h
-            centers[node] = (cx, cy)
+        centers, box_w, box_h = _layout_nodes(
+            nodes, edges, width, height, margin, top
+        )
 
         # Edges first (under boxes).
         for src, dst in edges:
