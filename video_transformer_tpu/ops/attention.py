@@ -180,16 +180,24 @@ def _flash_attention_diff(q, k, v, causal):
 
 
 def _flash_diff_fwd(q, k, v, causal):
-    return _flash_attention_pallas(q, k, v, causal=causal), (q, k, v)
+    from .flash_bwd import flash_fwd_lse, supports_pallas_bwd
+
+    if supports_pallas_bwd(q.shape[2], k.shape[2]):
+        # O(S) residuals: the Pallas backward recomputes P blockwise from
+        # (O, LSE) — long-context training never materializes S x S.
+        out, lse = flash_fwd_lse(q, k, v, causal=causal)
+        return out, (q, k, v, out, lse)
+    return _flash_attention_pallas(q, k, v, causal=causal), (q, k, v, None, None)
 
 
 def _flash_diff_bwd(causal, residuals, grad_out):
-    # Backward via the XLA reference: recomputes attention (flash-style
-    # recomputation, no saved probability matrix) and lets XLA derive exact
-    # gradients. Memory O(S^2) per head during bwd — fine at this
-    # framework's training sequence lengths; a Pallas bwd kernel is the
-    # upgrade path for long-context training.
-    q, k, v = residuals
+    q, k, v, out, lse = residuals
+    if out is not None:
+        from .flash_bwd import flash_bwd
+
+        return flash_bwd(q, k, v, out, lse, grad_out, causal=causal)
+    # Fallback for blocks below 128: recompute via the XLA reference
+    # (exact gradients, O(S^2) transient memory).
     _, vjp = jax.vjp(lambda q_, k_, v_: mha_reference(q_, k_, v_, causal), q, k, v)
     return vjp(grad_out)
 

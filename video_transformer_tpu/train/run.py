@@ -107,6 +107,13 @@ def main(argv: list[str] | None = None) -> int:
             f"prompt_len clamped to {args.prompt_len} (text_len {args.text_len})"
         )
     config = get_preset(args.preset)
+    # Align the full sequence (video tokens + text) to 128 so the Pallas
+    # flash backward engages (unaligned totals fall back to the O(S^2)
+    # reference VJP).
+    total = config.video_tokens + args.text_len
+    if total % 128:
+        args.text_len += 128 - total % 128
+        logger.info(f"text_len aligned to {args.text_len} (seq multiple of 128)")
     mesh = build_mesh({"model": args.tp})
     data_axis = mesh.shape["data"]
     if args.batch % data_axis:
