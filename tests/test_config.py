@@ -26,6 +26,25 @@ def test_default_config_loads():
     assert config["analyzer"]["long_video"]["default_segment_seconds"] == 480
 
 
+def test_production_note_style_defaults():
+    """Production config asserts, mirroring reference
+    tests/test_config_note_style.py: the note-rendering flag surface."""
+    config = load_config(DEFAULT_CONFIG_PATH)
+    system = config["system"]
+    assert system["self_check_mode"] == "lecture"
+    assert system["note_style"] == "core_appendix"
+    assert system["question_scope"] == "chapter_only"
+    assert system["answer_placement"] == "inline_after_questions"
+    assert system["code_placement"] == "appendix_only"
+    assert system["note_refine"]["enabled"] is True
+    assert system["note_refine"]["lines_per_hour"] == 400
+    assert system["quality_gates"]["enabled"] is True
+    assert system["render"]["include_concept_index"] is False  # pdf profile
+    assert config["engine"]["checkpoint_dir"] == (
+        "./data/checkpoints/tiny-zh-templated"
+    )
+
+
 def test_missing_file_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         load_config(tmp_path / "nope.yaml")

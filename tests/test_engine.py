@@ -117,6 +117,25 @@ class TestInferenceEngine:
         assert stats["tokens_generated"] > 0
         assert stats["frames_preprocessed"] > 0
 
+    def test_free_decoding_mode(self):
+        """dfa=None: unconstrained sampling terminates on EOS or the cap."""
+        import jax
+
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1]),
+            dfa=None,
+            max_new_tokens=24,
+            temperature=1.0,
+            seed=0,
+        )
+        frames = np.random.default_rng(0).integers(
+            0, 255, (1, 4, 32, 32, 3), dtype=np.uint8
+        )
+        text = engine.generate(frames, ["x"], prompt_len=8)[0]
+        assert isinstance(text, str)
+        assert len(text.encode("utf-8", "replace")) <= 24
+
     def test_params_are_sharded(self, engine):
         shardings = param_shardings(engine.mesh, engine.params)
         q_kernel = engine.params["params"]["decoder"]["layer_0"]["attn"]["q"][
