@@ -376,6 +376,15 @@ class InferenceEngine:
     ) -> tuple[int, np.ndarray]:
         b_padded = _round_up(max(b_real, 1), self.data_parallel)
         padded_prompts = prompts + [""] * (b_padded - b_real)
+        overflow = sum(
+            1 for p in prompts if len(p.encode("utf-8")) + 1 > prompt_len
+        )
+        if overflow:
+            import logging
+
+            logging.getLogger("video_transformer").warning(
+                f"event=prompt_truncated count={overflow} prompt_len={prompt_len}"
+            )
         prompt_tokens = np.stack(
             [
                 self.tokenizer.encode_array(p, prompt_len, add_bos=True)
