@@ -117,6 +117,55 @@ class TestInferenceEngine:
         assert stats["tokens_generated"] > 0
         assert stats["frames_preprocessed"] > 0
 
+    def test_token_cap_truncation_is_safe(self):
+        """Generation that cannot reach the accept state within max_new must
+        still return cleanly (truncated text; repair handles it upstream)."""
+        import jax
+
+        dfa = (
+            DfaBuilder()
+            .literal('{"long": ')
+            .free_string(200, 400)  # min length alone exceeds the cap
+            .literal("}")
+            .finish()
+        )
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1]),
+            dfa=dfa, max_new_tokens=32, temperature=1.0, seed=0,
+        )
+        frames = np.zeros((1, 4, 32, 32, 3), np.uint8)
+        text = engine.generate(frames, ["x"], prompt_len=8)[0]
+        assert text.startswith('{"long": "')
+        with pytest.raises(json.JSONDecodeError):
+            json.loads(text)  # truncated by design
+        # Emitted token count respects the cap (+ one fast-forward block).
+        assert engine.stats.tokens_generated <= 32 + 1 + engine.max_forced_run
+
+    def test_mixed_completion_rows(self):
+        """Rows finishing at very different lengths stay independent."""
+        import jax
+
+        dfa = (
+            DfaBuilder()
+            .literal('{"v": ')
+            .free_string(1, 60)
+            .literal("}")
+            .finish()
+        )
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 4, "model": 2}),
+            dfa=dfa, max_new_tokens=128, temperature=1.0, seed=2,
+        )
+        frames = np.zeros((4, 4, 32, 32, 3), np.uint8)
+        texts = engine.generate(frames, ["a", "b", "c", "d"], prompt_len=8)
+        lengths = set()
+        for text in texts:
+            parsed = json.loads(text)
+            lengths.add(len(parsed["v"]))
+        assert len(lengths) > 1  # rows diverged and each still parsed
+
     def test_free_decoding_mode(self):
         """dfa=None: unconstrained sampling terminates on EOS or the cap."""
         import jax

@@ -316,6 +316,18 @@ class TestShardedBatch:
         assert batch.results[0].success is False  # download failure first
         assert batch.results[1].success is True
 
+    def test_sharded_batch_all_downloads_fail(self, tmp_path, monkeypatch):
+        analyzer = self._analyzer_with_batch()
+        pipeline, _ = build_pipeline(
+            tmp_path, monkeypatch, analyzer=analyzer,
+            validator=StubValidator([90]), auditor=StubAuditor(90),
+        )
+        batch = pipeline.process_batch_sharded(
+            [str(tmp_path / "a.npzv"), str(tmp_path / "b.npzv")]
+        )
+        assert batch.failed == 2 and batch.successful == 0
+        assert not hasattr(analyzer, "batched")  # analysis never invoked
+
     def test_sharded_batch_falls_back_on_analysis_crash(
         self, tmp_path, monkeypatch, clip
     ):
