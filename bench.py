@@ -29,10 +29,21 @@ NORTH_STAR_MIN_PER_MIN_PER_CHIP = 3.75  # 60 min / 2 min / 8 chips
 
 import os
 
-PRESET = os.environ.get("VTX_BENCH_PRESET", "tiny")
+# Official numbers are taken at `base` (0.4B) — a scale that exercises the
+# MXU — not `tiny` (a CI-speed toy whose throughput says nothing).
+PRESET = os.environ.get("VTX_BENCH_PRESET", "base")
 VIDEO_SECONDS = float(os.environ.get("VTX_BENCH_VIDEO_SECONDS", "240"))
 FPS = 2.0
 SEGMENT_SECONDS = 60
+
+# Peak dense bf16 throughput per chip, for the MFU estimate.
+_PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e12}
+
+
+def _param_count(tree) -> int:
+    import jax
+
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
 
 
 def build_engine():
@@ -123,6 +134,19 @@ def main() -> int:
     n_chips = len(jax.devices())
     backend = jax.default_backend()
 
+    # Fail loudly if any prompt is truncated during the measured run — the
+    # model must see its full instructions on the hot path.
+    import logging
+
+    truncations: list[str] = []
+
+    class _TruncationGuard(logging.Handler):
+        def emit(self, record):
+            if "prompt_truncated" in record.getMessage():
+                truncations.append(record.getMessage())
+
+    logging.getLogger("video_transformer").addHandler(_TruncationGuard())
+
     work_dir = Path(tempfile.mkdtemp(prefix="vtx_bench_"))
     try:
         engine = build_engine()
@@ -133,6 +157,10 @@ def main() -> int:
         # Measured run (fresh manifest dir so nothing is cached).
         engine.stats.__init__()
         result, elapsed = run_once(engine, work_dir, "measured")
+        if truncations:
+            print(f"FATAL: prompts truncated during bench: {truncations[:3]}",
+                  file=sys.stderr)
+            return 1
 
         analyzed_minutes = float(result.metadata.get("duration", VIDEO_SECONDS)) / 60.0
         wall_minutes = elapsed / 60.0
@@ -141,6 +169,18 @@ def main() -> int:
         preproc_fps = (
             stats["frames_preprocessed"] / stats["preprocess_seconds"]
             if stats["preprocess_seconds"]
+            else 0.0
+        )
+
+        # Decode MFU: generated tokens x ~2 FLOPs per active decoder param,
+        # against the chip's peak dense bf16 rate. Small-batch decode is
+        # weight-bandwidth-bound, so this is expected to be low — it is an
+        # honesty metric, not a score.
+        n_params = _param_count(engine.params)
+        peak = _PEAK_FLOPS.get(backend, 197e12) * max(n_chips, 1)
+        mfu_decode = (
+            stats["tokens_per_second"] * 2.0 * n_params / peak
+            if stats["tokens_per_second"]
             else 0.0
         )
 
@@ -160,6 +200,9 @@ def main() -> int:
                         "decode_tokens_per_s": stats["tokens_per_second"],
                         "preproc_frames_per_s": round(preproc_fps, 1),
                         "model_preset": PRESET,
+                        "model_params": n_params,
+                        "mfu_decode": round(mfu_decode, 5),
+                        "prompt_truncations": len(truncations),
                     },
                 },
                 ensure_ascii=False,

@@ -110,7 +110,9 @@ int y4m_decode_frames(const char* data, int64_t size, const int64_t* indices,
   int32_t width, height, fps_num, fps_den;
   const int header_len =
       y4m_parse_header(data, size, &width, &height, &fps_num, &fps_den);
-  if (header_len < 0) return -1;
+  // Odd dims would make the 4:2:0 chroma indexing read past the chroma
+  // planes (untrusted input); the Python caller falls back to numpy.
+  if (header_len < 0 || width % 2 || height % 2) return -1;
 
   const int64_t y_size = (int64_t)width * height;
   const int64_t c_size = y_size / 4;

@@ -84,6 +84,8 @@ class TestFlashBackward:
         np.testing.assert_allclose(dv, rv, atol=5e-4, rtol=5e-4)
 
     def test_support_predicate(self):
-        assert supports_pallas_bwd(256, 512)
         assert supports_pallas_bwd(3456, 3456)  # 128 divides
         assert not supports_pallas_bwd(100, 256)
+        # KV-prefix queries (Sq != Sk): the bwd kernels lack the causal
+        # offset, so they must route to the reference VJP.
+        assert not supports_pallas_bwd(256, 512)

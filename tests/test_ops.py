@@ -53,6 +53,32 @@ class TestFlashAttention:
             got.astype(jnp.float32), expected.astype(jnp.float32), atol=3e-2, rtol=3e-2
         )
 
+    @pytest.mark.parametrize("s_q,s_k", [(64, 256), (128, 384)])
+    def test_kv_prefix_causal_offset(self, s_q, s_k):
+        """Sq != Sk: queries align to the LAST Sq key positions (the
+        mha_reference s_k - s_q offset), not to position zero."""
+        keys = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(keys[0], (1, 2, s_q, 32))
+        k = jax.random.normal(keys[1], (1, 2, s_k, 32))
+        v = jax.random.normal(keys[2], (1, 2, s_k, 32))
+        expected = mha_reference(q, k, v, causal=True)
+        got = _flash_attention_pallas(q, k, v, causal=True, interpret=True)
+        np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+    @pytest.mark.slow
+    def test_long_sequence_streaming(self):
+        """8k-token causal prefill through the K/V-streaming path (the
+        VMEM-resident layout this replaced could not scale past ~8k)."""
+        q, k, v = random_qkv(b=1, hq=1, hkv=1, s=8192, d=64, dtype=jnp.bfloat16)
+        expected = mha_reference(q, k, v, causal=True)
+        got = _flash_attention_pallas(q, k, v, causal=True, interpret=True)
+        np.testing.assert_allclose(
+            got.astype(jnp.float32),
+            expected.astype(jnp.float32),
+            atol=3e-2,
+            rtol=3e-2,
+        )
+
 
 class TestRMSNorm:
     def test_unit_scale(self):

@@ -98,7 +98,9 @@ def schema_dfa(vocab_size: int = 512) -> JsonDfa:
     """Standalone visual-schema generation (fallback pass, reference
     content_analyzer.py:1233)."""
     b = DfaBuilder(ByteTokenizer(vocab_size))
-    b.literal('{"visual_schemas": ').loop_list(_visual_schema_item).literal("}")
+    b.literal('{"visual_schemas": ').loop_list(
+        lambda bb: _visual_schema_item(bb, 1.0)
+    ).literal("}")
     return b.finish()
 
 

@@ -1,15 +1,21 @@
 """Multi-head attention: Pallas flash-attention kernel + XLA reference.
 
 The Pallas kernel implements online-softmax flash attention tiled for the
-MXU: queries are blocked over the grid, K/V for the (grouped) head live in
-VMEM, and the kernel loop accumulates with running max/sum in fp32. It
+MXU: queries are blocked over the grid while K/V stay in HBM and stream
+through a double-buffered VMEM scratch (pallas_guide.md: Double Buffering),
+so VMEM use is O(block) regardless of sequence length — the 7b preset's
+32k-token prefill fits where the old keep-full-K/V-in-VMEM layout blew the
+~16 MB budget. Causal programs bound their K-block loop at the triangle
+edge, skipping both the compute AND the DMA for masked-out blocks. It
 replaces the reference framework's cloud-attention entirely (there is no
 native attention in /root/reference — this is the compute core of the
 TPU-native engine).
 
-Layouts: q [B, Hq, S, D], k/v [B, Hkv, S, D], GQA via Hq % Hkv == 0.
-Right-padded batches are safe under causal masking (pad queries only read the
-valid prefix; valid queries never look forward at pads).
+Layouts: q [B, Hq, Sq, D], k/v [B, Hkv, Sk, D], GQA via Hq % Hkv == 0.
+When Sq != Sk the causal mask aligns queries to the LAST Sq key positions
+(KV-prefix semantics, matching mha_reference). Right-padded batches are safe
+under causal masking (pad queries only read the valid prefix; valid queries
+never look forward at pads).
 """
 
 from __future__ import annotations
@@ -48,27 +54,81 @@ def mha_reference(
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int, causal: bool, scale: float
+    q_ref,  # [1, 1, block_q, D] VMEM
+    k_hbm,  # [B, Hkv, Sk, D] ANY (streamed)
+    v_hbm,
+    o_ref,  # [1, 1, block_q, D] VMEM
+    k_scratch,  # [2, block_k, D] double buffer
+    v_scratch,
+    sems,  # DMA semaphores (2, 2)
+    *,
+    block_q: int,
+    block_k: int,
+    num_k_blocks: int,
+    causal: bool,
+    scale: float,
+    group: int,
+    q_offset: int,
 ):
-    """One (batch, q-head, q-block) program: online softmax over K blocks."""
+    """One (batch, q-head, q-block) program: online softmax over streamed
+    K/V blocks. ``q_offset`` = Sk - Sq aligns the causal mask when queries
+    continue an existing KV prefix (mha_reference line 42 semantics)."""
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
     q_block_idx = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32) * scale  # [block_q, d]
-    s_k = k_ref.shape[2]
-    num_k_blocks = s_k // block_k
 
     d = q.shape[-1]
-    acc = jnp.zeros((block_q, d), jnp.float32)
-    m_prev = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l_prev = jnp.zeros((block_q, 1), jnp.float32)
+    if causal:
+        # Only K blocks intersecting the causal triangle contribute — both
+        # their DMA and their compute are skipped entirely.
+        upper = jnp.minimum(
+            (q_offset + (q_block_idx + 1) * block_q + block_k - 1) // block_k,
+            num_k_blocks,
+        )
+    else:
+        upper = num_k_blocks
 
-    q_pos = q_block_idx * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 0
+    def get_dma_pair(slot, kb):
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[bi, hi // group, pl.ds(kb * block_k, block_k), :],
+                k_scratch.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[bi, hi // group, pl.ds(kb * block_k, block_k), :],
+                v_scratch.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    k0, v0 = get_dma_pair(0, 0)
+    k0.start()
+    v0.start()
+
+    q_pos = (
+        q_offset
+        + q_block_idx * block_q
+        + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     )
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        slot = kb % 2
+
+        @pl.when(kb + 1 < upper)
+        def _():
+            kn, vn = get_dma_pair((kb + 1) % 2, kb + 1)
+            kn.start()
+            vn.start()
+
+        kc, vc = get_dma_pair(slot, kb)
+        kc.wait()
+        vc.wait()
+
+        k_blk = k_scratch[slot].astype(jnp.float32)  # [block_k, d]
+        v_blk = v_scratch[slot].astype(jnp.float32)
 
         logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
         if causal:
@@ -85,13 +145,9 @@ def _flash_kernel(
         acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
-    if causal:
-        # Only K blocks intersecting the causal triangle contribute.
-        upper = jnp.minimum(
-            ((q_block_idx + 1) * block_q + block_k - 1) // block_k, num_k_blocks
-        )
-    else:
-        upper = num_k_blocks
+    acc = jnp.zeros((block_q, d), jnp.float32)
+    m_prev = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l_prev = jnp.zeros((block_q, 1), jnp.float32)
     acc, m_prev, l_prev = jax.lax.fori_loop(0, upper, body, (acc, m_prev, l_prev))
 
     out = acc / jnp.maximum(l_prev, 1e-30)
@@ -132,7 +188,14 @@ def _flash_attention_pallas(
     grid = (b, hq, s_q // block_q)
 
     kernel = functools.partial(
-        _flash_kernel, block_q=block_q, block_k=block_k, causal=causal, scale=scale
+        _flash_kernel,
+        block_q=block_q,
+        block_k=block_k,
+        num_k_blocks=s_k // block_k,
+        causal=causal,
+        scale=scale,
+        group=group,
+        q_offset=s_k - s_q,
     )
 
     return pl.pallas_call(
@@ -145,22 +208,22 @@ def _flash_attention_pallas(
                 lambda bi, hi, qi: (bi, hi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, s_k, d),
-                lambda bi, hi, qi, g=group: (bi, hi // g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, s_k, d),
-                lambda bi, hi, qi, g=group: (bi, hi // g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            # K/V stay in HBM; the kernel streams block_k slices through the
+            # double-buffered scratch below (VMEM stays O(block), so long
+            # sequences never exceed the ~16 MB budget).
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d),
             lambda bi, hi, qi: (bi, hi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, d), k.dtype),
+            pltpu.VMEM((2, block_k, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -217,11 +280,14 @@ def flash_attention(
     Differentiable everywhere: the TPU path carries a custom VJP (Pallas
     forward, recomputed-reference backward). Sequence lengths without a
     power-of-two divisor fall back to the XLA reference rather than dropping
-    a partial tail block.
+    a partial tail block. Sq != Sk (KV-prefix queries) is handled by the
+    forward kernel's q_offset, but the Pallas backward assumes Sq == Sk, so
+    the differentiable dispatch routes mismatched shapes to the reference.
     """
     if (
         force_reference
         or jax.default_backend() != "tpu"
+        or q.shape[2] != k.shape[2]
         or _pick_block(q.shape[2], 512) is None
         or _pick_block(k.shape[2], 512) is None
     ):

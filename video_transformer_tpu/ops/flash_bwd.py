@@ -40,7 +40,9 @@ def _block(s: int) -> int | None:
 
 
 def supports_pallas_bwd(s_q: int, s_k: int) -> bool:
-    return _block(s_q) is not None and _block(s_k) is not None
+    # These kernels compute causal positions without an Sk - Sq offset, so
+    # KV-prefix queries (Sq != Sk) must use the reference VJP.
+    return s_q == s_k and _block(s_q) is not None and _block(s_k) is not None
 
 
 # ---------------------------------------------------------------------------

@@ -198,7 +198,11 @@ class InferenceEngine:
             raise ValueError(
                 f"sequence {cache_len} exceeds max_seq_len {cfg.decoder.max_seq_len}"
             )
-        out_width = max_new + block_width
+        # Per-row out_pos may reach max_new - 1 + block_width before the row
+        # freezes, and done rows still write an (ignored) EOS block at
+        # out_pos each step — 2x block_width of slack guarantees
+        # dynamic_update_slice never clamps into valid tokens.
+        out_width = max_new + 2 * block_width
         data_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
 
         if self.structure_bias != 0.0:
@@ -264,12 +268,11 @@ class InferenceEngine:
             )
 
             def cond(carry):
-                step, _, _, _, _, out_pos, done, _ = carry
-                return (
-                    (step < max_new)
-                    & ~jnp.all(done)
-                    & (jnp.max(out_pos) < max_new)
-                )
+                step, _, _, _, _, _, done, _ = carry
+                # Rows that hit the token cap are frozen individually in the
+                # body (done |= out_pos >= max_new) so one capped row never
+                # truncates the rest of the batch mid-generation.
+                return (step < max_new) & ~jnp.all(done)
 
             def body(carry):
                 step, logits, cache, state, tokens, out_pos, done, rng = carry
@@ -297,6 +300,7 @@ class InferenceEngine:
                 tokens = write_rows(tokens, block, out_pos)
                 advance = jnp.where(done & (run == 0) & (tok == eos), 0, 1 + run)
                 out_pos = out_pos + advance
+                done = done | (out_pos >= max_new)
 
                 index_before = cache["index"]
                 block_logits, cache = model.apply(
@@ -371,6 +375,31 @@ class InferenceEngine:
         self.stats.frames_preprocessed += frames.shape[0] * frames.shape[1]
         return patches
 
+    def _prompt_bucket(self, prompts: list[str], with_video: bool) -> int:
+        """Smallest 128-multiple holding every prompt (+BOS) untruncated.
+
+        Sizing the compile bucket to the rendered templates (instead of a
+        fixed 256) means the model sees its FULL instructions on the hot
+        path — the round-1 bench showed `event=prompt_truncated` because the
+        389-line-spec-derived prompts never fit a fixed bucket. Template
+        variables only nudge the byte count, so in practice each template
+        maps to one stable bucket (no recompile churn). The bucket is capped
+        so prompt + video tokens + max_new still fit the KV cache.
+        """
+        longest = max((len(p.encode("utf-8")) + 1 for p in prompts), default=1)
+        bucket = _round_up(longest, 128)
+        video_tokens = self.config.video_tokens if with_video else 0
+        # block_width slack (grammar fast-forward) is at most
+        # 1 + max_forced_run + 1; 128 covers it plus cache rounding.
+        ceiling = (
+            self.config.decoder.max_seq_len
+            - video_tokens
+            - self.max_new_tokens
+            - 128
+        )
+        ceiling = max((ceiling // 128) * 128, 128)
+        return min(bucket, ceiling)
+
     def _pad_and_tokenize(
         self, prompts: list[str], b_real: int, prompt_len: int
     ) -> tuple[int, np.ndarray]:
@@ -397,18 +426,21 @@ class InferenceEngine:
         self,
         frames: np.ndarray,
         prompts: list[str],
-        prompt_len: int = 256,
+        prompt_len: int | None = None,
         dfa: JsonDfa | None = None,
     ) -> list[str]:
         """Analyze a batch of clips: returns one decoded text per clip.
 
         frames: uint8 [B, T, H, W, 3]; B is padded up to a multiple of the
         data-parallel degree before the sharded call. ``dfa`` overrides the
-        engine's default decoding grammar for this call.
+        engine's default decoding grammar for this call. ``prompt_len`` is
+        auto-sized to fit the prompts (128-multiple bucket) when omitted.
         """
         b_real = frames.shape[0]
         if len(prompts) != b_real:
             raise ValueError("one prompt per clip required")
+        if prompt_len is None:
+            prompt_len = self._prompt_bucket(prompts, with_video=True)
         dfa = dfa if dfa is not None else self.dfa
         b_padded, prompt_tokens = self._pad_and_tokenize(prompts, b_real, prompt_len)
 
@@ -441,11 +473,13 @@ class InferenceEngine:
     def generate_text(
         self,
         prompts: list[str],
-        prompt_len: int = 512,
+        prompt_len: int | None = None,
         dfa: JsonDfa | None = None,
     ) -> list[str]:
         """Text-only generation (validator scoring, consolidation, rewrite)."""
         b_real = len(prompts)
+        if prompt_len is None:
+            prompt_len = self._prompt_bucket(prompts, with_video=False)
         dfa = dfa if dfa is not None else self.dfa
         b_padded, prompt_tokens = self._pad_and_tokenize(prompts, b_real, prompt_len)
 

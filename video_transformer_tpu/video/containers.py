@@ -129,8 +129,10 @@ def _rgb_to_yuv420(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]
 
 def _yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     yf = y.astype(np.float32)
-    uf = (np.repeat(np.repeat(u, 2, axis=0), 2, axis=1).astype(np.float32)) - 128.0
-    vf = (np.repeat(np.repeat(v, 2, axis=0), 2, axis=1).astype(np.float32)) - 128.0
+    h, w = y.shape
+    # Chroma planes are ceil-half sized; crop the upsample for odd dims.
+    uf = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w].astype(np.float32) - 128.0
+    vf = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w].astype(np.float32) - 128.0
     r = yf + 1.402 * vf
     g = yf - 0.344136 * uf - 0.714136 * vf
     b = yf + 1.772 * uf
@@ -164,7 +166,9 @@ def _parse_y4m_header(path: Path) -> _Y4MLayout:
             fps = float(num) / float(den)
     if not width or not height or fps <= 0:
         raise ValueError(f"Malformed Y4M header in {path}")
-    frame_size = width * height * 3 // 2
+    # 4:2:0 chroma planes are ceil-half sized in each dimension (odd-dim
+    # streams exist in the wild even though our writer refuses them).
+    frame_size = width * height + 2 * (((width + 1) // 2) * ((height + 1) // 2))
     total = path.stat().st_size - len(header)
     per_frame = len(b"FRAME\n") + frame_size
     num_frames = max(total // per_frame, 0)
@@ -184,7 +188,8 @@ def _read_y4m_frames(path: Path, indices: np.ndarray) -> np.ndarray:
     per_frame = len(b"FRAME\n") + layout.frame_size
     w, h = layout.width, layout.height
     y_size = w * h
-    c_size = y_size // 4
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    c_size = cw * ch
     frames = np.empty((len(indices), h, w, 3), dtype=np.uint8)
     with open(path, "rb") as f:
         for out_idx, frame_idx in enumerate(indices):
@@ -196,10 +201,10 @@ def _read_y4m_frames(path: Path, indices: np.ndarray) -> np.ndarray:
             payload = f.read(layout.frame_size)
             y = np.frombuffer(payload[:y_size], np.uint8).reshape(h, w)
             u = np.frombuffer(payload[y_size : y_size + c_size], np.uint8).reshape(
-                h // 2, w // 2
+                ch, cw
             )
             v = np.frombuffer(payload[y_size + c_size :], np.uint8).reshape(
-                h // 2, w // 2
+                ch, cw
             )
             frames[out_idx] = _yuv420_to_rgb(y, u, v)
     return frames
