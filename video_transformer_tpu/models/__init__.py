@@ -1,5 +1,6 @@
 """JAX/Flax model stack: video ViT encoder + decoder-only LM = VideoLM."""
 
+from .bpe import BpeTokenizer, train_bpe
 from .config import DecoderConfig, EncoderConfig, VLMConfig, get_preset
 from .tokenizer import ByteTokenizer
 
@@ -9,4 +10,6 @@ __all__ = [
     "DecoderConfig",
     "get_preset",
     "ByteTokenizer",
+    "BpeTokenizer",
+    "train_bpe",
 ]

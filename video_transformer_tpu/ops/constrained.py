@@ -62,6 +62,16 @@ class JsonDfa:
     def device_table(self) -> jax.Array:
         return jnp.asarray(self.next_state)
 
+    # Uniform grammar surface shared with ops.token_grammar.TokenGrammar so
+    # the engine is agnostic to byte-level vs token-level enforcement.
+    @staticmethod
+    def constrain(logits: jax.Array, state: jax.Array, table) -> jax.Array:
+        return constrain_logits(logits, state, table)
+
+    @staticmethod
+    def advance(state: jax.Array, token: jax.Array, table) -> jax.Array:
+        return advance_state(state, token, table)
+
     def forced_tables(
         self, max_run: int = 24
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
