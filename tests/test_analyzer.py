@@ -267,7 +267,10 @@ class TestSegmentationLogic:
         assert ts == {"start": 100.0, "end": 105.0}
 
     def test_accept_consolidation_rules(self):
-        base = {"visual_schemas": [{"type": "overview"}]}
+        base = {
+            "visual_schemas": [{"type": "overview"}],
+            "key_takeaways": ["一 的结论", "二 的结论", "相同 相 同"],
+        }
         good = {
             "title": "t", "one_sentence_summary": "s", "key_takeaways": ["k"],
             "glossary": {},
@@ -292,6 +295,17 @@ class TestSegmentationLogic:
         )
         assert accept_consolidation(dup, base) is None
         assert accept_consolidation("not a dict", base) is None
+
+        # Grounding: chapters invented out of thin air are rejected even
+        # when structurally valid.
+        fabricated = dict(
+            good,
+            deep_dive=[
+                {"chapter_title": "量子纠缠", "sections": []},
+                {"chapter_title": "罗马帝国", "sections": []},
+            ],
+        )
+        assert accept_consolidation(fabricated, base) is None
 
 
 class TestJsonRepair:

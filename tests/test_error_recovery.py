@@ -42,7 +42,8 @@ class ScriptedEngine:
 
         self.tokenizer = _Tok()
 
-    def generate(self, frames, prompts, prompt_len=256, dfa=None):
+    def generate(self, frames, prompts, prompt_len=256, dfa=None,
+                 prefixes=None, return_status=False):
         out = []
         for _ in prompts:
             if not self.responses:
@@ -52,6 +53,8 @@ class ScriptedEngine:
             if isinstance(item, Exception):
                 raise item
             out.append(item)
+        if return_status:
+            return out, [True] * len(out)
         return out
 
     def generate_text(self, prompts, prompt_len=512, dfa=None):
@@ -213,27 +216,31 @@ class TestConsolidationRecovery:
         assert topics == ["一", "二", "三"]
 
     def test_accepted_consolidation_replaces_merge(self, tmp_path):
-        clip = write_clip(tmp_path / "v6.npzv", seconds=30)
+        # 7 segments -> 7 chapters: over the 2-6 budget, so consolidation
+        # actually runs (notes already inside the budget skip it).
+        clip = write_clip(tmp_path / "v6.npzv", seconds=70)
         consolidated = json.dumps(
             {
                 "title": "合并后",
                 "one_sentence_summary": "s",
                 "key_takeaways": ["k"],
                 "glossary": {},
+                # Titles draw their terms from the merged note (the
+                # grounding acceptance check rejects invented chapters).
                 "deep_dive": [
-                    {"chapter_title": "甲", "sections": []},
-                    {"chapter_title": "乙", "sections": []},
+                    {"chapter_title": "A 章", "sections": []},
+                    {"chapter_title": "B 章", "sections": []},
                 ],
             },
             ensure_ascii=False,
         )
         engine = ScriptedEngine(
-            [
-                note_json("A", "一", 1, 5),
-                note_json("B", "二", 11, 15),
-                note_json("C", "三", 21, 25),
-                consolidated,
-            ]
+            [note_json(t, topic, 1 + 10 * i, 5 + 10 * i)
+             for i, (t, topic) in enumerate(
+                 [("A", "一"), ("B", "二"), ("C", "三"), ("D", "四"),
+                  ("E", "五"), ("F", "六"), ("G", "七")]
+             )]
+            + [consolidated]
         )
         analyzer = ContentAnalyzer(
             make_config(tmp_path, consolidate=True),
@@ -244,6 +251,57 @@ class TestConsolidationRecovery:
         result = analyzer.analyze_video(clip)
         assert result.title == "合并后"
         assert len(result.knowledge_doc.deep_dive) == 2
+
+    def test_consolidation_skipped_inside_chapter_budget(self, tmp_path):
+        """<= 6 chapters: the merged note ships untouched (no extra call)."""
+        clip = write_clip(tmp_path / "v7.npzv", seconds=30)
+        engine = ScriptedEngine(
+            [
+                note_json("A", "一", 1, 5),
+                note_json("B", "二", 11, 15),
+                note_json("C", "三", 21, 25),
+            ]
+        )
+        analyzer = ContentAnalyzer(
+            make_config(tmp_path, consolidate=True),
+            APICounter(50),
+            logging.getLogger("t"),
+            engine=engine,
+        )
+        result = analyzer.analyze_video(clip)
+        assert result.title == "A"  # merged, not consolidated
+        assert engine.calls == 3  # no consolidation call consumed
+
+    def test_ungrounded_consolidation_rejected(self, tmp_path):
+        """A candidate whose chapters are invented (not drawn from the
+        merged note) is rejected even though it is structurally valid."""
+        clip = write_clip(tmp_path / "v8.npzv", seconds=70)
+        fabricated = json.dumps(
+            {
+                "title": "捏造",
+                "one_sentence_summary": "s",
+                "key_takeaways": ["k"],
+                "glossary": {},
+                "deep_dive": [
+                    {"chapter_title": "量子纠缠", "sections": []},
+                    {"chapter_title": "罗马帝国", "sections": []},
+                ],
+            },
+            ensure_ascii=False,
+        )
+        engine = ScriptedEngine(
+            [note_json(t, t, 1 + 10 * i, 5 + 10 * i)
+             for i, t in enumerate("ABCDEFG")]
+            + [fabricated]
+        )
+        analyzer = ContentAnalyzer(
+            make_config(tmp_path, consolidate=True),
+            APICounter(50),
+            logging.getLogger("t"),
+            engine=engine,
+        )
+        result = analyzer.analyze_video(clip)
+        assert result.title == "A"  # fabricated candidate rejected
 
 
 class TestContainerEdgeCases:

@@ -98,21 +98,43 @@ class ContentAnalyzer:
 
     @property
     def engine(self):
-        """The inference engine, built lazily from config when not injected."""
+        """The inference engine, built lazily from config when not injected.
+
+        ``engine.tokenizer`` config selects the vocabulary: absent/"byte"
+        keeps the byte tokenizer; ``{type: bpe, path: ...}`` loads a trained
+        BPE vocab (models/bpe.py), resizes the decoder embedding/logits to
+        match, and projects all grammars to token level (token_grammar.py).
+        """
         if self._engine is None:
+            from dataclasses import replace
+
             from ..models.config import get_preset
             from ..parallel.engine import InferenceEngine
             from ..parallel.mesh import build_mesh
 
             preset = get_preset(self.engine_config.get("model_preset", "tiny"))
+            tokenizer = None
+            tok_cfg = self.engine_config.get("tokenizer") or {}
+            if isinstance(tok_cfg, dict) and tok_cfg.get("type") == "bpe":
+                from ..models.bpe import BpeTokenizer
+
+                tokenizer = BpeTokenizer.load(tok_cfg["path"])
+                preset = replace(
+                    preset,
+                    decoder=replace(
+                        preset.decoder, vocab_size=tokenizer.vocab_size
+                    ),
+                )
+            byte_vocab = 512 if tokenizer else preset.decoder.vocab_size
             self._engine = InferenceEngine(
                 preset,
                 mesh=build_mesh(self.engine_config.get("mesh")),
-                dfa=note_dfa(preset.decoder.vocab_size),
                 max_new_tokens=int(self.engine_config.get("max_new_tokens", 3072)),
                 temperature=float(self.engine_config.get("temperature", 0.7)),
                 structure_bias=float(self.engine_config.get("structure_bias", 1.5)),
+                tokenizer=tokenizer,
             )
+            self._engine.dfa = self._engine.wrap_grammar(note_dfa(byte_vocab))
             checkpoint_dir = self.engine_config.get("checkpoint_dir")
             if checkpoint_dir:
                 try:
@@ -237,7 +259,7 @@ class ContentAnalyzer:
             "rewrite", {"schema": original_structure, "feedback": feedback}
         )
         self.api_counter.increment("local")
-        dfa = schema_dfa(self.engine.tokenizer.vocab_size)
+        dfa = self.engine.wrap_grammar(schema_dfa(self.engine.byte_vocab))
         text = self.engine.generate_text([prompt], dfa=dfa)[0]
         try:
             parsed = self._parse_json(text)
@@ -279,12 +301,19 @@ class ContentAnalyzer:
         """Generate + parse note JSON per clip, re-asking failures.
 
         Mirrors the reference's JSON re-ask loop (content_analyzer.py:508-558:
-        <= 2 regeneration attempts per item before giving up). Each attempt
-        consumes budget; None marks a permanently failed item.
+        <= 2 regeneration attempts per item before giving up) and its
+        MAX_TOKENS continuation (content_analyzer.py:1385-1464): rows whose
+        grammar did not reach accept within the token budget are continued
+        (<= max_continuations rounds, each re-prefilling prompt + generated
+        prefix and resuming the grammar mid-document). Each attempt consumes
+        budget; None marks a permanently failed item.
         """
         for _ in range(frames.shape[0]):
             self.api_counter.increment("local")
-        texts = self.pacer.call_with_retry(self.engine.generate, frames, prompts)
+        texts, complete = self.pacer.call_with_retry(
+            self.engine.generate, frames, prompts, return_status=True
+        )
+        texts = self._continue_incomplete(frames, prompts, list(texts), complete)
 
         results: list[dict[str, Any] | None] = [None] * len(prompts)
         failed: list[int] = []
@@ -319,6 +348,52 @@ class ContentAnalyzer:
                     still_failed.append(i)
             failed = still_failed
         return results
+
+    def _continue_incomplete(
+        self,
+        frames: np.ndarray,
+        prompts: list[str],
+        texts: list[str],
+        complete: list[bool],
+    ) -> list[str]:
+        """Continue token-capped generations until the grammar accepts.
+
+        The long-note path: each round appends up to max_new_tokens more to
+        every incomplete row. Bounded by analyzer.max_continuations and the
+        call budget; stops early if a prefix no longer fits the sequence
+        budget (the engine raises).
+        """
+        max_rounds = int(self.analyzer_config.get("max_continuations", 3) or 0)
+        for round_idx in range(1, max_rounds + 1):
+            pending = [i for i in range(len(texts)) if not complete[i]]
+            if not pending:
+                break
+            if self.api_counter.remaining() < len(pending):
+                self.logger.warning(
+                    f"event=continuation_skipped reason=budget rows={len(pending)}"
+                )
+                break
+            self.logger.info(
+                f"event=note_continuation round={round_idx} rows={len(pending)}"
+            )
+            for _ in pending:
+                self.api_counter.increment("local")
+            try:
+                more, now_done = self.engine.generate(
+                    frames[np.asarray(pending)],
+                    [prompts[i] for i in pending],
+                    prefixes=[texts[i] for i in pending],
+                    return_status=True,
+                )
+            except ValueError as exc:
+                self.logger.warning(
+                    f"event=continuation_stopped reason=sequence_budget error={exc}"
+                )
+                break
+            for i, tail, is_done in zip(pending, more, now_done):
+                texts[i] += tail
+                complete[i] = is_done
+        return texts
 
     # -- segmented path --------------------------------------------------------
 
@@ -481,6 +556,17 @@ class ContentAnalyzer:
             )
             return note
         if not note.get("deep_dive"):
+            return note
+        # Consolidation exists to reorganize over-fragmented merges into 2-6
+        # conceptual chapters (reference content_analyzer.py:1124-1231). A
+        # note already inside that budget gains nothing — and a local model
+        # untrained on the consolidation prompt can only degrade it — so
+        # skip unless the chapter count exceeds the acceptance ceiling.
+        if len(note.get("deep_dive", [])) <= 6:
+            self.logger.info(
+                f"event=consolidation_skipped reason=already_within_chapter_budget "
+                f"context={context}"
+            )
             return note
 
         self._extra_llm_calls_used += 1

@@ -33,13 +33,28 @@ class VideoLM(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.encoder = VideoEncoder(cfg.encoder, name="encoder")
-        self.projector_up = nn.Dense(
-            cfg.decoder.hidden_dim, use_bias=False, name="projector_up"
-        )
-        self.projector_down = nn.Dense(
-            cfg.decoder.hidden_dim, use_bias=False, name="projector_down"
-        )
+        from .config import EncoderConfig
+
+        self._ported_vision = not isinstance(cfg.encoder, EncoderConfig)
+        if self._ported_vision:
+            # Ported Qwen2-VL tower: its PatchMerger already projects into
+            # the decoder width, so no extra projector.
+            from .qwen_vit import QwenVisionEncoder
+
+            if cfg.encoder.hidden_size != cfg.decoder.hidden_dim:
+                raise ValueError(
+                    f"vision hidden_size {cfg.encoder.hidden_size} != "
+                    f"decoder hidden_dim {cfg.decoder.hidden_dim}"
+                )
+            self.encoder = QwenVisionEncoder(cfg.encoder, name="visual")
+        else:
+            self.encoder = VideoEncoder(cfg.encoder, name="encoder")
+            self.projector_up = nn.Dense(
+                cfg.decoder.hidden_dim, use_bias=False, name="projector_up"
+            )
+            self.projector_down = nn.Dense(
+                cfg.decoder.hidden_dim, use_bias=False, name="projector_down"
+            )
         self.decoder = Decoder(cfg.decoder, remat=self.remat, name="decoder")
 
     @property
@@ -47,9 +62,15 @@ class VideoLM(nn.Module):
         return jnp.dtype(self.config.dtype)
 
     def encode_video(self, patches: jax.Array) -> jax.Array:
-        """[B, N, patch_dim] -> [B, N, decoder_hidden] video embeddings."""
+        """[B, N, patch_dim] -> [B, Nv, decoder_hidden] video embeddings.
+
+        Nv == N for the native encoder; N/4 for a ported Qwen2-VL tower
+        (its 2x2 PatchMerger already lands in the decoder width).
+        """
         dtype = self.compute_dtype
         encoded = self.encoder(patches, dtype=dtype)
+        if self._ported_vision:
+            return encoded.astype(dtype)
         projected = self.projector_down(
             nn.gelu(self.projector_up(encoded.astype(dtype)))
         )
@@ -61,28 +82,52 @@ class VideoLM(nn.Module):
         text_embeds = self.decoder.embed_tokens(tokens, dtype)
         return jnp.concatenate([video_embeds, text_embeds], axis=1)
 
+    @staticmethod
+    def _ragged_last(
+        logits: jax.Array, cache: Cache, lengths: jax.Array | None, offset: int
+    ) -> tuple[jax.Array, Cache]:
+        """Per-row last-VALID logits + cache index for ragged prefills.
+
+        ``lengths`` [B] counts each row's valid TOKEN positions (pad tail
+        excluded); positions past a row's length hold pad K/V that decode
+        never attends (length-masked) and later overwrites in place.
+        """
+        if lengths is None:
+            return logits[:, -1, :], cache
+        pos = offset + lengths - 1
+        last = jnp.take_along_axis(logits, pos[:, None, None], axis=1)[:, 0, :]
+        return last, dict(cache, index=offset + lengths)
+
     def prefill(
         self,
         patches: jax.Array,
         prompt_tokens: jax.Array,
         cache: Cache,
+        lengths: jax.Array | None = None,
     ) -> tuple[jax.Array, Cache]:
-        """Encode video + prompt, fill the KV cache; returns (last_logits, cache)."""
+        """Encode video + prompt, fill the KV cache; returns (last_logits, cache).
+
+        ``lengths`` [B] marks per-row valid token counts (continuation
+        prefills carry ragged prefixes); None = the full block is valid.
+        """
         video_embeds = self.encode_video(patches)
         inputs = self._splice(video_embeds, prompt_tokens)
         logits, cache = self.decoder(
             inputs, cache=cache, dtype=self.compute_dtype, prefill=True
         )
-        return logits[:, -1, :], cache
+        return self._ragged_last(logits, cache, lengths, video_embeds.shape[1])
 
     def prefill_text(
-        self, prompt_tokens: jax.Array, cache: Cache
+        self,
+        prompt_tokens: jax.Array,
+        cache: Cache,
+        lengths: jax.Array | None = None,
     ) -> tuple[jax.Array, Cache]:
         """Text-only prefill (validator / consolidation / rewrite passes)."""
         logits, cache = self.decoder(
             prompt_tokens, cache=cache, dtype=self.compute_dtype, prefill=True
         )
-        return logits[:, -1, :], cache
+        return self._ragged_last(logits, cache, lengths, 0)
 
     def decode_step(
         self, tokens: jax.Array, cache: Cache

@@ -28,7 +28,7 @@ from ..models.config import VLMConfig
 from ..models.lm import init_kv_cache
 from ..models.tokenizer import ByteTokenizer
 from ..models.vlm import VideoLM
-from ..ops.constrained import JsonDfa, advance_state, constrain_logits
+from ..ops.constrained import JsonDfa
 from ..ops.preprocess import preprocess_frames
 from ..utils.tracing import tracer
 from .mesh import DATA_AXIS, MODEL_AXIS, build_mesh
@@ -104,6 +104,7 @@ class InferenceEngine:
         seed: int = 0,
         params: Any = None,
         compilation_cache_dir: str | None = "./data/cache/jax",
+        tokenizer: Any = None,
     ):
         """``structure_bias`` is a length-control logit bias added to JSON
         closing tokens (quote/bracket/brace/EOS) — positive values steer
@@ -118,7 +119,14 @@ class InferenceEngine:
         self.temperature = float(temperature)
         self.structure_bias = float(structure_bias)
         self.max_forced_run = int(max_forced_run)
-        self.tokenizer = ByteTokenizer(config.decoder.vocab_size)
+        # Pluggable tokenizer: byte-level by default, a trained BpeTokenizer
+        # (models/bpe.py) for subword decoding with the token grammar.
+        if tokenizer is not None and tokenizer.vocab_size != config.decoder.vocab_size:
+            raise ValueError(
+                f"tokenizer vocab {tokenizer.vocab_size} != decoder vocab "
+                f"{config.decoder.vocab_size}"
+            )
+        self.tokenizer = tokenizer or ByteTokenizer(config.decoder.vocab_size)
         self.model = VideoLM(config)
         self.stats = EngineStats()
         self._rng = jax.random.PRNGKey(seed)
@@ -139,6 +147,41 @@ class InferenceEngine:
                 dfa.device_table(), NamedSharding(self.mesh, P())
             )
         return self._tables[key]
+
+    @property
+    def byte_vocab(self) -> int:
+        """Column width for byte-DFA construction against this tokenizer.
+
+        Byte engines mask logits directly with the byte table, so it must
+        span the full vocab; subword engines only walk byte columns (0-255 +
+        specials), so grammars build at the canonical 512 width and are
+        projected by wrap_grammar.
+        """
+        from ..models.bpe import BpeTokenizer
+
+        if isinstance(self.tokenizer, BpeTokenizer):
+            return 512
+        return self.tokenizer.vocab_size
+
+    def wrap_grammar(self, byte_dfa):
+        """Project a byte-level grammar for this engine's tokenizer.
+
+        Byte tokenizer: returned unchanged. BPE tokenizer: wrapped in a
+        TokenGrammar (cached per DFA identity — the bitset precompute is
+        host work worth reusing).
+        """
+        from ..models.bpe import BpeTokenizer
+
+        if not isinstance(self.tokenizer, BpeTokenizer):
+            return byte_dfa
+        if not hasattr(self, "_wrapped_grammars"):
+            self._wrapped_grammars = {}
+        key = id(byte_dfa)
+        if key not in self._wrapped_grammars:
+            from ..ops.token_grammar import TokenGrammar
+
+            self._wrapped_grammars[key] = TokenGrammar(byte_dfa, self.tokenizer)
+        return self._wrapped_grammars[key]
 
     def restore(self, checkpoint_path: str) -> None:
         """Restore trained parameters from an orbax checkpoint.
@@ -223,7 +266,7 @@ class InferenceEngine:
         else:
             kv_spec = P(None, DATA_AXIS)
 
-        def generate(params, patches, prompt, rng):
+        def generate(params, patches, prompt, lengths, init_state, rng):
             b = prompt.shape[0]
             dtype = jnp.dtype(cfg.dtype)
             cache = init_kv_cache(cfg.decoder, b, cache_len, dtype)
@@ -236,22 +279,28 @@ class InferenceEngine:
                 ),
                 "index": cache["index"],
             }
+            # ``lengths`` [B] = per-row valid token count in the prompt block
+            # (continuation prefixes are ragged); ``init_state`` [B] resumes
+            # the grammar mid-document on continuation calls.
             if with_video:
                 logits, cache = model.apply(
-                    params, patches, prompt, cache, method=VideoLM.prefill
+                    params, patches, prompt, cache, lengths,
+                    method=VideoLM.prefill,
                 )
             else:
                 logits, cache = model.apply(
-                    params, prompt, cache, method=VideoLM.prefill_text
+                    params, prompt, cache, lengths, method=VideoLM.prefill_text
                 )
-            state = jnp.full((b,), dfa.start if dfa else 0, jnp.int32)
-            done = jnp.zeros((b,), bool)
+            state = init_state
+            done = (
+                (state == dfa.accept) if dfa else jnp.zeros((b,), bool)
+            )
             tokens = jnp.full((b, out_width), eos, jnp.int32)
             out_pos = jnp.zeros((b,), jnp.int32)
 
             def sample(logits, state, done, key):
                 if table is not None:
-                    logits = constrain_logits(logits, state, table)
+                    logits = dfa.constrain(logits, state, table)
                 if close_bias is not None:
                     logits = logits + close_bias
                 if temperature > 0:
@@ -280,7 +329,7 @@ class InferenceEngine:
                 tok = sample(logits, state, done, key)
 
                 if table is not None:
-                    mid_state = advance_state(state, tok, table)
+                    mid_state = dfa.advance(state, tok, table)
                     mid_state = jnp.where(done, state, mid_state)
                     # Fast-forward the forced literal run from mid_state.
                     run = jnp.where(done, 0, forced_len[mid_state])  # [B]
@@ -318,10 +367,13 @@ class InferenceEngine:
             carry = (
                 jnp.int32(0), logits, cache, state, tokens, out_pos, done, rng
             )
-            _, _, _, _, tokens, out_pos, _, _ = jax.lax.while_loop(
+            _, _, _, state, tokens, out_pos, done, _ = jax.lax.while_loop(
                 cond, body, carry
             )
-            return tokens, out_pos
+            # complete = the grammar accepted (or EOS without a grammar) —
+            # a False row ran out of token budget and can be continued.
+            complete = (state == dfa.accept) if dfa else done
+            return tokens, out_pos, complete
 
         replicated = NamedSharding(self.mesh, P())
         if with_video:
@@ -330,21 +382,25 @@ class InferenceEngine:
                 param_shardings(self.mesh, self.params),
                 data_sharding,
                 data_sharding,
+                data_sharding,
+                data_sharding,
                 replicated,
             )
         else:
-            def fn(params, prompt, rng):  # type: ignore[misc]
-                return generate(params, None, prompt, rng)
+            def fn(params, prompt, lengths, init_state, rng):  # type: ignore[misc]
+                return generate(params, None, prompt, lengths, init_state, rng)
 
             in_shardings = (
                 param_shardings(self.mesh, self.params),
+                data_sharding,
+                data_sharding,
                 data_sharding,
                 replicated,
             )
         return jax.jit(
             fn,
             in_shardings=in_shardings,
-            out_shardings=(data_sharding, replicated),
+            out_shardings=(data_sharding, data_sharding, data_sharding),
         )
 
     def _get_generate(
@@ -386,7 +442,9 @@ class InferenceEngine:
         maps to one stable bucket (no recompile churn). The bucket is capped
         so prompt + video tokens + max_new still fit the KV cache.
         """
-        longest = max((len(p.encode("utf-8")) + 1 for p in prompts), default=1)
+        longest = max(
+            (len(self.tokenizer.encode(p)) + 1 for p in prompts), default=1
+        )
         bucket = _round_up(longest, 128)
         video_tokens = self.config.video_tokens if with_video else 0
         # block_width slack (grammar fast-forward) is at most
@@ -406,7 +464,7 @@ class InferenceEngine:
         b_padded = _round_up(max(b_real, 1), self.data_parallel)
         padded_prompts = prompts + [""] * (b_padded - b_real)
         overflow = sum(
-            1 for p in prompts if len(p.encode("utf-8")) + 1 > prompt_len
+            1 for p in prompts if len(self.tokenizer.encode(p)) + 1 > prompt_len
         )
         if overflow:
             import logging
@@ -422,19 +480,109 @@ class InferenceEngine:
         )
         return b_padded, prompt_tokens
 
+    @staticmethod
+    def _byte_table(dfa) -> np.ndarray:
+        """The byte-level transition table behind either grammar flavor."""
+        return getattr(dfa, "dfa", dfa).next_state
+
+    def _resume_state(self, dfa, prefix: str) -> int:
+        """Grammar state after consuming ``prefix`` (continuation resume)."""
+        table = self._byte_table(dfa)
+        state = dfa.start
+        for byte in prefix.encode("utf-8"):
+            state = int(table[state, byte])
+            if state < 0:
+                raise ValueError("continuation prefix leaves the grammar")
+        return state
+
+    def _assemble_inputs(
+        self,
+        prompts: list[str],
+        prefixes: list[str] | None,
+        b_real: int,
+        prompt_len: int,
+        dfa,
+        with_video: bool,
+    ) -> tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
+        """Token block [B, prompt_len + prefix_bucket] + per-row lengths and
+        grammar resume states.
+
+        Each ROW'S prompt occupies its OWN 128-multiple bucket (PAD-filled),
+        and that row's generation starts right after it (per-row cache
+        index) — the exact layout training packs (train/run.py::_pack_row),
+        so positions line up even when one batch mixes templates of
+        different bucket sizes. ``prompt_len`` is the batch-wide array
+        width for the prompt region (max row bucket when auto-sized).
+        Continuation prefixes append after the row's prompt block and resume
+        the grammar mid-document; the new text continues at the exact
+        positions of the original pass.
+        """
+        b_padded, prompt_tokens = self._pad_and_tokenize(prompts, b_real, prompt_len)
+        row_buckets = np.full((b_padded,), prompt_len, np.int32)
+        for i, p in enumerate(prompts):
+            row_buckets[i] = min(
+                _round_up(len(self.tokenizer.encode(p)) + 1, 128), prompt_len
+            )
+
+        prefix_ids: list[list[int]] = [[] for _ in range(b_padded)]
+        if prefixes is not None:
+            for i, prefix in enumerate(prefixes):
+                prefix_ids[i] = self.tokenizer.encode(prefix) if prefix else []
+        prefix_bucket = _round_up(max(map(len, prefix_ids), default=0), 128) if any(
+            prefix_ids
+        ) else 0
+
+        total = prompt_len + prefix_bucket
+        if prefix_bucket:
+            # Continuation pre-check (mirrors _build_generate's cache bound,
+            # raised here so callers can stop continuing gracefully).
+            video_tokens = self.config.video_tokens if with_video else 0
+            cache_len = _round_up(
+                video_tokens + total + self.max_new_tokens
+                + self.max_forced_run + 2,
+                128,
+            )
+            if cache_len > self.config.decoder.max_seq_len:
+                raise ValueError(
+                    f"prompt+prefix ({total} tokens) exceeds the sequence "
+                    f"budget; cannot continue this generation"
+                )
+
+        tokens = np.full((b_padded, total), self.tokenizer.PAD, np.int32)
+        tokens[:, :prompt_len] = prompt_tokens
+        lengths = row_buckets.copy()
+        start_state = dfa.start if dfa is not None else 0
+        states = np.full((b_padded,), start_state, np.int32)
+        for i, ids in enumerate(prefix_ids):
+            if not ids:
+                continue
+            start = int(row_buckets[i])
+            tokens[i, start : start + len(ids)] = ids
+            lengths[i] = start + len(ids)
+            if dfa is not None:
+                states[i] = self._resume_state(dfa, prefixes[i])  # type: ignore[index]
+        return b_padded, total, tokens, lengths, states
+
     def generate(
         self,
         frames: np.ndarray,
         prompts: list[str],
         prompt_len: int | None = None,
         dfa: JsonDfa | None = None,
-    ) -> list[str]:
+        prefixes: list[str] | None = None,
+        return_status: bool = False,
+    ):
         """Analyze a batch of clips: returns one decoded text per clip.
 
         frames: uint8 [B, T, H, W, 3]; B is padded up to a multiple of the
         data-parallel degree before the sharded call. ``dfa`` overrides the
-        engine's default decoding grammar for this call. ``prompt_len`` is
+        engine's default decoding grammar for this call; ``prompt_len`` is
         auto-sized to fit the prompts (128-multiple bucket) when omitted.
+        ``prefixes`` continues earlier generations (reference MAX_TOKENS
+        continuation, content_analyzer.py:1385-1464): each row re-prefills
+        prompt + prefix and resumes the grammar mid-document; the returned
+        text is the NEW tail only. ``return_status=True`` additionally
+        returns per-row completion flags (False = ran out of token budget).
         """
         b_real = frames.shape[0]
         if len(prompts) != b_real:
@@ -442,61 +590,69 @@ class InferenceEngine:
         if prompt_len is None:
             prompt_len = self._prompt_bucket(prompts, with_video=True)
         dfa = dfa if dfa is not None else self.dfa
-        b_padded, prompt_tokens = self._pad_and_tokenize(prompts, b_real, prompt_len)
+        b_padded, total, tokens_in, lengths, states = self._assemble_inputs(
+            prompts, prefixes, b_real, prompt_len, dfa, with_video=True
+        )
 
         if b_padded != b_real:
             pad = np.zeros((b_padded - b_real,) + frames.shape[1:], frames.dtype)
             frames = np.concatenate([frames, pad], axis=0)
-
         patches = self.preprocess(frames)
-        fn = self._get_generate(b_padded, prompt_len, True, dfa)
+        fn = self._get_generate(b_padded, total, True, dfa)
 
-        self._rng, key = jax.random.split(self._rng)
-        start = time.perf_counter()
-        with tracer.span("engine.generate", batch=b_padded):
-            tokens, out_pos = fn(
-                self.params, patches, jnp.asarray(prompt_tokens), key
-            )
-            tokens = np.asarray(tokens)
-        out_pos = np.asarray(out_pos)
-        elapsed = time.perf_counter() - start
-
-        self.stats.generate_calls += 1
-        self.stats.tokens_generated += int(out_pos[:b_real].sum())
-        self.stats.generate_seconds += elapsed
-        self.stats.prefill_tokens += b_real * (self.config.video_tokens + prompt_len)
-
-        return [
-            self.tokenizer.decode(tokens[i, : out_pos[i]]) for i in range(b_real)
-        ]
+        args = (patches, jnp.asarray(tokens_in))
+        return self._execute(
+            fn, args, lengths, states, b_real, total, True, return_status,
+            span="engine.generate",
+        )
 
     def generate_text(
         self,
         prompts: list[str],
         prompt_len: int | None = None,
         dfa: JsonDfa | None = None,
-    ) -> list[str]:
+        prefixes: list[str] | None = None,
+        return_status: bool = False,
+    ):
         """Text-only generation (validator scoring, consolidation, rewrite)."""
         b_real = len(prompts)
         if prompt_len is None:
             prompt_len = self._prompt_bucket(prompts, with_video=False)
         dfa = dfa if dfa is not None else self.dfa
-        b_padded, prompt_tokens = self._pad_and_tokenize(prompts, b_real, prompt_len)
+        b_padded, total, tokens_in, lengths, states = self._assemble_inputs(
+            prompts, prefixes, b_real, prompt_len, dfa, with_video=False
+        )
 
-        fn = self._get_generate(b_padded, prompt_len, False, dfa)
+        fn = self._get_generate(b_padded, total, False, dfa)
+        return self._execute(
+            fn, (jnp.asarray(tokens_in),), lengths, states, b_real, total,
+            False, return_status, span="engine.generate_text",
+        )
+
+    def _execute(
+        self, fn, args, lengths, states, b_real, prompt_width, with_video,
+        return_status, span,
+    ):
         self._rng, key = jax.random.split(self._rng)
         start = time.perf_counter()
-        with tracer.span("engine.generate_text", batch=b_padded):
-            tokens, out_pos = fn(self.params, jnp.asarray(prompt_tokens), key)
+        with tracer.span(span, batch=len(lengths)):
+            tokens, out_pos, complete = fn(
+                self.params, *args, jnp.asarray(lengths), jnp.asarray(states), key
+            )
             tokens = np.asarray(tokens)
         out_pos = np.asarray(out_pos)
+        complete = np.asarray(complete)
         elapsed = time.perf_counter() - start
 
         self.stats.generate_calls += 1
         self.stats.tokens_generated += int(out_pos[:b_real].sum())
         self.stats.generate_seconds += elapsed
-        self.stats.prefill_tokens += b_real * prompt_len
+        video_tokens = self.config.video_tokens if with_video else 0
+        self.stats.prefill_tokens += b_real * (video_tokens + prompt_width)
 
-        return [
+        texts = [
             self.tokenizer.decode(tokens[i, : out_pos[i]]) for i in range(b_real)
         ]
+        if return_status:
+            return texts, [bool(c) for c in complete[:b_real]]
+        return texts

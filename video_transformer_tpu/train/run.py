@@ -30,58 +30,129 @@ from .trainer import TrainConfig, Trainer
 __all__ = ["main"]
 
 
-def _staged_batches(data_dir, config, batch, text_len, logger, prompt=None,
-                    prompt_len=0):
-    """Cycle over staged (video, note) pairs, yielding device-ready batches."""
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pack_row(tok, encode_note, text, text_len, prompt, prompt_len, rng):
+    """One training row: [BOS + prompt block][note body][EOS], PAD-padded.
+
+    The prompt block width is the SERVING bucket for this prompt —
+    round_up(tokens + 1, 128), capped at ``prompt_len`` — exactly what
+    engine._assemble_inputs computes, so train and serve positions line up
+    per row. Returns (row, block_width).
+    """
+    prefix: list[int] = []
+    block = 0
+    if prompt and prompt_len > 0:
+        text_prompt = prompt(rng) if callable(prompt) else prompt
+        n_tokens = len(tok.encode(text_prompt)) + 1
+        block = min(_round_up(n_tokens, 128), prompt_len)
+        prefix = list(tok.encode_array(text_prompt, block, add_bos=True))
+    body = encode_note(text)[: text_len - len(prefix) - 1] + [tok.EOS]
+    if not prefix:
+        body = [tok.BOS] + body[: text_len - 1]
+    row = np.full((text_len,), tok.PAD, dtype=np.int32)
+    ids = prefix + body
+    row[: len(ids)] = ids[:text_len]
+    return row, block
+
+
+def _frames_to_patches(frames, config):
     import jax.numpy as jnp
+
+    patches = preprocess_frames(
+        jnp.asarray(frames[None]), config.encoder, jnp.float32
+    )[0]
+    return np.asarray(patches)
+
+
+def _staged_batches(data_dir, config, batch, text_len, logger, prompt=None,
+                    prompt_len=0, tok=None, encode_note=None):
+    """Cycle over staged (video, note) pairs, yielding device-ready batches."""
     import json
 
     from ..video.containers import read_frames
 
-    tok = ByteTokenizer(config.decoder.vocab_size)
+    tok = tok or ByteTokenizer(config.decoder.vocab_size)
+    encode_note = encode_note or (lambda text: tok.encode(text))
     records = list(distillation_records(data_dir))
     if not records:
         raise SystemExit(f"no (video, note) pairs found under {data_dir}")
     logger.info(f"staged records: {len(records)}")
-    prefix = (
-        list(tok.encode_array(prompt, prompt_len, add_bos=True))
-        if prompt and prompt_len > 0
-        else []
-    )
+    rng = np.random.default_rng(0)
     cursor = 0
     while True:
-        patches_list, tokens_list = [], []
+        patches_list, tokens_list, blocks = [], [], []
         for _ in range(batch):
             video, note = records[cursor % len(records)]
             cursor += 1
             frames = read_frames(video, config.encoder.num_frames)
-            patches = preprocess_frames(
-                jnp.asarray(frames[None]), config.encoder, jnp.float32
-            )[0]
-            patches_list.append(np.asarray(patches))
+            patches_list.append(_frames_to_patches(frames, config))
             text = json.dumps(note, ensure_ascii=False)
-            row = np.full((text_len,), tok.PAD, dtype=np.int32)
-            body = tok.encode(text, add_eos=True)[: text_len - len(prefix)]
-            if not prefix:
-                body = [tok.BOS] + body[: text_len - 1]
-            ids = prefix + list(body)
-            row[: len(ids)] = ids
+            row, block = _pack_row(
+                tok, encode_note, text, text_len, prompt, prompt_len, rng
+            )
             tokens_list.append(row)
-        yield np.stack(patches_list), np.stack(tokens_list)
+            blocks.append(block)
+        yield (
+            np.stack(patches_list),
+            np.stack(tokens_list),
+            np.asarray(blocks, np.int32),
+        )
+
+
+def _grounded_batches(config, batch, text_len, logger, prompt=None,
+                      prompt_len=0, tok=None, encode_note=None, seed=0):
+    """On-the-fly grounded pairs: frames carry the note's topic signature."""
+    import json
+
+    from .grounded import TOPIC_BANK, grounded_note, render_topic_clip
+
+    tok = tok or ByteTokenizer(config.decoder.vocab_size)
+    encode_note = encode_note or (lambda text: tok.encode(text))
+    rng = np.random.default_rng(seed)
+    logger.info(f"grounded corpus: {len(TOPIC_BANK)} topics, on-the-fly")
+    while True:
+        patches_list, tokens_list, blocks = [], [], []
+        for _ in range(batch):
+            idx = int(rng.integers(len(TOPIC_BANK)))
+            frames = render_topic_clip(
+                idx, config.encoder.num_frames, config.encoder.image_size, rng
+            )
+            patches_list.append(_frames_to_patches(frames, config))
+            text = json.dumps(
+                grounded_note(TOPIC_BANK[idx], rng), ensure_ascii=False
+            )
+            row, block = _pack_row(
+                tok, encode_note, text, text_len, prompt, prompt_len, rng
+            )
+            tokens_list.append(row)
+            blocks.append(block)
+        yield (
+            np.stack(patches_list),
+            np.stack(tokens_list),
+            np.asarray(blocks, np.int32),
+        )
 
 
 def _synthetic_batches(config, batch, text_len, dfa, prompt, prompt_len):
     rng = np.random.default_rng(0)
+    blocks = np.full((batch,), prompt_len if prompt else 0, np.int32)
     while True:
-        yield synthetic_batch(
+        patches, tokens = synthetic_batch(
             rng, config, batch, text_len, dfa=dfa,
             prompt=prompt, prompt_len=prompt_len,
         )
+        yield patches, tokens, blocks
 
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="train/distill the VideoLM")
-    parser.add_argument("--preset", default="tiny", choices=["tiny", "base", "7b"])
+    parser.add_argument(
+        "--preset", default="tiny",
+        choices=["tiny", "base", "7b", "qwen2vl-7b"],
+    )
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--text-len", type=int, default=2048)
@@ -90,6 +161,16 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--tp", type=int, default=1, help="model-axis size")
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--data", help="staging dir of (video, note) pairs")
+    parser.add_argument(
+        "--grounded", action="store_true",
+        help="train on grounded topic-signature pairs (frames determine the "
+             "note content; see train/grounded.py)",
+    )
+    parser.add_argument(
+        "--tokenizer",
+        help="path to a trained BPE vocab (models/bpe.py); resizes the "
+             "decoder vocab and uses grammar-aligned note tokenization",
+    )
     parser.add_argument(
         "--prompt-len", type=int, default=256,
         help="serving prompt block width prepended to each sequence "
@@ -107,6 +188,29 @@ def main(argv: list[str] | None = None) -> int:
             f"prompt_len clamped to {args.prompt_len} (text_len {args.text_len})"
         )
     config = get_preset(args.preset)
+
+    # Optional BPE tokenizer: resize the decoder vocab and tokenize notes
+    # with grammar-aligned segmentation so training matches the constrained
+    # decode loop's forced tokenization (ops/token_grammar.py).
+    tok = None
+    encode_note = None
+    if args.tokenizer:
+        from dataclasses import replace
+
+        from ..models.bpe import BpeTokenizer
+        from ..ops.token_grammar import TokenGrammar
+
+        tok = BpeTokenizer.load(args.tokenizer)
+        config = replace(
+            config, decoder=replace(config.decoder, vocab_size=tok.vocab_size)
+        )
+        grammar = TokenGrammar(note_dfa(512), tok)
+        encode_note = grammar.encode_aligned
+        logger.info(
+            f"bpe tokenizer: {args.tokenizer} vocab={tok.vocab_size} "
+            f"merges={len(tok.merges)}"
+        )
+
     # Align the full sequence (video tokens + text) to 128 so the Pallas
     # flash backward engages (unaligned totals fall back to the O(S^2)
     # reference VJP).
@@ -163,19 +267,26 @@ def main(argv: list[str] | None = None) -> int:
         batches = _staged_batches(
             args.data, config, args.batch, args.text_len, logger,
             prompt=prompt, prompt_len=args.prompt_len,
+            tok=tok, encode_note=encode_note,
+        )
+    elif args.grounded:
+        batches = _grounded_batches(
+            config, args.batch, args.text_len, logger,
+            prompt=prompt, prompt_len=args.prompt_len,
+            tok=tok, encode_note=encode_note,
         )
     else:
         logger.info("no --data given: training on schema-valid synthetic pairs")
         batches = _synthetic_batches(
             config, args.batch, args.text_len,
-            note_dfa(config.decoder.vocab_size), prompt, args.prompt_len,
+            note_dfa(min(config.decoder.vocab_size, 512)), prompt, args.prompt_len,
         )
 
     start = time.perf_counter()
     tokens_seen = 0
     for step in range(1, args.steps + 1):
-        patches, tokens = next(batches)
-        metrics = trainer.step(patches, tokens)
+        patches, tokens, prompt_lens = next(batches)
+        metrics = trainer.step(patches, tokens, prompt_lens)
         tokens_seen += int(metrics.get("tokens", 0))
         if step % 10 == 0 or step == 1:
             elapsed = time.perf_counter() - start

@@ -74,13 +74,16 @@ def distillation_loss(
     patches: jax.Array,  # [B, Nv, patch_dim]
     tokens: jax.Array,  # [B, St] teacher text (BOS ... EOS PAD*)
     pad_id: int,
-    prompt_len: int = 0,
+    prompt_lens: jax.Array | None = None,  # [B] per-row prompt block widths
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Next-token CE on text positions; video tokens condition only.
 
-    ``prompt_len`` masks the serving prompt block (positions 0..prompt_len)
-    out of the loss so the model learns to CONTINUE the prompt, never to
-    reproduce it — matching the inference layout exactly.
+    ``prompt_lens`` masks each row's serving prompt block (positions
+    0..prompt_lens[i]) out of the loss so the model learns to CONTINUE the
+    prompt, never to reproduce it. PER ROW because the serving engine sizes
+    every prompt's block to its own 128-multiple bucket
+    (engine._assemble_inputs) — training must mask the same widths or
+    generation starts at out-of-distribution positions.
     """
     video_tokens = model.config.video_tokens
     logits = model.apply(params, patches, tokens)  # [B, Nv+St, V]
@@ -88,9 +91,9 @@ def distillation_loss(
     text_logits = logits[:, video_tokens - 1 : -1, :]  # predicts tokens[:, 0:St]
     targets = tokens
     mask = (targets != pad_id).astype(jnp.float32)
-    if prompt_len > 0:
+    if prompt_lens is not None:
         positions = jnp.arange(targets.shape[1])[None, :]
-        mask = mask * (positions >= prompt_len).astype(jnp.float32)
+        mask = mask * (positions >= prompt_lens[:, None]).astype(jnp.float32)
     log_probs = jax.nn.log_softmax(text_logits.astype(jnp.float32), axis=-1)
     token_ll = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
     denom = jnp.maximum(mask.sum(), 1.0)
@@ -105,14 +108,13 @@ def make_train_step(
     model: VideoLM,
     optimizer: optax.GradientTransformation,
     pad_id: int = ByteTokenizer.PAD,
-    prompt_len: int = 0,
 ):
     """Build the (jittable) train step: (params, opt_state, batch) -> updated."""
 
-    def train_step(params, opt_state, patches, tokens):
+    def train_step(params, opt_state, patches, tokens, prompt_lens):
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: distillation_loss(
-                model, p, patches, tokens, pad_id, prompt_len
+                model, p, patches, tokens, pad_id, prompt_lens
             ),
             has_aux=True,
         )(params)
@@ -149,21 +151,33 @@ class Trainer:
 
         data_sharding = NamedSharding(mesh, P(DATA_AXIS))
         self._step = jax.jit(
-            make_train_step(
-                self.model, self.optimizer,
-                prompt_len=self.train_config.prompt_len,
-            ),
+            make_train_step(self.model, self.optimizer),
             in_shardings=(sharding, param_shardings(mesh, opt_state),
-                          data_sharding, data_sharding),
+                          data_sharding, data_sharding, data_sharding),
             out_shardings=(sharding, param_shardings(mesh, opt_state), None),
             donate_argnums=(0, 1),
         )
         self.step_count = 0
 
-    def step(self, patches: jax.Array, tokens: jax.Array) -> dict[str, float]:
-        """One sharded optimization step; returns host-side metrics."""
+    def step(
+        self,
+        patches: jax.Array,
+        tokens: jax.Array,
+        prompt_lens: jax.Array | None = None,
+    ) -> dict[str, float]:
+        """One sharded optimization step; returns host-side metrics.
+
+        ``prompt_lens`` [B] = per-row prompt block widths to mask from the
+        loss; defaults to the uniform TrainConfig.prompt_len.
+        """
+        import numpy as np
+
+        if prompt_lens is None:
+            prompt_lens = np.full(
+                (tokens.shape[0],), self.train_config.prompt_len, np.int32
+            )
         self.params, self.opt_state, metrics = self._step(
-            self.params, self.opt_state, patches, tokens
+            self.params, self.opt_state, patches, tokens, prompt_lens
         )
         self.step_count += 1
         return {k: float(v) for k, v in metrics.items()}
@@ -171,15 +185,23 @@ class Trainer:
     # -- checkpointing ---------------------------------------------------------
 
     def save_checkpoint(self, directory: str) -> None:
+        from pathlib import Path
+
         import orbax.checkpoint as ocp
 
+        # orbax rejects relative paths ("Checkpoint path should be absolute").
+        target = Path(directory).resolve() / f"params_{self.step_count}"
+        if target.exists():
+            return  # already saved at this step (periodic + final overlap)
         with ocp.StandardCheckpointer() as checkpointer:
-            checkpointer.save(
-                f"{directory}/params_{self.step_count}", self.params
-            )
+            checkpointer.save(target, self.params)
 
     def restore_checkpoint(self, path: str) -> None:
+        from pathlib import Path
+
         import orbax.checkpoint as ocp
 
         with ocp.StandardCheckpointer() as checkpointer:
-            self.params = checkpointer.restore(path, self.params)
+            self.params = checkpointer.restore(
+                Path(path).resolve(), self.params
+            )
