@@ -41,8 +41,9 @@ def test_production_note_style_defaults():
     assert system["quality_gates"]["enabled"] is True
     assert system["render"]["include_concept_index"] is False  # pdf profile
     assert config["engine"]["checkpoint_dir"] == (
-        "./data/checkpoints/tiny-zh-templated"
+        "./data/checkpoints/tiny-zh-grounded"
     )
+    assert config["engine"]["tokenizer"]["type"] == "bpe"
 
 
 def test_missing_file_raises(tmp_path):

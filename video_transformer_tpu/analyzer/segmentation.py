@@ -19,6 +19,7 @@ model-driven consolidation pass.
 
 from __future__ import annotations
 
+import json
 import re
 from typing import Any
 
@@ -208,6 +209,19 @@ _CONSOLIDATION_REQUIRED = {
 }
 
 
+def _grounded_in(candidate: str, source: str, threshold: float = 0.6) -> bool:
+    """True when >= threshold of the candidate's character bigrams occur in
+    the source (both normalized). Short candidates fall back to substring
+    containment of their characters."""
+    if not candidate:
+        return False
+    if len(candidate) < 2:
+        return candidate in source
+    bigrams = [candidate[i : i + 2] for i in range(len(candidate) - 1)]
+    hits = sum(1 for b in bigrams if b in source)
+    return hits / len(bigrams) >= threshold
+
+
 def accept_consolidation(
     parsed: Any, merged: dict[str, Any]
 ) -> dict[str, Any] | None:
@@ -224,12 +238,20 @@ def accept_consolidation(
     chapters = as_chapters(parsed.get("deep_dive", []) or [])
     if not 2 <= len(chapters) <= 6:
         return None
+    # Content grounding: a consolidation may only REORGANIZE the merged
+    # note, not invent chapters. Every candidate chapter title must draw
+    # its terms from the source text (bigram overlap) or the candidate is
+    # rejected — the deterministic analog of the reference's "strict
+    # acceptance" against a competent judge.
+    source = normalize_text(json.dumps(merged, ensure_ascii=False))
     seen: set[str] = set()
     for chapter in chapters:
         norm = normalize_text(str(chapter.get("chapter_title", "")))
         if norm in seen:
             return None
         seen.add(norm)
+        if not _grounded_in(norm, source):
+            return None
     out = dict(parsed, deep_dive=chapters)
     if "visual_schemas" in merged and "visual_schemas" not in out:
         out["visual_schemas"] = merged.get("visual_schemas", [])
