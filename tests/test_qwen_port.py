@@ -1,0 +1,202 @@
+"""Qwen2-VL vision-tower port: numerical parity against the HF torch module.
+
+No weights are downloadable in this environment, but transformers ships the
+MODELING CODE — so a randomly-initialized torch tower is the ground truth:
+port its state dict through models/port.py into models/qwen_vit.py and the
+two implementations must agree on random inputs. This proves the port
+mapping (conv-as-matmul, fused QKV, 2D rotary, QuickGELU, merger) is
+correct for real checkpoints too.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from video_transformer_tpu.models.port import port_vision_state
+from video_transformer_tpu.models.qwen_vit import (
+    QwenVisionConfig,
+    QwenVisionEncoder,
+    qwen_patchify,
+)
+
+TINY = QwenVisionConfig(
+    embed_dim=64,
+    depth=2,
+    num_heads=4,
+    mlp_ratio=2.0,
+    patch_size=14,
+    temporal_patch_size=2,
+    spatial_merge_size=2,
+    hidden_size=96,
+    image_size=56,  # 4x4 patch grid
+    num_frames=4,
+)
+
+
+def _hf_tower(config: QwenVisionConfig):
+    from transformers.models.qwen2_vl.configuration_qwen2_vl import (
+        Qwen2VLVisionConfig,
+    )
+    from transformers.models.qwen2_vl.modeling_qwen2_vl import (
+        Qwen2VisionTransformerPretrainedModel,
+    )
+
+    hf_config = Qwen2VLVisionConfig(
+        depth=config.depth,
+        embed_dim=config.embed_dim,
+        hidden_size=config.hidden_size,
+        num_heads=config.num_heads,
+        mlp_ratio=config.mlp_ratio,
+        patch_size=config.patch_size,
+        temporal_patch_size=config.temporal_patch_size,
+        spatial_merge_size=config.spatial_merge_size,
+        in_channels=config.in_channels,
+    )
+    torch.manual_seed(0)
+    model = Qwen2VisionTransformerPretrainedModel._from_config(hf_config)
+    model = model.float().eval()
+    # Break the degenerate default init (LayerNorm scales are all ones etc.
+    # already vary; conv + linears are randomly initialized by HF).
+    return model
+
+
+@pytest.fixture(scope="module")
+def parity():
+    import jax
+    import jax.numpy as jnp
+
+    hf = _hf_tower(TINY)
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = {"params": port_vision_state(state, TINY)}
+
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal(
+        (1, TINY.num_frames, TINY.image_size, TINY.image_size, 3)
+    ).astype(np.float32)
+    patches = qwen_patchify(jnp.asarray(frames), TINY)
+
+    encoder = QwenVisionEncoder(TINY)
+    ours = np.asarray(
+        encoder.apply(params, patches, dtype=jnp.float32)
+    )
+
+    grid_thw = torch.tensor([[TINY.grid[0], TINY.grid[1], TINY.grid[2]]])
+    with torch.no_grad():
+        theirs = hf(
+            torch.from_numpy(np.asarray(patches[0])), grid_thw=grid_thw
+        ).numpy()
+    return ours[0], theirs
+
+
+class TestVisionPortParity:
+    def test_output_shape(self, parity):
+        ours, theirs = parity
+        assert ours.shape == theirs.shape == (TINY.merged_tokens_per_clip, TINY.hidden_size)
+
+    def test_numerics_match(self, parity):
+        ours, theirs = parity
+        np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=2e-3)
+
+
+class TestPortedVLMIntegration:
+    def test_vlm_with_ported_tower_forward_and_prefill(self):
+        """VideoLM accepts a QwenVisionConfig encoder: forward + prefill run
+        and the decoder sees merged (N/4) video tokens."""
+        import jax
+        import jax.numpy as jnp
+
+        from video_transformer_tpu.models.config import DecoderConfig, VLMConfig
+        from video_transformer_tpu.models.lm import init_kv_cache
+        from video_transformer_tpu.models.vlm import VideoLM
+        from video_transformer_tpu.ops.preprocess import preprocess_frames
+
+        config = VLMConfig(
+            name="qwen-tiny",
+            encoder=TINY,
+            decoder=DecoderConfig(
+                vocab_size=512, hidden_dim=TINY.hidden_size, num_layers=2,
+                num_heads=2, num_kv_heads=1, head_dim=128, mlp_dim=256,
+                max_seq_len=1024,
+            ),
+            dtype="float32",
+        )
+        assert config.video_tokens == TINY.merged_tokens_per_clip
+
+        model = VideoLM(config)
+        params = model.init_variables(jax.random.PRNGKey(0))
+        frames = jnp.zeros(
+            (1, TINY.num_frames, 64, 64, 3), jnp.uint8
+        )
+        patches = preprocess_frames(frames, TINY, jnp.float32)
+        assert patches.shape[1] == TINY.tokens_per_clip
+
+        tokens = jnp.zeros((1, 8), jnp.int32)
+        logits = model.apply(params, patches, tokens)
+        assert logits.shape == (1, config.video_tokens + 8, 512)
+
+        cache = init_kv_cache(config.decoder, 1, 256, jnp.float32)
+        last, cache = model.apply(
+            params, patches, tokens, cache, method=VideoLM.prefill
+        )
+        assert last.shape == (1, 512)
+        assert int(cache["index"][0]) == config.video_tokens + 8
+
+    def test_real_preset_geometry(self):
+        from video_transformer_tpu.models.config import get_preset
+
+        preset = get_preset("qwen2vl-7b")
+        assert preset.decoder.vocab_size % 128 == 0
+        assert preset.decoder.vocab_size == 152064  # real Qwen2-VL vocab
+        assert preset.encoder.hidden_size == preset.decoder.hidden_dim
+        assert preset.video_tokens == preset.encoder.tokens_per_clip // 4
+
+    def test_ported_vision_params_load_into_vlm(self):
+        """port_vision_state output merges under the VLM 'visual' scope."""
+        import jax
+
+        from video_transformer_tpu.models.config import DecoderConfig, VLMConfig
+        from video_transformer_tpu.models.vlm import VideoLM
+
+        hf = _hf_tower(TINY)
+        state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        vision_tree = port_vision_state(state, TINY)
+
+        config = VLMConfig(
+            name="qwen-tiny",
+            encoder=TINY,
+            decoder=DecoderConfig(
+                vocab_size=512, hidden_dim=TINY.hidden_size, num_layers=1,
+                num_heads=2, num_kv_heads=1, head_dim=128, mlp_dim=256,
+                max_seq_len=512,
+            ),
+            dtype="float32",
+        )
+        model = VideoLM(config)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        init_vision = variables["params"]["visual"]
+        # Same tree structure and shapes: the ported weights drop in.
+        import jax.tree_util as jtu
+
+        init_shapes = jtu.tree_map(lambda a: a.shape, init_vision)
+        ported_shapes = jtu.tree_map(lambda a: a.shape, vision_tree)
+        assert init_shapes == ported_shapes
+
+
+class TestVisionPortValidation:
+    def test_missing_keys_raise_in_strict_mode(self):
+        with pytest.raises(KeyError):
+            port_vision_state({}, TINY, strict=True)
+
+    def test_conv_shape_mismatch_raises(self):
+        bad = {"patch_embed.proj.weight": np.zeros((8, 3, 2, 7, 7), np.float32)}
+        with pytest.raises(ValueError, match="shape"):
+            port_vision_state(bad, TINY, strict=False)
+
+    def test_visual_prefix_accepted(self):
+        hf = _hf_tower(TINY)
+        state = {
+            f"visual.{k}": v.detach().numpy() for k, v in hf.state_dict().items()
+        }
+        tree = port_vision_state(state, TINY)
+        assert "patch_embed" in tree and "block_0" in tree

@@ -10,6 +10,7 @@ shape-compatible.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Any
 
 __all__ = ["EncoderConfig", "DecoderConfig", "VLMConfig", "get_preset", "PRESETS"]
 
@@ -60,16 +61,23 @@ class DecoderConfig:
 
 @dataclass(frozen=True)
 class VLMConfig:
-    """Full video-language model: encoder -> projector -> decoder."""
+    """Full video-language model: encoder -> projector -> decoder.
+
+    ``encoder`` is either the native EncoderConfig or a ported
+    qwen_vit.QwenVisionConfig (duck-typed: both expose tokens_per_clip,
+    patch_dim, image_size, num_frames).
+    """
 
     name: str = "tiny"
-    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    encoder: Any = field(default_factory=EncoderConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     dtype: str = "bfloat16"  # compute dtype; params kept in float32
 
     @property
     def video_tokens(self) -> int:
-        return self.encoder.tokens_per_clip
+        """Tokens the DECODER sees per clip (post-merger for ported towers)."""
+        merged = getattr(self.encoder, "merged_tokens_per_clip", None)
+        return merged if merged is not None else self.encoder.tokens_per_clip
 
 
 def _tiny() -> VLMConfig:
@@ -129,7 +137,10 @@ def _base() -> VLMConfig:
 
 
 def _7b() -> VLMConfig:
-    # Qwen2-VL-7B-class geometry (BASELINE config 3): 28 layers, 3584 hidden.
+    # Qwen2-VL-7B-class BODY geometry with the small byte vocab — the
+    # scale/memory-envelope preset for kernels and sharding tests. It cannot
+    # load real embeddings; for actual weight ports use "qwen2vl-7b" (real
+    # 152,064 vocab + ported vision tower).
     return VLMConfig(
         name="7b",
         encoder=EncoderConfig(
@@ -156,7 +167,44 @@ def _7b() -> VLMConfig:
     )
 
 
-PRESETS = {"tiny": _tiny, "base": _base, "7b": _7b}
+def _qwen2vl_7b() -> VLMConfig:
+    """Qwen2-VL-7B-Instruct, EXACT port geometry: the real 152,064-entry
+    vocab (divisible by 128 as shipped), the real ported vision tower
+    (models/qwen_vit.py, parity-tested), and the real decoder shape — so
+    port_decoder_state/port_vision_state load actual checkpoints with no
+    config surgery. 16 frames at 224px -> 1,024 merged video tokens.
+    """
+    from .qwen_vit import QwenVisionConfig
+
+    return VLMConfig(
+        name="qwen2vl-7b",
+        encoder=QwenVisionConfig(
+            embed_dim=1280,
+            depth=32,
+            num_heads=16,
+            mlp_ratio=4.0,
+            patch_size=14,
+            temporal_patch_size=2,
+            spatial_merge_size=2,
+            hidden_size=3584,
+            image_size=224,
+            num_frames=16,
+        ),
+        decoder=DecoderConfig(
+            vocab_size=152064,  # 1188 * 128 — MXU-aligned as shipped
+            hidden_dim=3584,
+            num_layers=28,
+            num_heads=28,
+            num_kv_heads=4,
+            head_dim=128,
+            mlp_dim=18944,
+            max_seq_len=32768,
+            rope_theta=1000000.0,
+        ),
+    )
+
+
+PRESETS = {"tiny": _tiny, "base": _base, "7b": _7b, "qwen2vl-7b": _qwen2vl_7b}
 
 
 def get_preset(name: str) -> VLMConfig:

@@ -19,9 +19,23 @@ away with a warning: this framework's projections are bias-free, and for
 RoPE attention the k-bias is position-independent noise while q-bias shifts
 logits uniformly per head — retraining/distillation absorbs the difference.
 
-Caveat: porting the LM *body* does not port the *tokenizer*. A ported BPE
-model needs a token-level grammar (the DFA machinery generalizes — tokens
-are just a bigger alphabet — but schema literals must be re-tokenized).
+The VISION tower maps onto models/qwen_vit.py (a faithful Qwen2-VL ViT):
+
+  visual.patch_embed.proj.weight [D,3,Tp,P,P] -> patch_embed/kernel
+      (conv3d with stride == kernel == one matmul: reshape(D,-1).T — the
+      flatten order (c, t, h, w) matches qwen_patchify's patch layout)
+  visual.blocks.{i}.norm{1,2}.{weight,bias} -> block_{i}/norm{1,2}_{scale,bias}
+  visual.blocks.{i}.attn.qkv.{weight,bias} -> block_{i}/qkv (fused, T)
+  visual.blocks.{i}.attn.proj.{weight,bias} -> block_{i}/proj (T)
+  visual.blocks.{i}.mlp.fc{1,2}.{weight,bias} -> block_{i}/fc{1,2} (T)
+  visual.merger.ln_q.{weight,bias} -> merger_ln_{scale,bias}
+  visual.merger.mlp.{0,2}.{weight,bias} -> merger_fc{1,2} (T)
+
+Numerical parity of the ported tower against the HF torch module is pinned
+by tests/test_qwen_port.py (random-weight round trip — no downloads needed).
+
+Tokenizer: a ported BPE vocab plugs into the engine via models/bpe.py and
+decodes under the token-level grammar (ops/token_grammar.py).
 """
 
 from __future__ import annotations
@@ -32,8 +46,15 @@ from typing import Any, Mapping
 import numpy as np
 
 from .config import DecoderConfig
+from .qwen_vit import QwenVisionConfig
 
-__all__ = ["decoder_key_map", "port_decoder_state", "load_safetensors"]
+__all__ = [
+    "decoder_key_map",
+    "port_decoder_state",
+    "vision_key_map",
+    "port_vision_state",
+    "load_safetensors",
+]
 
 logger = logging.getLogger("video_transformer")
 
@@ -139,6 +160,81 @@ def _expected_shape(
         ("down", "kernel"): (config.mlp_dim, h),
     }
     return by_name.get(leaf)
+
+
+def vision_key_map(depth: int) -> dict[str, tuple[tuple[str, ...], bool]]:
+    """HF vision name -> (flax path under QwenVisionEncoder, transpose?)."""
+    mapping: dict[str, tuple[tuple[str, ...], bool]] = {
+        "merger.ln_q.weight": (("merger_ln_scale",), False),
+        "merger.ln_q.bias": (("merger_ln_bias",), False),
+        "merger.mlp.0.weight": (("merger_fc1", "kernel"), True),
+        "merger.mlp.0.bias": (("merger_fc1", "bias"), False),
+        "merger.mlp.2.weight": (("merger_fc2", "kernel"), True),
+        "merger.mlp.2.bias": (("merger_fc2", "bias"), False),
+    }
+    for i in range(depth):
+        hf = f"blocks.{i}"
+        fx = f"block_{i}"
+        for norm in ("norm1", "norm2"):
+            mapping[f"{hf}.{norm}.weight"] = ((fx, f"{norm}_scale"), False)
+            mapping[f"{hf}.{norm}.bias"] = ((fx, f"{norm}_bias"), False)
+        for src, dst in [("attn.qkv", "qkv"), ("attn.proj", "proj"),
+                         ("mlp.fc1", "fc1"), ("mlp.fc2", "fc2")]:
+            mapping[f"{hf}.{src}.weight"] = ((fx, dst, "kernel"), True)
+            mapping[f"{hf}.{src}.bias"] = ((fx, dst, "bias"), False)
+    return mapping
+
+
+def port_vision_state(
+    state: Mapping[str, np.ndarray],
+    config: QwenVisionConfig,
+    strict: bool = True,
+) -> dict[str, Any]:
+    """Build the QwenVisionEncoder param tree from an HF vision state dict.
+
+    Accepts names with or without the ``visual.`` prefix (full-model vs
+    tower-only state dicts).
+    """
+    state = {
+        (k[len("visual."):] if k.startswith("visual.") else k): v
+        for k, v in state.items()
+    }
+    tree: dict[str, Any] = {}
+    missing: list[str] = []
+
+    conv_key = "patch_embed.proj.weight"
+    if conv_key in state:
+        conv = np.asarray(state[conv_key])
+        expected = (
+            config.embed_dim, config.in_channels,
+            config.temporal_patch_size, config.patch_size, config.patch_size,
+        )
+        if tuple(conv.shape) != expected:
+            raise ValueError(
+                f"{conv_key}: shape {conv.shape} != expected {expected}"
+            )
+        # stride == kernel conv3d == matmul; torch reshape(D, -1) flattens
+        # (c, t, h, w) — exactly qwen_patchify's patch-vector layout.
+        _set_path(tree, ("patch_embed", "kernel"), conv.reshape(conv.shape[0], -1).T)
+    else:
+        missing.append(conv_key)
+
+    for hf_name, (path, transpose) in vision_key_map(config.depth).items():
+        if hf_name not in state:
+            missing.append(hf_name)
+            continue
+        array = np.asarray(state[hf_name])
+        if transpose:
+            array = array.T
+        _set_path(tree, path, array)
+
+    if missing:
+        if strict:
+            raise KeyError(
+                f"vision state dict missing {len(missing)} keys: {missing[:4]}..."
+            )
+        logger.warning(f"event=port_vision_missing_keys count={len(missing)}")
+    return tree
 
 
 def load_safetensors(paths: list[str]) -> dict[str, np.ndarray]:

@@ -48,10 +48,15 @@ def resize_weights(src: int, dst: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("config", "dtype"))
 def preprocess_frames(
     frames: jax.Array,  # uint8 [B, T, H, W, 3]
-    config: EncoderConfig,
+    config,  # EncoderConfig | QwenVisionConfig
     dtype: jnp.dtype = jnp.bfloat16,
 ) -> jax.Array:
-    """uint8 frames -> normalized tubelet patches [B, N, patch_dim]."""
+    """uint8 frames -> normalized tubelet patches [B, N, patch_dim].
+
+    The patch layout follows the encoder architecture: native tubelet order
+    for models/vit.py, Qwen2-VL's channel-major merge-block order for ported
+    towers (models/qwen_vit.py).
+    """
     b, t, h, w, c = frames.shape
     size = config.image_size
     x = frames.astype(jnp.float32)
@@ -63,5 +68,10 @@ def preprocess_frames(
     x = jnp.einsum("btywc,wx->btyxc", x, wx)
 
     x = x * (1.0 / 127.5) - 1.0
-    patches = tubelet_patchify(x, config.patch_size, config.tubelet_t)
+    if isinstance(config, EncoderConfig):
+        patches = tubelet_patchify(x, config.patch_size, config.tubelet_t)
+    else:
+        from ..models.qwen_vit import qwen_patchify
+
+        patches = qwen_patchify(x, config)
     return patches.astype(dtype)
