@@ -1,0 +1,107 @@
+"""Pipeline parallelism: staged decoder == sequential decoder, fwd and bwd.
+
+Runs on the virtual 8-device CPU mesh (conftest). The parity bar: the
+GPipe-staged block stack must reproduce the sequential Decoder's logits
+bitwise-close AND produce the same gradients through jax.grad — ppermute's
+transpose carries the backward across stages.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_transformer_tpu.models.config import DecoderConfig
+from video_transformer_tpu.models.lm import Decoder
+from video_transformer_tpu.parallel.pipeline_parallel import (
+    build_pipe_mesh,
+    pipeline_decoder_apply,
+    stack_block_params,
+)
+
+CFG = DecoderConfig(
+    vocab_size=512,
+    hidden_dim=128,
+    num_layers=4,
+    num_heads=2,
+    num_kv_heads=1,
+    head_dim=64,
+    mlp_dim=256,
+    max_seq_len=256,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Decoder(CFG)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0, 512)
+    variables = model.init(
+        jax.random.PRNGKey(0), tokens, dtype=jnp.float32
+    )
+    # Wrap under the VideoLM-style scope the pipeline reader expects.
+    variables = {"params": {"decoder": variables["params"]}}
+    sequential = model.apply(
+        {"params": variables["params"]["decoder"]}, tokens, dtype=jnp.float32
+    )[0]
+    return variables, tokens, sequential
+
+
+class TestPipelineParity:
+    @pytest.mark.parametrize("n_stages,n_micro", [(2, 2), (4, 4), (4, 1)])
+    def test_forward_matches_sequential(self, setup, n_stages, n_micro):
+        variables, tokens, sequential = setup
+        mesh = build_pipe_mesh(n_stages)
+        staged = pipeline_decoder_apply(
+            variables, tokens, CFG, mesh, n_micro=n_micro
+        )
+        np.testing.assert_allclose(
+            np.asarray(staged), np.asarray(sequential), atol=2e-4, rtol=2e-4
+        )
+
+    def test_gradients_flow_across_stages(self, setup):
+        """Backward through ppermute: every stage's block params get grads
+        that match the sequential model's."""
+        variables, tokens, sequential = setup
+        mesh = build_pipe_mesh(4)
+
+        def staged_loss(v):
+            logits = pipeline_decoder_apply(v, tokens, CFG, mesh, n_micro=2)
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+        def seq_loss(v):
+            model = Decoder(CFG)
+            logits = model.apply(
+                {"params": v["params"]["decoder"]}, tokens, dtype=jnp.float32
+            )[0]
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+        g_staged = jax.grad(staged_loss)(variables)
+        g_seq = jax.grad(seq_loss)(variables)
+        # Compare the first and LAST layers' attention kernels: a broken
+        # inter-stage backward would zero the early stages.
+        for layer in ("layer_0", "layer_3"):
+            a = np.asarray(g_staged["params"]["decoder"][layer]["attn"]["q"]["kernel"])
+            b = np.asarray(g_seq["params"]["decoder"][layer]["attn"]["q"]["kernel"])
+            assert np.abs(a).max() > 0
+            np.testing.assert_allclose(a, b, atol=3e-4, rtol=3e-3)
+
+    def test_remat_matches(self, setup):
+        variables, tokens, sequential = setup
+        mesh = build_pipe_mesh(2)
+        staged = pipeline_decoder_apply(
+            variables, tokens, CFG, mesh, n_micro=2, remat=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(staged), np.asarray(sequential), atol=2e-4, rtol=2e-4
+        )
+
+    def test_stack_block_params_layout(self, setup):
+        variables, _, _ = setup
+        stacked = stack_block_params(
+            variables["params"]["decoder"], CFG.num_layers
+        )
+        q = stacked["attn"]["q"]["kernel"]
+        assert q.shape[0] == CFG.num_layers
+        # layer order preserved
+        lone = variables["params"]["decoder"]["layer_1"]["attn"]["q"]["kernel"]
+        np.testing.assert_array_equal(np.asarray(q[1]), np.asarray(lone))

@@ -1,0 +1,226 @@
+"""Pipeline parallelism over the decoder block list (GPipe-style).
+
+The decoder's layer stack is the natural stage boundary (ROADMAP round 1):
+each device on the mesh "pipe" axis holds a contiguous slice of blocks, and
+microbatches stream through the stages with `lax.ppermute` moving
+activations device-to-device over ICI. Everything runs inside one
+`shard_map`, so the schedule is a single compiled program:
+
+  step t: every stage applies its blocks to its current microbatch, then
+          passes the result to the right neighbor; stage 0 injects
+          microbatch t, the last stage emits finished microbatches from
+          t = S-1 onward (n_micro + S - 1 total steps — the classic GPipe
+          bubble, fraction (S-1)/(n_micro + S - 1)).
+
+Backward is jax.grad THROUGH the shard_map: ppermute is differentiable (its
+transpose is the reverse permute), which yields a correct full-forward-then-
+full-backward pipeline without hand-writing 1F1B. Activation memory is
+bounded with per-block remat when requested.
+
+Scope: embedding, vision encoder, and the logits head are replicated (they
+are a small fraction of parameters at 7b scale — the 28 decoder blocks are
+the memory); only the block stack is staged. Numerical parity with the
+sequential decoder is pinned by tests/test_pipeline_parallel.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.config import DecoderConfig
+from ..ops.attention import flash_attention
+from ..ops.norms import rms_norm
+from ..ops.rotary import apply_rope, rope_angles
+
+__all__ = [
+    "PIPE_AXIS",
+    "stack_block_params",
+    "block_forward",
+    "pipeline_blocks_forward",
+    "build_pipe_mesh",
+]
+
+PIPE_AXIS = "pipe"
+
+
+def build_pipe_mesh(
+    n_stages: int, devices: list[jax.Device] | None = None
+) -> Mesh:
+    """A 1-D ("pipe",) mesh of n_stages devices."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < n_stages:
+        raise ValueError(f"need {n_stages} devices, have {len(devices)}")
+    return jax.make_mesh(
+        (n_stages,), (PIPE_AXIS,),
+        devices=devices[:n_stages],
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
+
+
+def stack_block_params(decoder_params: dict[str, Any], num_layers: int):
+    """layer_0..layer_{L-1} trees -> one tree with leading layer dim [L, ...].
+
+    The leading dim shards over "pipe": each stage receives its contiguous
+    [L/S, ...] slice with no reshaping.
+    """
+    layers = [decoder_params[f"layer_{i}"] for i in range(num_layers)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+
+def block_forward(
+    block_params: dict[str, Any],
+    x: jax.Array,  # [B, S, H]
+    positions: jax.Array,  # [B, S]
+    cos: jax.Array,
+    sin: jax.Array,
+    config: DecoderConfig,
+) -> jax.Array:
+    """One decoder block, functionally (mirrors models/lm.py semantics)."""
+    b, s, _ = x.shape
+    dtype = x.dtype
+
+    def dense(p, v):
+        return (v @ p["kernel"].astype(dtype))
+
+    h = rms_norm(x, block_params["attn_norm"]["weight"])
+    attn_p = block_params["attn"]
+    q = dense(attn_p["q"], h).reshape(b, s, config.num_heads, config.head_dim)
+    k = dense(attn_p["k"], h).reshape(b, s, config.num_kv_heads, config.head_dim)
+    v = dense(attn_p["v"], h).reshape(b, s, config.num_kv_heads, config.head_dim)
+    q = apply_rope(q.transpose(0, 2, 1, 3), positions, cos, sin)
+    k = apply_rope(k.transpose(0, 2, 1, 3), positions, cos, sin)
+    out = flash_attention(q, k, v.transpose(0, 2, 1, 3), causal=True)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, -1)
+    x = x + dense(attn_p["out"], out)
+
+    h = rms_norm(x, block_params["mlp_norm"]["weight"])
+    mlp = block_params["mlp"]
+    h = dense(mlp["down"], jax.nn.silu(dense(mlp["gate"], h)) * dense(mlp["up"], h))
+    return x + h
+
+
+def pipeline_blocks_forward(
+    stacked_params: Any,  # leaves [L, ...], L % n_stages == 0
+    x: jax.Array,  # [B, S, H] block-stack input (post-embedding)
+    positions: jax.Array,  # [B, S]
+    config: DecoderConfig,
+    mesh: Mesh,
+    n_micro: int,
+    remat: bool = False,
+) -> jax.Array:
+    """Run the staged block stack over x with GPipe microbatching.
+
+    Returns [B, S, H] (the last stage's output, replicated over "pipe").
+    The batch splits into ``n_micro`` microbatches; utilization is
+    n_micro / (n_micro + S - 1), so pick n_micro >= 4*S in production.
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    b = x.shape[0]
+    if b % n_micro:
+        raise ValueError(f"batch {b} must divide into {n_micro} microbatches")
+    cos, sin = rope_angles(config.max_seq_len, config.head_dim, config.rope_theta)
+
+    apply_block = block_forward
+    if remat:
+        apply_block = jax.checkpoint(
+            block_forward, static_argnums=(5,)
+        )
+
+    def stage_scan(local_params, h, pos):
+        """Apply this stage's [L/S] blocks sequentially (lax.scan)."""
+
+        def body(carry, layer_params):
+            return apply_block(layer_params, carry, pos, cos, sin, config), None
+
+        out, _ = jax.lax.scan(body, h, local_params)
+        return out
+
+    mb = b // n_micro
+    x_micro = x.reshape(n_micro, mb, *x.shape[1:])
+    pos_micro = positions.reshape(n_micro, mb, positions.shape[-1])
+
+    def pp(local_params, xm, posm):
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        last = n_stages - 1
+        state = jnp.zeros_like(xm[0])
+        outputs = jnp.zeros_like(xm)
+        # Positions travel with the activations so later stages rope
+        # correctly even though they never see the raw inputs.
+        pos_state = jnp.zeros_like(posm[0])
+
+        for t in range(n_micro + n_stages - 1):
+            inject = xm[min(t, n_micro - 1)]
+            pos_inject = posm[min(t, n_micro - 1)]
+            take = (stage == 0) & (t < n_micro)
+            state = jnp.where(take, inject, state)
+            pos_state = jnp.where(take, pos_inject, pos_state)
+
+            state = stage_scan(local_params, state, pos_state)
+
+            emit = t - last
+            if emit >= 0:
+                outputs = outputs.at[emit].set(
+                    jnp.where(stage == last, state, outputs[emit])
+                )
+            state = jax.lax.ppermute(
+                state, PIPE_AXIS,
+                [(i, (i + 1) % n_stages) for i in range(n_stages)],
+            )
+            pos_state = jax.lax.ppermute(
+                pos_state, PIPE_AXIS,
+                [(i, (i + 1) % n_stages) for i in range(n_stages)],
+            )
+
+        # Replicate the last stage's outputs to every stage (the loss and
+        # logits head run replicated).
+        outputs = jnp.where(
+            jax.lax.axis_index(PIPE_AXIS) == last, outputs, 0.0
+        )
+        return jax.lax.psum(outputs, PIPE_AXIS)
+
+    pp_sharded = shard_map(
+        pp,
+        mesh=mesh,
+        in_specs=(P(PIPE_AXIS), P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    out_micro = pp_sharded(stacked_params, x_micro, pos_micro)
+    return out_micro.reshape(b, *x.shape[1:])
+
+
+def pipeline_decoder_apply(
+    variables: Any,
+    tokens: jax.Array,  # [B, S]
+    config: DecoderConfig,
+    mesh: Mesh,
+    n_micro: int,
+    remat: bool = False,
+) -> jax.Array:
+    """Full decoder forward (embed -> staged blocks -> norm -> tied logits)
+    with the block stack pipelined. Drop-in equal to Decoder.__call__ on the
+    training path (no cache); parity pinned in tests."""
+    decoder_params = variables["params"]["decoder"]
+    embedding = decoder_params["embed"]["embedding"]
+    dtype = jnp.dtype("float32") if embedding.dtype == jnp.float32 else embedding.dtype
+
+    x = jnp.take(embedding, tokens, axis=0).astype(dtype)
+    b, s, _ = x.shape
+    positions = jnp.broadcast_to(jnp.arange(s)[None, :].astype(jnp.int32), (b, s))
+
+    stacked = stack_block_params(decoder_params, config.num_layers)
+    x = pipeline_blocks_forward(
+        stacked, x, positions, config, mesh, n_micro, remat=remat
+    )
+    x = rms_norm(x, decoder_params["final_norm"]["weight"])
+    logits = jnp.einsum(
+        "bsh,vh->bsv", x.astype(jnp.float32), embedding.astype(jnp.float32)
+    )
+    return logits
