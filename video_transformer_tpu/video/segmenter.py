@@ -3,9 +3,9 @@
 Segments have core (effective) ranges plus ±overlap extraction ranges. The
 JSON manifest — {version, video_id, created_at, segment_seconds,
 overlap_seconds, segments: [{id, start, end, effective_start, effective_end,
-file_path, status, attempts, error}]} — is the per-segment resume checkpoint;
-the schema matches the reference (src/utils/video_segmenter.py:170-266) so
-manifests interoperate.
+file_path, status, attempts, error}]} — is the per-segment resume checkpoint
+and is byte-compatible with the reference's
+(src/utils/video_segmenter.py:170-266) so manifests interoperate.
 
 On TPU the manifest doubles as the batch descriptor: pending segments are
 decoded, padded to a fixed batch, and analyzed in one sharded forward instead
@@ -22,7 +22,6 @@ from dataclasses import dataclass
 from datetime import datetime, timezone
 from pathlib import Path
 from typing import TypedDict, cast
-
 
 from .containers import probe_clip, read_frames, write_npzv
 
@@ -43,14 +42,29 @@ __all__ = [
     "update_segment_status",
 ]
 
+_STATUS_DONE = "completed"
+
 
 @dataclass(frozen=True)
 class SegmentInfo:
     segment_id: int
-    start: float
+    start: float  # extraction range (± overlap)
     end: float
-    effective_start: float
+    effective_start: float  # core range (merge uses these)
     effective_end: float
+
+    def manifest_entry(self, clip_path: Path) -> "SegmentEntry":
+        return {
+            "id": self.segment_id,
+            "start": self.start,
+            "end": self.end,
+            "effective_start": self.effective_start,
+            "effective_end": self.effective_end,
+            "file_path": str(clip_path),
+            "status": "pending",
+            "attempts": 0,
+            "error": None,
+        }
 
 
 class SegmentEntry(TypedDict):
@@ -74,49 +88,43 @@ class SegmentManifest(TypedDict):
     segments: list[SegmentEntry]
 
 
+def _core_ranges(duration: float, step: float):
+    """Yield (start, end) core tiles covering [0, duration)."""
+    start = 0.0
+    while start < duration:
+        yield start, min(start + step, duration)
+        start = min(start + step, duration)
+
+
 def plan_segments(
     duration: float, segment_seconds: float, overlap_seconds: float
 ) -> list[SegmentInfo]:
-    """Tile [0, duration) into core ranges of segment_seconds, extracting
-    ±overlap on interior boundaries."""
+    """Tile [0, duration) into cores of ``segment_seconds``; each segment's
+    extraction range widens by ``overlap_seconds`` across interior
+    boundaries only (the first segment starts at 0, the last ends at
+    duration, exactly)."""
     if duration <= 0 or segment_seconds <= 0:
         return []
+    pad = max(overlap_seconds, 0.0)
 
-    overlap = max(0.0, overlap_seconds)
-    segments: list[SegmentInfo] = []
-    cursor = 0.0
-    segment_id = 0
-
-    while cursor < duration:
-        core_start = cursor
-        core_end = min(cursor + segment_seconds, duration)
-
-        extract_start = 0.0 if core_start == 0 else max(0.0, core_start - overlap)
-        extract_end = duration if core_end >= duration else min(duration, core_end + overlap)
-        if extract_end <= extract_start:
+    plan: list[SegmentInfo] = []
+    for core_start, core_end in _core_ranges(duration, segment_seconds):
+        lo = core_start if core_start <= 0 else max(core_start - pad, 0.0)
+        hi = duration if core_end >= duration else min(core_end + pad, duration)
+        if hi <= lo:
             break
+        plan.append(SegmentInfo(len(plan), lo, hi, core_start, core_end))
+    return plan
 
-        segments.append(
-            SegmentInfo(
-                segment_id=segment_id,
-                start=extract_start,
-                end=extract_end,
-                effective_start=core_start,
-                effective_end=core_end,
-            )
-        )
-        segment_id += 1
-        cursor = core_end
 
-    return segments
+# ---------------------------------------------------------------------------
+# Clip extraction
+# ---------------------------------------------------------------------------
 
 
 def extract_segment(
-    input_path: str | Path,
-    start: float,
-    end: float,
-    output_path: str | Path,
-    stream_copy: bool = True,
+    input_path: str | Path, start: float, end: float,
+    output_path: str | Path, stream_copy: bool = True,
 ) -> bool:
     """Materialize one segment clip on disk.
 
@@ -124,64 +132,63 @@ def extract_segment(
     no re-encode); other containers use ffmpeg stream-copy with a re-encode
     fallback when available. Returns False on any failure.
     """
-    duration = end - start
-    if duration <= 0:
+    if end - start <= 0:
         return False
+    src, dst = Path(input_path), Path(output_path)
+    dst.parent.mkdir(parents=True, exist_ok=True)
 
-    input_path = Path(input_path)
-    output_path = Path(output_path)
-    output_path.parent.mkdir(parents=True, exist_ok=True)
-
-    meta = probe_clip(input_path)
+    meta = probe_clip(src)
     if meta is not None and meta.container in {"npzv", "y4m"}:
-        try:
-            fps = meta.fps if meta.fps > 0 else 30.0
-            count = max(int(round(duration * fps)), 1)
-            frames = read_frames(input_path, count, start=start, end=end)
-            target = output_path
-            if target.suffix.lower() not in {".npzv", ".npz"}:
-                target = target.with_suffix(".npzv")
-            write_npzv(target, frames, fps)
-            if target != output_path:
-                shutil.move(str(target), str(output_path))
-            return output_path.exists() and output_path.stat().st_size > 0
-        except (ValueError, OSError, RuntimeError):
-            return False
-
+        return _slice_native(src, start, end, dst, meta.fps)
     if shutil.which("ffmpeg") is None:
         return False
-    return _ffmpeg_extract(input_path, start, duration, output_path, stream_copy)
+    return _slice_ffmpeg(src, start, end, dst, stream_copy)
 
 
-def _ffmpeg_extract(
-    input_path: Path, start: float, duration: float, output_path: Path, stream_copy: bool
+def _slice_native(src: Path, start: float, end: float, dst: Path, fps: float) -> bool:
+    try:
+        rate = fps if fps > 0 else 30.0
+        count = max(int(round((end - start) * rate)), 1)
+        frames = read_frames(src, count, start=start, end=end)
+        target = dst
+        if target.suffix.lower() not in {".npzv", ".npz"}:
+            target = target.with_suffix(".npzv")
+        write_npzv(target, frames, rate)
+        if target != dst:
+            shutil.move(str(target), str(dst))
+    except (ValueError, OSError, RuntimeError):
+        return False
+    return dst.exists() and dst.stat().st_size > 0
+
+
+def _slice_ffmpeg(
+    src: Path, start: float, end: float, dst: Path, stream_copy: bool
 ) -> bool:
-    def run(args: list[str]) -> bool:
+    head = [
+        "ffmpeg", "-y", "-hide_banner", "-loglevel", "error",
+        "-ss", f"{start:.3f}", "-i", str(src),
+        "-t", f"{end - start:.3f}", "-movflags", "+faststart",
+    ]
+    codec_attempts = []
+    if stream_copy:
+        codec_attempts.append(["-c", "copy"])
+    codec_attempts.append(
+        ["-c:v", "libx264", "-preset", "veryfast", "-crf", "23",
+         "-c:a", "aac", "-b:a", "128k"]
+    )
+    for codec in codec_attempts:
         try:
-            result = subprocess.run(args, capture_output=True, text=True, timeout=120)
+            proc = subprocess.run(
+                head + codec + [str(dst)],
+                capture_output=True, text=True, timeout=120,
+            )
         except (FileNotFoundError, OSError, subprocess.TimeoutExpired):
             return False
-        if result.returncode != 0:
-            return False
-        return output_path.exists() and output_path.stat().st_size > 0
-
-    base = [
-        "ffmpeg", "-y", "-hide_banner", "-loglevel", "error",
-        "-ss", f"{start:.3f}", "-i", str(input_path),
-        "-t", f"{duration:.3f}", "-movflags", "+faststart",
-    ]
-    if stream_copy:
-        if run(base + ["-c", "copy", str(output_path)]):
+        if proc.returncode == 0 and dst.exists() and dst.stat().st_size > 0:
             return True
-        if output_path.exists():
-            output_path.unlink()
-    return run(
-        base
-        + [
-            "-c:v", "libx264", "-preset", "veryfast", "-crf", "23",
-            "-c:a", "aac", "-b:a", "128k", str(output_path),
-        ]
-    )
+        if dst.exists():
+            dst.unlink()
+    return False
 
 
 def snap_to_keyframe(video_path: str | Path, timestamp: float) -> float:
@@ -189,6 +196,11 @@ def snap_to_keyframe(video_path: str | Path, timestamp: float) -> float:
     is independently addressable)."""
     _ = video_path
     return max(0.0, float(timestamp))
+
+
+# ---------------------------------------------------------------------------
+# Manifest lifecycle
+# ---------------------------------------------------------------------------
 
 
 def get_segment_dir(video_id: str, temp_dir: str | Path) -> Path:
@@ -200,45 +212,30 @@ def get_manifest_path(video_id: str, temp_dir: str | Path) -> Path:
 
 
 def create_manifest(
-    *,
-    video_id: str,
-    duration: float,
-    segment_seconds: float,
-    overlap_seconds: float,
-    temp_dir: str | Path,
+    *, video_id: str, duration: float, segment_seconds: float,
+    overlap_seconds: float, temp_dir: str | Path,
 ) -> SegmentManifest:
     segment_dir = get_segment_dir(video_id, temp_dir)
     segment_dir.mkdir(parents=True, exist_ok=True)
-
-    manifest: SegmentManifest = {
-        "version": 1,
-        "video_id": video_id,
-        "created_at": datetime.now(timezone.utc).isoformat(),
-        "segment_seconds": segment_seconds,
-        "overlap_seconds": overlap_seconds,
-        "segments": [
-            {
-                "id": seg.segment_id,
-                "start": seg.start,
-                "end": seg.end,
-                "effective_start": seg.effective_start,
-                "effective_end": seg.effective_end,
-                "file_path": str(segment_dir / f"segment_{seg.segment_id:04d}.mp4"),
-                "status": "pending",
-                "attempts": 0,
-                "error": None,
-            }
-            for seg in plan_segments(duration, segment_seconds, overlap_seconds)
-        ],
-    }
+    entries = [
+        seg.manifest_entry(segment_dir / f"segment_{seg.segment_id:04d}.mp4")
+        for seg in plan_segments(duration, segment_seconds, overlap_seconds)
+    ]
+    manifest = cast(SegmentManifest, dict(
+        version=1,
+        video_id=video_id,
+        created_at=datetime.now(timezone.utc).isoformat(),
+        segment_seconds=segment_seconds,
+        overlap_seconds=overlap_seconds,
+        segments=entries,
+    ))
     save_manifest(get_manifest_path(video_id, temp_dir), manifest)
     return manifest
 
 
 def load_manifest(manifest_path: str | Path) -> SegmentManifest:
-    return cast(
-        SegmentManifest, json.loads(Path(manifest_path).read_text(encoding="utf-8"))
-    )
+    raw = Path(manifest_path).read_text(encoding="utf-8")
+    return cast(SegmentManifest, json.loads(raw))
 
 
 def save_manifest(manifest_path: str | Path, manifest: SegmentManifest) -> None:
@@ -250,45 +247,37 @@ def save_manifest(manifest_path: str | Path, manifest: SegmentManifest) -> None:
 
 
 def load_or_create_manifest(
-    *,
-    video_id: str,
-    duration: float,
-    segment_seconds: float,
-    overlap_seconds: float,
-    temp_dir: str | Path,
+    *, video_id: str, duration: float, segment_seconds: float,
+    overlap_seconds: float, temp_dir: str | Path,
 ) -> SegmentManifest:
-    manifest_path = get_manifest_path(video_id, temp_dir)
-    if manifest_path.exists():
-        return load_manifest(manifest_path)
+    existing = get_manifest_path(video_id, temp_dir)
+    if existing.exists():
+        return load_manifest(existing)
     return create_manifest(
-        video_id=video_id,
-        duration=duration,
-        segment_seconds=segment_seconds,
-        overlap_seconds=overlap_seconds,
+        video_id=video_id, duration=duration,
+        segment_seconds=segment_seconds, overlap_seconds=overlap_seconds,
         temp_dir=temp_dir,
     )
 
 
 def pending_segments(manifest: SegmentManifest) -> list[SegmentEntry]:
-    return [s for s in manifest["segments"] if s["status"] != "completed"]
+    return [s for s in manifest["segments"] if s["status"] != _STATUS_DONE]
 
 
 def update_segment_status(
-    manifest: SegmentManifest,
-    segment_id: int,
-    status: str,
-    *,
-    error: str | None = None,
-    increment_attempts: bool = False,
+    manifest: SegmentManifest, segment_id: int, status: str,
+    *, error: str | None = None, increment_attempts: bool = False,
 ) -> None:
-    for segment in manifest["segments"]:
-        if segment["id"] == segment_id:
-            segment["status"] = status
-            if error is not None:
-                segment["error"] = error
-            if increment_attempts:
-                segment["attempts"] = segment["attempts"] + 1
-            return
-    logging.getLogger(__name__).warning(
-        "Segment id %s not found in manifest", segment_id
+    entry = next(
+        (s for s in manifest["segments"] if s["id"] == segment_id), None
     )
+    if entry is None:
+        logging.getLogger(__name__).warning(
+            "Segment id %s not found in manifest", segment_id
+        )
+        return
+    entry["status"] = status
+    if error is not None:
+        entry["error"] = error
+    if increment_attempts:
+        entry["attempts"] += 1
