@@ -98,7 +98,10 @@ def make_analyzer(engine, temp_dir: Path):
 
 
 def synth_video(path: Path, seconds: float, fps: float, size: int = 128) -> None:
-    from video_transformer_tpu.video.containers import write_npzv
+    """Write a Y4M lecture-length clip: the measured path then includes the
+    owned container/codec layer (C++ YUV420 decode, native/framereader.cpp),
+    not just raw-array loading."""
+    from video_transformer_tpu.video.containers import write_y4m
 
     rng = np.random.default_rng(0)
     t = int(seconds * fps)
@@ -115,11 +118,11 @@ def synth_video(path: Path, seconds: float, fps: float, size: int = 128) -> None
         frames[i, :, :, 0] = np.clip(base, 0, 255)
         frames[i, :, :, 1] = np.clip(base * (0.5 + phase / 2), 0, 255)
         frames[i, :, :, 2] = np.clip(255 - base, 0, 255)
-    write_npzv(path, frames, fps=fps)
+    write_y4m(path, frames, fps=fps)
 
 
 def run_once(engine, work_dir: Path, label: str):
-    clip = work_dir / f"bench_{label}.npzv"
+    clip = work_dir / f"bench_{label}.y4m"
     synth_video(clip, VIDEO_SECONDS, FPS)
     analyzer = make_analyzer(engine, work_dir / f"tmp_{label}")
     start = time.perf_counter()

@@ -122,7 +122,7 @@ class QualityAuditor:
             "audit",
             {"note_excerpt": note[:1200], "threshold": int(self.threshold)},
         )
-        dfa = audit_dfa(self._engine.tokenizer.vocab_size)
+        dfa = self._engine.wrap_grammar(audit_dfa(self._engine.byte_vocab))
         text = self._engine.generate_text([prompt], dfa=dfa)[0]
         parsed = json.loads(text)
         return float(parsed.get("score", 0)), str(parsed.get("feedback", ""))

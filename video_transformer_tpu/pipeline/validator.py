@@ -89,24 +89,36 @@ class ConsistencyValidator:
         )
 
     def _model_score(self, schema: str, note: str) -> ValidationResult:
+        """Model judgment GATED by the independent structural scorer.
+
+        The engine that scores is the engine that wrote the note, so its
+        judgment alone would rubber-stamp (the reference avoids this with a
+        separate judge service, consistency_validator.py:180-211). The
+        deterministic term-grounding scorer cannot be swayed by the writer;
+        taking the per-dimension minimum keeps the model's ability to fail a
+        note while denying it the ability to pass one its own text does not
+        support.
+        """
         from ..analyzer.prompts import render_prompt
 
         prompt = render_prompt(
             "validator", {"note_excerpt": note[:1200], "schema": schema[:600]}
         )
-        dfa = validator_dfa(self._engine.tokenizer.vocab_size)
+        dfa = self._engine.wrap_grammar(validator_dfa(self._engine.byte_vocab))
         text = self._engine.generate_text([prompt], dfa=dfa)[0]
         parsed = json.loads(text)
+        independent = self._structural_score(schema, note)
         scores: dict[str, float] = {}
         for name, weight in DIMENSION_WEIGHTS.items():
-            # Grammar emits "NN" in 0..99; clamp into the dimension weight.
-            raw = float(parsed.get(name, 0))
-            scores[name] = min(raw, float(weight))
+            # Grammar emits "NN" in 0..99; clamp into the dimension weight,
+            # then gate by the independent structural signal.
+            raw = min(float(parsed.get(name, 0)), float(weight))
+            scores[name] = min(raw, independent.dimension_scores[name])
         total = sum(scores.values())
         return ValidationResult(
             total_score=total,
             passed=total >= self.threshold,
-            feedback=str(parsed.get("feedback", "")),
+            feedback=str(parsed.get("feedback", "")) or independent.feedback,
             dimension_scores=scores,
         )
 
