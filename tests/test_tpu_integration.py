@@ -49,6 +49,64 @@ class TestTPUEndToEnd:
         assert {"title", "deep_dive", "glossary"} <= parsed.keys()
         assert engine.stats.tokens_per_second > 100
 
+    def test_grounded_bpe_engine_names_the_topic_on_chip(self):
+        """The shipped BPE + grounded checkpoint, on hardware: the note must
+        name the topic carried by the frames."""
+        from dataclasses import replace
+        from pathlib import Path
+
+        from video_transformer_tpu.analyzer.schema import note_dfa
+        from video_transformer_tpu.models.bpe import BpeTokenizer
+        from video_transformer_tpu.models.config import get_preset
+        from video_transformer_tpu.ops.token_grammar import TokenGrammar
+        from video_transformer_tpu.parallel.engine import InferenceEngine
+        from video_transformer_tpu.train.grounded import (
+            TOPIC_BANK,
+            render_topic_clip,
+        )
+        from video_transformer_tpu.analyzer.prompts import render_prompt
+        from video_transformer_tpu.contracts.timefmt import format_seconds
+
+        repo = Path(__file__).resolve().parents[1]
+        tok = BpeTokenizer.load(repo / "data/tokenizers/bpe-zh-2048.json")
+        config = get_preset("tiny")
+        config = replace(
+            config, decoder=replace(config.decoder, vocab_size=tok.vocab_size)
+        )
+        engine = InferenceEngine(
+            config,
+            dfa=TokenGrammar(note_dfa(512), tok),
+            tokenizer=tok,
+            max_new_tokens=1024,
+            temperature=0.7,
+            seed=0,
+        )
+        engine.restore(str(repo / "data/checkpoints/tiny-zh-grounded"))
+        rng = np.random.default_rng(12)
+        ids = [1, 9, 20]
+        frames = np.stack(
+            [
+                render_topic_clip(
+                    i, config.encoder.num_frames, config.encoder.image_size, rng
+                )
+                for i in ids
+            ]
+        )
+        prompt = render_prompt(
+            "analysis", {"duration_label": format_seconds(120)}
+        )
+        texts = engine.generate(frames, [prompt] * len(ids))
+        hits = 0
+        for idx, text in zip(ids, texts):
+            data = json.loads(text)
+            blob = (
+                data.get("title", "")
+                + data.get("one_sentence_summary", "")
+                + " ".join(data.get("key_takeaways", []))
+            )
+            hits += TOPIC_BANK[idx].name in blob
+        assert hits >= 2, f"only {hits}/3 notes name their clip's topic"
+
     def test_paged_decode_kernel_at_engine_bucket_shape(self):
         """128-block path (cache_len not divisible by 512) on hardware."""
         import jax.numpy as jnp
