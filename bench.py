@@ -64,6 +64,7 @@ def build_engine():
         temperature=1.0,
         structure_bias=2.5,
         seed=0,
+        param_dtype="bfloat16",
     )
 
 

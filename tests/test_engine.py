@@ -117,6 +117,37 @@ class TestInferenceEngine:
         assert stats["tokens_generated"] > 0
         assert stats["frames_preprocessed"] > 0
 
+    def test_bf16_serving_params_and_restore(self, tmp_path):
+        """param_dtype=bfloat16: weights resident in bf16 (decode is weight-
+        bandwidth-bound), f32 checkpoints restore through an f32 template
+        then cast, and generation still emits valid grammar output."""
+        import jax
+
+        from video_transformer_tpu.train.trainer import TrainConfig, Trainer
+
+        mesh = build_mesh({"data": 8, "model": 1})
+        trainer = Trainer(micro_config(), mesh, TrainConfig(total_steps=1))
+        trainer.save_checkpoint(str(tmp_path))
+
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=mesh,
+            dfa=tiny_dfa(),
+            max_new_tokens=96,
+            temperature=1.0,
+            seed=0,
+            param_dtype="bfloat16",
+            compilation_cache_dir=None,
+        )
+        engine.restore(str(tmp_path))
+        leaves = jax.tree_util.tree_leaves(engine.params)
+        float_leaves = [x for x in leaves if x.dtype in ("bfloat16", "float32")]
+        assert float_leaves and all(
+            x.dtype == "bfloat16" for x in float_leaves
+        )
+        texts = engine.generate_text(["hello"], prompt_len=16)
+        json.loads(texts[0])
+
     def test_token_cap_truncation_is_safe(self):
         """Generation that cannot reach the accept state within max_new must
         still return cleanly (truncated text; repair handles it upstream)."""

@@ -133,6 +133,7 @@ class ContentAnalyzer:
                 temperature=float(self.engine_config.get("temperature", 0.7)),
                 structure_bias=float(self.engine_config.get("structure_bias", 1.5)),
                 tokenizer=tokenizer,
+                param_dtype=self.engine_config.get("param_dtype"),
             )
             self._engine.dfa = self._engine.wrap_grammar(note_dfa(byte_vocab))
             checkpoint_dir = self.engine_config.get("checkpoint_dir")

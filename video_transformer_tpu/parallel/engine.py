@@ -105,6 +105,7 @@ class InferenceEngine:
         params: Any = None,
         compilation_cache_dir: str | None = "./data/cache/jax",
         tokenizer: Any = None,
+        param_dtype: str | None = None,
     ):
         """``structure_bias`` is a length-control logit bias added to JSON
         closing tokens (quote/bracket/brace/EOS) — positive values steer
@@ -132,11 +133,28 @@ class InferenceEngine:
         self._rng = jax.random.PRNGKey(seed)
         self._generate_cache: dict[tuple[int, int], Any] = {}
 
+        # Serving-weight dtype: decode at small batch is weight-bandwidth
+        # bound, so bf16 resident weights ~double decode throughput vs the
+        # f32 training copies (matmuls already run bf16 either way).
+        self.param_dtype = jnp.dtype(param_dtype) if param_dtype else None
+
         if params is None:
             params = self.model.init_variables(jax.random.PRNGKey(seed))
         shardings = param_shardings(self.mesh, params)
-        self.params = jax.device_put(params, shardings)
+        self.params = jax.device_put(self._cast_params(params), shardings)
         self._tables: dict[int, Any] = {}
+
+    def _cast_params(self, params: Any) -> Any:
+        if self.param_dtype is None:
+            return params
+        target = self.param_dtype
+
+        def cast(leaf):
+            if hasattr(leaf, "dtype") and leaf.dtype == jnp.float32:
+                return leaf.astype(target)
+            return leaf
+
+        return jax.tree_util.tree_map(cast, params)
 
     def _table_for(self, dfa: JsonDfa | None):
         if dfa is None:
@@ -203,8 +221,21 @@ class InferenceEngine:
             if not candidates:
                 raise FileNotFoundError(f"no params_N checkpoints under {path}")
             path = candidates[-1]
+        # Checkpoints are written f32 by the trainer; restore against an f32
+        # template, then drop to the serving dtype.
+        def as_f32(leaf):
+            dtype = (
+                jnp.float32
+                if getattr(leaf, "dtype", None) == self.param_dtype
+                and self.param_dtype is not None
+                else leaf.dtype
+            )
+            return jax.ShapeDtypeStruct(leaf.shape, dtype, sharding=leaf.sharding)
+
+        template = jax.tree_util.tree_map(as_f32, self.params)
         with ocp.StandardCheckpointer() as checkpointer:
-            self.params = checkpointer.restore(str(path.resolve()), self.params)
+            restored = checkpointer.restore(str(path.resolve()), template)
+        self.params = self._cast_params(restored)
         self._generate_cache.clear()
 
     # -- compiled program ----------------------------------------------------
