@@ -100,7 +100,7 @@ class InferenceEngine:
         max_new_tokens: int = 1024,
         temperature: float = 0.7,
         structure_bias: float = 0.0,
-        max_forced_run: int = 24,
+        max_forced_run: int = 12,
         seed: int = 0,
         params: Any = None,
         compilation_cache_dir: str | None = "./data/cache/jax",
