@@ -1,0 +1,130 @@
+"""Continuous batching: more requests than slots, mid-flight refills (CPU)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from video_transformer_tpu.models.config import (
+    DecoderConfig,
+    EncoderConfig,
+    VLMConfig,
+)
+from video_transformer_tpu.ops.constrained import DfaBuilder
+from video_transformer_tpu.parallel.engine import InferenceEngine
+from video_transformer_tpu.parallel.mesh import build_mesh
+from video_transformer_tpu.parallel.serving import (
+    Completion,
+    ContinuousBatcher,
+    Request,
+)
+
+
+def micro_config() -> VLMConfig:
+    return VLMConfig(
+        name="micro",
+        encoder=EncoderConfig(
+            hidden_dim=64, num_layers=1, num_heads=2, head_dim=32, mlp_dim=128,
+            image_size=32, patch_size=16, tubelet_t=2, num_frames=4,
+        ),
+        decoder=DecoderConfig(
+            vocab_size=512, hidden_dim=64, num_layers=2, num_heads=2,
+            num_kv_heads=2, head_dim=32, mlp_dim=128, max_seq_len=1024,
+        ),
+        dtype="float32",
+    )
+
+
+def tiny_dfa():
+    return (
+        DfaBuilder()
+        .literal('{"title": ')
+        .free_string(1, 24)
+        .literal("}")
+        .finish()
+    )
+
+
+@pytest.fixture(scope="module")
+def batcher():
+    engine = InferenceEngine(
+        micro_config(),
+        mesh=build_mesh({"data": 4, "model": 2}),
+        dfa=tiny_dfa(),
+        max_new_tokens=96,
+        temperature=1.0,
+        seed=0,
+        compilation_cache_dir=None,
+    )
+    return ContinuousBatcher(engine, slots=4, prompt_len=16, chunk_steps=8)
+
+
+def make_requests(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        Request(
+            request_id=i,
+            frames=rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+            prompt=f"analyze {i}",
+        )
+        for i in range(n)
+    ]
+
+
+class TestContinuousBatching:
+    def test_more_requests_than_slots_all_complete(self, batcher):
+        """10 requests through 4 slots: every one returns valid JSON, so
+        slots must have been refilled mid-flight."""
+        for request in make_requests(10):
+            batcher.submit(request)
+        results = batcher.run()
+        assert sorted(c.request_id for c in results) == list(range(10))
+        for completion in results:
+            assert completion.complete
+            parsed = json.loads(completion.text)
+            assert "title" in parsed
+
+    def test_streaming_callback_fires_per_completion(self, batcher):
+        seen: list[int] = []
+        for request in make_requests(6, seed=3):
+            batcher.submit(request)
+        batcher.run(on_complete=lambda c: seen.append(c.request_id))
+        assert sorted(seen) == list(range(6))
+
+    def test_results_are_independent_per_request(self, batcher):
+        """Different requests produce different sampled outputs (slots do not
+        leak state between occupants)."""
+        for request in make_requests(8, seed=9):
+            batcher.submit(request)
+        results = batcher.run()
+        texts = {c.text for c in results}
+        assert len(texts) > 1
+
+    def test_empty_queue_run_returns_immediately(self, batcher):
+        assert batcher.run() == []
+
+    def test_completion_reports_token_budget_exhaustion(self):
+        """A grammar that cannot finish within max_new yields complete=False
+        (the scheduler's signal to continue or re-ask upstream)."""
+        dfa = (
+            DfaBuilder()
+            .literal('{"long": ')
+            .free_string(200, 400)
+            .literal("}")
+            .finish()
+        )
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 4, "model": 2}),
+            dfa=dfa,
+            max_new_tokens=32,
+            temperature=1.0,
+            seed=0,
+            compilation_cache_dir=None,
+        )
+        batcher = ContinuousBatcher(engine, slots=4, prompt_len=16, chunk_steps=8)
+        for request in make_requests(2, seed=1):
+            batcher.submit(request)
+        results = batcher.run()
+        assert len(results) == 2
+        assert all(not c.complete for c in results)

@@ -1,0 +1,329 @@
+"""Continuous batching: requests join and leave the decode loop mid-flight.
+
+The batch-mode engine (parallel/engine.py) runs one compiled while_loop
+until EVERY row finishes — fine for segment batches of one video, wasteful
+for a serving runtime where requests arrive continuously and finish at
+different lengths. This scheduler keeps a fixed pool of SLOTS resident on
+device (KV cache, grammar state, output buffer) and interleaves two
+compiled programs:
+
+  prefill_slot(request) -> writes one request's video+prompt KV into its
+                           slot rows (dynamic batch-index update)
+  decode_chunk(carry)   -> K grammar-constrained decode iterations over ALL
+                           slots at once (done slots frozen per row)
+
+Between chunks the host harvests finished slots, emits their notes, and
+refills them with queued requests — arrival-to-first-token latency is
+bounded by one chunk, and the decode matmuls always run at full pool width
+regardless of individual request lengths. Device buffers are donated across
+calls, so the pool never copies.
+
+This is the TPU analog of vLLM-style continuous batching with the grammar
+as the stopping criterion; all shapes are static (slot count, cache bucket,
+prompt bucket) so everything compiles once.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.lm import init_kv_cache
+from ..models.vlm import VideoLM
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+__all__ = ["ContinuousBatcher", "Request", "Completion"]
+
+
+def _round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+@dataclass
+class Request:
+    request_id: int
+    frames: np.ndarray  # uint8 [T, H, W, 3]
+    prompt: str
+
+
+@dataclass
+class Completion:
+    request_id: int
+    text: str
+    tokens: int
+    complete: bool  # grammar accepted (False = token budget exhausted)
+
+
+@dataclass
+class _Slot:
+    request_id: int | None = None
+    started: float = 0.0
+
+
+@dataclass
+class ContinuousBatcher:
+    """Fixed-slot continuous scheduler over an InferenceEngine's model."""
+
+    engine: Any  # InferenceEngine (params, model, tokenizer, dfa, mesh)
+    slots: int = 4
+    prompt_len: int = 256
+    chunk_steps: int = 64
+    max_new_tokens: int | None = None
+
+    _slots: list[_Slot] = field(default_factory=list)
+    _queue: list[Request] = field(default_factory=list)
+
+    def __post_init__(self):
+        engine = self.engine
+        cfg = engine.config
+        self.max_new = self.max_new_tokens or engine.max_new_tokens
+        self.dfa = engine.dfa
+        self.table = engine._table_for(self.dfa)
+        if self.dfa is not None:
+            f_len, f_tok, f_end = self.dfa.forced_tables(
+                max_run=engine.max_forced_run
+            )
+            self._forced = tuple(jnp.asarray(a) for a in (f_len, f_tok, f_end))
+            self.block_width = 1 + engine.max_forced_run
+        else:
+            self._forced = None
+            self.block_width = 1
+
+        self.cache_len = _round_up(
+            cfg.video_tokens + self.prompt_len + self.max_new
+            + self.block_width + 1,
+            128,
+        )
+        if self.cache_len > cfg.decoder.max_seq_len:
+            raise ValueError("slot cache exceeds max_seq_len")
+        self.out_width = self.max_new + 2 * self.block_width
+        self._slots = [_Slot() for _ in range(self.slots)]
+        self._init_device_state()
+        self._prefill = self._build_prefill()
+        self._decode = self._build_decode()
+        self._rng = jax.random.PRNGKey(7)
+
+    # -- device state -----------------------------------------------------------
+
+    def _init_device_state(self):
+        engine = self.engine
+        cfg = engine.config
+        dtype = jnp.dtype(cfg.dtype)
+        mesh = engine.mesh
+        data_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        cache = init_kv_cache(cfg.decoder, self.slots, self.cache_len, dtype)
+        model_axis = mesh.shape[MODEL_AXIS]
+        if model_axis > 1 and cfg.decoder.num_kv_heads % model_axis == 0:
+            kv_spec = P(None, DATA_AXIS, MODEL_AXIS)
+        else:
+            kv_spec = P(None, DATA_AXIS)
+        self.cache = {
+            "k": jax.device_put(cache["k"], NamedSharding(mesh, kv_spec)),
+            "v": jax.device_put(cache["v"], NamedSharding(mesh, kv_spec)),
+            "index": jax.device_put(cache["index"], data_sharding),
+        }
+        start = self.dfa.start if self.dfa else 0
+        eos = engine.tokenizer.EOS
+        self.state = jax.device_put(
+            jnp.full((self.slots,), start, jnp.int32), data_sharding
+        )
+        self.logits = jax.device_put(
+            jnp.zeros((self.slots, cfg.decoder.vocab_size), jnp.float32),
+            data_sharding,
+        )
+        self.tokens_out = jax.device_put(
+            jnp.full((self.slots, self.out_width), eos, jnp.int32),
+            data_sharding,
+        )
+        self.out_pos = jax.device_put(
+            jnp.zeros((self.slots,), jnp.int32), data_sharding
+        )
+        # Empty slots sit "done" so the decode chunk freezes them.
+        self.done = jax.device_put(
+            jnp.ones((self.slots,), bool), data_sharding
+        )
+
+    # -- compiled programs --------------------------------------------------------
+
+    def _build_prefill(self):
+        engine = self.engine
+        model = engine.model
+        cfg = engine.config
+        dfa = self.dfa
+
+        def prefill(params, cache, state, logits, tokens_out, out_pos, done,
+                    patches, prompt, slot):
+            # Single-request prefill into a scratch cache, then splice the
+            # slot's rows into the pool (per-layer batch-index update).
+            scratch = init_kv_cache(cfg.decoder, 1, self.cache_len,
+                                    jnp.dtype(cfg.dtype))
+            first_logits, scratch = model.apply(
+                params, patches, prompt, scratch, method=VideoLM.prefill
+            )
+            cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], scratch["k"], (0, slot, 0, 0, 0)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], scratch["v"], (0, slot, 0, 0, 0)
+                ),
+                "index": cache["index"].at[slot].set(scratch["index"][0]),
+            }
+            state = state.at[slot].set(dfa.start if dfa else 0)
+            logits = logits.at[slot].set(first_logits[0].astype(jnp.float32))
+            tokens_out = tokens_out.at[slot].set(engine.tokenizer.EOS)
+            out_pos = out_pos.at[slot].set(0)
+            done = done.at[slot].set(False)
+            return cache, state, logits, tokens_out, out_pos, done
+
+        return jax.jit(prefill, donate_argnums=(1, 2, 3, 4, 5, 6))
+
+    def _build_decode(self):
+        engine = self.engine
+        model = engine.model
+        dfa = self.dfa
+        table = self.table
+        temperature = engine.temperature
+        eos = engine.tokenizer.EOS
+        max_new = self.max_new
+        block_width = self.block_width
+        forced = self._forced
+
+        def make_step(params):
+          def step(carry, key):
+            cache, state, logits, tokens, out_pos, done = carry
+            if table is not None:
+                masked = dfa.constrain(logits, state, table)
+            else:
+                masked = logits
+            if temperature > 0:
+                tok = jax.random.categorical(key, masked / temperature, axis=-1)
+            else:
+                tok = jnp.argmax(masked, axis=-1)
+            tok = jnp.where(done, eos, tok).astype(jnp.int32)
+
+            if table is not None:
+                forced_len, forced_tok, forced_end = forced
+                mid = dfa.advance(state, tok, table)
+                mid = jnp.where(done, state, mid)
+                run = jnp.where(done, 0, forced_len[mid])
+                cols = jnp.arange(block_width - 1)[None, :]
+                run_block = jnp.where(cols < run[:, None], forced_tok[mid], eos)
+                block = jnp.concatenate([tok[:, None], run_block], axis=1)
+                new_state = jnp.where(run > 0, forced_end[mid], mid)
+                done = done | (new_state == dfa.accept)
+                state = new_state
+            else:
+                run = jnp.zeros_like(out_pos)
+                block = tok[:, None]
+                done = done | (tok == eos)
+
+            write = jax.vmap(
+                lambda row, blk, pos: jax.lax.dynamic_update_slice(
+                    row, blk, (pos,)
+                )
+            )
+            tokens = write(tokens, block, out_pos)
+            advance = jnp.where(done & (run == 0) & (tok == eos), 0, 1 + run)
+            out_pos = out_pos + advance
+            done = done | (out_pos >= max_new)
+
+            index_before = cache["index"]
+            block_logits, cache = model.apply(
+                params, block, cache, method=VideoLM.decode_block
+            )
+            cache = dict(cache, index=index_before + advance)
+            logits = jnp.take_along_axis(
+                block_logits, run[:, None, None], axis=1
+            )[:, 0, :].astype(jnp.float32)
+            return (cache, state, logits, tokens, out_pos, done), None
+
+          return step
+
+        def decode_chunk(params, cache, state, logits, tokens, out_pos, done,
+                         rng):
+            keys = jax.random.split(rng, self.chunk_steps)
+            carry = (cache, state, logits, tokens, out_pos, done)
+            carry, _ = jax.lax.scan(make_step(params), carry, keys)
+            cache, state, logits, tokens, out_pos, done = carry
+            # One small packed array carries everything the host scheduler
+            # needs per chunk — a single device->host transfer (the axon
+            # tunnel charges high latency per transfer, not per byte).
+            status = jnp.stack(
+                [done.astype(jnp.int32), out_pos, state.astype(jnp.int32)]
+            )
+            return carry + (status,)
+
+        return jax.jit(decode_chunk, donate_argnums=(1, 2, 3, 4, 5, 6))
+
+    # -- scheduler ----------------------------------------------------------------
+
+    def submit(self, request: Request) -> None:
+        self._queue.append(request)
+
+    def _fill_slots(self) -> None:
+        engine = self.engine
+        for i, slot in enumerate(self._slots):
+            if slot.request_id is not None or not self._queue:
+                continue
+            request = self._queue.pop(0)
+            patches = engine.preprocess(request.frames[None])
+            prompt_tokens = engine.tokenizer.encode_array(
+                request.prompt, self.prompt_len, add_bos=True
+            )
+            (self.cache, self.state, self.logits, self.tokens_out,
+             self.out_pos, self.done) = self._prefill(
+                engine.params, self.cache, self.state, self.logits,
+                self.tokens_out, self.out_pos, self.done,
+                patches, jnp.asarray(prompt_tokens[None]), i,
+            )
+            slot.request_id = request.request_id
+            slot.started = time.perf_counter()
+
+    def _harvest(self, status: np.ndarray) -> list[Completion]:
+        done, out_pos, state = status
+        tokens = None
+        results: list[Completion] = []
+        for i, slot in enumerate(self._slots):
+            if slot.request_id is None or not done[i]:
+                continue
+            if tokens is None:
+                tokens = np.asarray(self.tokens_out)
+            text = self.engine.tokenizer.decode(tokens[i, : out_pos[i]])
+            complete = True
+            if self.dfa is not None:
+                complete = int(state[i]) == self.dfa.accept
+            results.append(
+                Completion(slot.request_id, text, int(out_pos[i]), complete)
+            )
+            slot.request_id = None
+        return results
+
+    def run(
+        self,
+        on_complete: Callable[[Completion], None] | None = None,
+        drain: bool = True,
+    ) -> list[Completion]:
+        """Drive the scheduler until the queue and all slots drain."""
+        all_results: list[Completion] = []
+        while self._queue or any(s.request_id is not None for s in self._slots):
+            self._fill_slots()
+            self._rng, key = jax.random.split(self._rng)
+            (self.cache, self.state, self.logits, self.tokens_out,
+             self.out_pos, self.done, status) = self._decode(
+                self.engine.params, self.cache, self.state, self.logits,
+                self.tokens_out, self.out_pos, self.done, key,
+            )
+            for completion in self._harvest(np.asarray(status)):
+                all_results.append(completion)
+                if on_complete is not None:
+                    on_complete(completion)
+            if not drain and not self._queue:
+                break
+        return all_results
