@@ -42,8 +42,9 @@ class TestFlashForwardLSE:
         mask = jnp.tril(jnp.ones((q.shape[2], k.shape[2]), bool))
         logits = jnp.where(mask, logits, -1e30)
         expected_lse = jax.nn.logsumexp(logits, axis=-1)
+        assert lse.shape == expected_lse.shape + (1,)  # TPU-tileable layout
         np.testing.assert_allclose(
-            lse[:, :1], expected_lse[:, :1], atol=2e-4, rtol=2e-4
+            lse[:, :1, :, 0], expected_lse[:, :1], atol=2e-4, rtol=2e-4
         )
 
 

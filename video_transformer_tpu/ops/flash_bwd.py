@@ -95,12 +95,18 @@ def _fwd_lse_kernel(
 
     safe_l = jnp.maximum(l_final, 1e-30)
     o_ref[0, 0] = (acc / safe_l).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m_final + jnp.log(safe_l))[:, 0]
+    lse_ref[0, 0] = m_final + jnp.log(safe_l)  # [block_q, 1]
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "interpret"))
 def flash_fwd_lse(q, k, v, causal: bool = True, interpret: bool = False):
-    """Forward returning (O, LSE [B, Hq, S_q] fp32)."""
+    """Forward returning (O, LSE [B, Hq, S_q, 1] fp32).
+
+    LSE carries a trailing singleton so its Pallas blocks are
+    (block_q, 1) in the last two dims — divisible-by-8 x full-dim, which
+    the TPU lowering requires (a bare [B, H, S] layout with (1, block_q)
+    blocks is rejected whenever H > 1).
+    """
     b, hq, s_q, d = q.shape
     hkv, s_k = k.shape[1], k.shape[2]
     group = hq // hkv
@@ -116,7 +122,7 @@ def flash_fwd_lse(q, k, v, causal: bool = True, interpret: bool = False):
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, hq, s_q), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, s_q, 1), jnp.float32),
         ),
         grid=(b, hq, s_q // block_q),
         in_specs=[
@@ -132,7 +138,7 @@ def flash_fwd_lse(q, k, v, causal: bool = True, interpret: bool = False):
         out_specs=(
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -154,8 +160,8 @@ def _bwd_dq_kernel(
     q_block_idx = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]  # [bq, 1]
-    dsum = dsum_ref[0, 0][:, None]
+    lse = lse_ref[0, 0]  # [bq, 1]
+    dsum = dsum_ref[0, 0]
     s_k = k_ref.shape[2]
     num_k_blocks = s_k // block_k
     d = q.shape[-1]
@@ -214,8 +220,8 @@ def _bwd_dkv_kernel(
         dk, dv = carry
         q_blk = q_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
         do_blk = do_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
-        dsum = dsum_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)]  # [bq, 1]
+        dsum = dsum_ref[0, 0, pl.ds(qb * block_q, block_q)]
 
         logits = (
             jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32) * scale
@@ -257,8 +263,9 @@ def flash_bwd(q, k, v, o, lse, grad_out, causal: bool = True, interpret: bool = 
 
     # D = rowsum(dO * O): cheap elementwise, fused by XLA.
     dsum = jnp.sum(
-        grad_out.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    )  # [B, Hq, S_q]
+        grad_out.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )  # [B, Hq, S_q, 1]
 
     q_spec = pl.BlockSpec(
         (1, 1, block_q, d), lambda bi, hi, xi: (bi, hi, xi, 0),
@@ -269,7 +276,8 @@ def flash_bwd(q, k, v, o, lse, grad_out, causal: bool = True, interpret: bool = 
         memory_space=pltpu.VMEM,
     )
     row_spec = pl.BlockSpec(
-        (1, 1, block_q), lambda bi, hi, xi: (bi, hi, xi), memory_space=pltpu.VMEM
+        (1, 1, block_q, 1), lambda bi, hi, xi: (bi, hi, xi, 0),
+        memory_space=pltpu.VMEM,
     )
 
     dq = pl.pallas_call(
@@ -296,7 +304,8 @@ def flash_bwd(q, k, v, o, lse, grad_out, causal: bool = True, interpret: bool = 
         (1, 1, s_q, d), lambda bi, hi, xi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
     )
     row_full_spec = pl.BlockSpec(
-        (1, 1, s_q), lambda bi, hi, xi: (bi, hi, 0), memory_space=pltpu.VMEM
+        (1, 1, s_q, 1), lambda bi, hi, xi: (bi, hi, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     out_kv_spec = pl.BlockSpec(
         (1, 1, block_k, d), lambda bi, hi, xi: (bi, hi, xi, 0),
