@@ -103,8 +103,16 @@ def _staged_batches(data_dir, config, batch, text_len, logger, prompt=None,
 
 
 def _grounded_batches(config, batch, text_len, logger, prompt=None,
-                      prompt_len=0, tok=None, encode_note=None, seed=0):
-    """On-the-fly grounded pairs: frames carry the note's topic signature."""
+                      prompt_len=0, tok=None, encode_note=None, seed=0,
+                      cache_size=384):
+    """Grounded pairs: frames carry the note's topic signature.
+
+    Rendering + host preprocessing dominates training wall-clock at large
+    frame sizes (one host core), so a pool of ``cache_size`` samples is
+    materialized ONCE and batches draw from it — the fixed-corpus epoch
+    regime (24 topics x phrasing variants give ample diversity at a few
+    hundred samples). cache_size=0 regenerates every sample.
+    """
     import json
 
     from .grounded import TOPIC_BANK, grounded_note, render_topic_clip
@@ -112,27 +120,42 @@ def _grounded_batches(config, batch, text_len, logger, prompt=None,
     tok = tok or ByteTokenizer(config.decoder.vocab_size)
     encode_note = encode_note or (lambda text: tok.encode(text))
     rng = np.random.default_rng(seed)
+
+    def sample():
+        idx = int(rng.integers(len(TOPIC_BANK)))
+        frames = render_topic_clip(
+            idx, config.encoder.num_frames, config.encoder.image_size, rng
+        )
+        patches = _frames_to_patches(frames, config)
+        text = json.dumps(
+            grounded_note(TOPIC_BANK[idx], rng), ensure_ascii=False
+        )
+        row, block = _pack_row(
+            tok, encode_note, text, text_len, prompt, prompt_len, rng
+        )
+        return patches, row, block
+
+    if cache_size > 0:
+        logger.info(
+            f"grounded corpus: {len(TOPIC_BANK)} topics, caching "
+            f"{cache_size} samples"
+        )
+        pool = [sample() for _ in range(cache_size)]
+        while True:
+            picks = rng.integers(0, cache_size, size=batch)
+            yield (
+                np.stack([pool[i][0] for i in picks]),
+                np.stack([pool[i][1] for i in picks]),
+                np.asarray([pool[i][2] for i in picks], np.int32),
+            )
+
     logger.info(f"grounded corpus: {len(TOPIC_BANK)} topics, on-the-fly")
     while True:
-        patches_list, tokens_list, blocks = [], [], []
-        for _ in range(batch):
-            idx = int(rng.integers(len(TOPIC_BANK)))
-            frames = render_topic_clip(
-                idx, config.encoder.num_frames, config.encoder.image_size, rng
-            )
-            patches_list.append(_frames_to_patches(frames, config))
-            text = json.dumps(
-                grounded_note(TOPIC_BANK[idx], rng), ensure_ascii=False
-            )
-            row, block = _pack_row(
-                tok, encode_note, text, text_len, prompt, prompt_len, rng
-            )
-            tokens_list.append(row)
-            blocks.append(block)
+        drawn = [sample() for _ in range(batch)]
         yield (
-            np.stack(patches_list),
-            np.stack(tokens_list),
-            np.asarray(blocks, np.int32),
+            np.stack([d[0] for d in drawn]),
+            np.stack([d[1] for d in drawn]),
+            np.asarray([d[2] for d in drawn], np.int32),
         )
 
 
