@@ -1,11 +1,14 @@
 """Orchestrator result records (per-video and batch).
 
-Matches reference /root/reference/src/models.py:14-118.
+The ``to_dict()`` JSON layout and the CLI-facing ``__str__`` strings are
+cross-implementation contracts (reference src/models.py:14-118) consumed by
+result files and the terminal summary; the record machinery here leans on
+``dataclasses.asdict`` instead of hand-written field lists.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import asdict, dataclass, field
 from typing import Any
 
 __all__ = ["ProcessResult", "BatchResult"]
@@ -13,7 +16,11 @@ __all__ = ["ProcessResult", "BatchResult"]
 
 @dataclass
 class ProcessResult:
-    """Result of processing a single video through the pipeline."""
+    """Result of processing a single video through the pipeline.
+
+    ``api_calls_used`` counts model-call budget consumed by this video
+    (on-device generations, in this framework).
+    """
 
     video_id: str
     url: str
@@ -21,7 +28,6 @@ class ProcessResult:
     document_path: str | None = None
     blueprint_path: str | None = None
     api_calls_used: int = 0
-    """Model-call budget consumed by this video (device generations count)."""
     error_message: str | None = None
     processing_time: float = 0.0
     validation_score: float = 0.0
@@ -53,34 +59,21 @@ class BatchResult:
         self.total_time += result.processing_time
 
     def to_dict(self) -> dict[str, Any]:
-        return {
-            "total": self.total,
-            "successful": self.successful,
-            "failed": self.failed,
-            "total_api_calls": self.total_api_calls,
-            "total_time": self.total_time,
-            "results": [
-                {
-                    "video_id": r.video_id,
-                    "url": r.url,
-                    "success": r.success,
-                    "document_path": r.document_path,
-                    "blueprint_path": r.blueprint_path,
-                    "api_calls_used": r.api_calls_used,
-                    "error_message": r.error_message,
-                    "processing_time": r.processing_time,
-                    "validation_score": r.validation_score,
-                    "audit_score": r.audit_score,
-                }
-                for r in self.results
-            ],
-        }
+        # Field declaration order IS the serialized key order, for both the
+        # batch summary and each per-video record (asdict preserves it).
+        summary = asdict(self)
+        per_video = summary.pop("results")
+        summary["results"] = per_video
+        return summary
+
+    @property
+    def success_rate(self) -> float:
+        return self.successful / self.total * 100 if self.total else 0.0
 
     def __str__(self) -> str:
-        success_rate = (self.successful / self.total * 100) if self.total > 0 else 0
         return (
             f"批量处理结果: {self.successful}/{self.total} 成功 "
-            f"({success_rate:.1f}%) | "
+            f"({self.success_rate:.1f}%) | "
             f"API调用: {self.total_api_calls} | "
             f"总耗时: {self.total_time:.1f}s"
         )
