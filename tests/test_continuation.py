@@ -58,21 +58,22 @@ class TestContinuation:
             json.loads(texts[0])
 
     def test_continuation_rounds_complete_the_note(self, capped_engine):
-        texts, complete = capped_engine.generate_text(
-            ["分析视频"], prompt_len=16, return_status=True
+        """Token-id continuation (the analyzer's path) finishes the note."""
+        _, complete, ids = capped_engine.generate_text(
+            ["分析视频"], prompt_len=16, return_status=True, return_tokens=True
         )
-        text = texts[0]
+        all_ids = list(ids[0])
         rounds = 0
         while not complete[0] and rounds < 12:
-            more, complete = capped_engine.generate_text(
-                ["分析视频"], prompt_len=16, prefixes=[text],
-                return_status=True,
+            _, complete, more = capped_engine.generate_text(
+                ["分析视频"], prompt_len=16, prefixes=[all_ids],
+                return_status=True, return_tokens=True,
             )
             assert more[0]  # every round must make progress
-            text += more[0]
+            all_ids += more[0]
             rounds += 1
         assert complete[0], f"note incomplete after {rounds} continuations"
-        data = json.loads(text)
+        data = json.loads(capped_engine.tokenizer.decode(all_ids))
         assert {"title", "deep_dive", "glossary"} <= data.keys()
 
     def test_prefix_resumes_grammar_not_restarts(self, capped_engine):
@@ -96,22 +97,39 @@ class TestContinuation:
 
 
 class TestAnalyzerContinuationLoop:
+    @staticmethod
+    def _tok():
+        from video_transformer_tpu.models.tokenizer import ByteTokenizer
+
+        return ByteTokenizer(512)
+
     def test_continues_until_complete(self):
         """_continue_incomplete drives rows to completion within the cap."""
         from video_transformer_tpu.analyzer.content_analyzer import ContentAnalyzer
         from video_transformer_tpu.utils.counter import APICounter
 
+        tok = self._tok()
+
         class StubEngine:
             data_parallel = 1
+            tokenizer = tok
 
             def __init__(self):
                 self.calls = 0
+                self.seen_prefixes = []
 
-            def generate(self, frames, prompts, prefixes=None, return_status=False):
+            def generate(self, frames, prompts, prefixes=None,
+                         return_status=False, return_tokens=False):
                 self.calls += 1
-                if self.calls < 2:
-                    return ["部分"] * len(prompts), [False] * len(prompts)
-                return ["结尾"] * len(prompts), [True] * len(prompts)
+                self.seen_prefixes.append(prefixes)
+                text = "部分" if self.calls < 2 else "结尾"
+                done = self.calls >= 2
+                ids = [tok.encode(text)] * len(prompts)
+                return (
+                    [text] * len(prompts),
+                    [done] * len(prompts),
+                    ids,
+                )
 
         engine = StubEngine()
         analyzer = ContentAnalyzer(
@@ -121,20 +139,62 @@ class TestAnalyzerContinuationLoop:
         )
         frames = np.zeros((2, 1, 4, 4, 3), np.uint8)
         texts = analyzer._continue_incomplete(
-            frames, ["p", "p"], ["开头", "开头"], [False, False]
+            frames, ["p", "p"], [tok.encode("开头"), tok.encode("开头")],
+            [False, False],
         )
         assert texts == ["开头部分结尾", "开头部分结尾"]
         assert engine.calls == 2  # continuation rounds only
+        # Continuation passes accumulated TOKEN IDS, not re-encoded text.
+        assert engine.seen_prefixes[1] == [
+            tok.encode("开头部分"), tok.encode("开头部分")
+        ]
+
+    def test_mid_utf8_cap_decodes_exactly(self):
+        """A token cap splitting a CJK character must not corrupt the note.
+
+        Text-based accumulation would decode each half to U+FFFD; id-based
+        accumulation restores the character when the halves rejoin.
+        """
+        from video_transformer_tpu.analyzer.content_analyzer import ContentAnalyzer
+        from video_transformer_tpu.utils.counter import APICounter
+
+        tok = self._tok()
+        char = "梯".encode("utf-8")  # 3 bytes
+        head, tail = list(char[:2]), list(char[2:])
+
+        class SplitEngine:
+            data_parallel = 1
+            tokenizer = tok
+
+            def generate(self, frames, prompts, prefixes=None,
+                         return_status=False, return_tokens=False):
+                # Resumes exactly after the 2 dangling bytes.
+                assert prefixes == [head]
+                return ["�"], [True], [tail]
+
+        analyzer = ContentAnalyzer(
+            {"analyzer": {"max_continuations": 2}},
+            APICounter(max_calls=50),
+            engine=SplitEngine(),
+        )
+        frames = np.zeros((1, 1, 4, 4, 3), np.uint8)
+        texts = analyzer._continue_incomplete(frames, ["p"], [head], [False])
+        assert texts == ["梯"]
 
     def test_budget_stops_continuation(self):
         from video_transformer_tpu.analyzer.content_analyzer import ContentAnalyzer
         from video_transformer_tpu.utils.counter import APICounter
 
+        tok = self._tok()
+
         class NeverDone:
             data_parallel = 1
+            tokenizer = tok
 
-            def generate(self, frames, prompts, prefixes=None, return_status=False):
-                return ["x"] * len(prompts), [False] * len(prompts)
+            def generate(self, frames, prompts, prefixes=None,
+                         return_status=False, return_tokens=False):
+                ids = [tok.encode("x")] * len(prompts)
+                return ["x"] * len(prompts), [False] * len(prompts), ids
 
         counter = APICounter(max_calls=1)
         analyzer = ContentAnalyzer(
@@ -142,7 +202,8 @@ class TestAnalyzerContinuationLoop:
         )
         frames = np.zeros((2, 1, 4, 4, 3), np.uint8)
         texts = analyzer._continue_incomplete(
-            frames, ["p", "p"], ["a", "b"], [False, False]
+            frames, ["p", "p"], [tok.encode("a"), tok.encode("b")],
+            [False, False],
         )
         assert texts == ["a", "b"]  # skipped: 2 rows > 1 remaining call
 

@@ -37,13 +37,12 @@ class ScriptedEngine:
 
         self.stats = _Stats()
 
-        class _Tok:
-            vocab_size = 512
+        from video_transformer_tpu.models.tokenizer import ByteTokenizer
 
-        self.tokenizer = _Tok()
+        self.tokenizer = ByteTokenizer(512)
 
     def generate(self, frames, prompts, prompt_len=256, dfa=None,
-                 prefixes=None, return_status=False):
+                 prefixes=None, return_status=False, return_tokens=False):
         out = []
         for _ in prompts:
             if not self.responses:
@@ -53,9 +52,12 @@ class ScriptedEngine:
             if isinstance(item, Exception):
                 raise item
             out.append(item)
+        result = (out,)
         if return_status:
-            return out, [True] * len(out)
-        return out
+            result += ([True] * len(out),)
+        if return_tokens:
+            result += ([self.tokenizer.encode(t) for t in out],)
+        return result if len(result) > 1 else out
 
     def generate_text(self, prompts, prompt_len=512, dfa=None):
         return self.generate(np.zeros((len(prompts), 1, 1, 1)), prompts)

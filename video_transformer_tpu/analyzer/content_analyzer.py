@@ -311,10 +311,11 @@ class ContentAnalyzer:
         """
         for _ in range(frames.shape[0]):
             self.api_counter.increment("local")
-        texts, complete = self.pacer.call_with_retry(
-            self.engine.generate, frames, prompts, return_status=True
+        _, complete, token_ids = self.pacer.call_with_retry(
+            self.engine.generate, frames, prompts,
+            return_status=True, return_tokens=True,
         )
-        texts = self._continue_incomplete(frames, prompts, list(texts), complete)
+        texts = self._continue_incomplete(frames, prompts, token_ids, complete)
 
         results: list[dict[str, Any] | None] = [None] * len(prompts)
         failed: list[int] = []
@@ -354,19 +355,23 @@ class ContentAnalyzer:
         self,
         frames: np.ndarray,
         prompts: list[str],
-        texts: list[str],
+        token_ids: list[list[int]],
         complete: list[bool],
     ) -> list[str]:
         """Continue token-capped generations until the grammar accepts.
 
         The long-note path: each round appends up to max_new_tokens more to
-        every incomplete row. Bounded by analyzer.max_continuations and the
-        call budget; stops early if a prefix no longer fits the sequence
-        budget (the engine raises).
+        every incomplete row. Continuation passes TOKEN IDS, not re-encoded
+        text — the resumed pass sees the exact tokens of the original one
+        (BPE boundaries preserved; a cap mid UTF-8 character resumes the
+        byte-DFA mid-character). Bounded by analyzer.max_continuations and
+        the call budget; stops early if a prefix no longer fits the sequence
+        budget (the engine raises). Each row decodes once at the end so no
+        text is ever assembled across a token boundary.
         """
         max_rounds = int(self.analyzer_config.get("max_continuations", 3) or 0)
         for round_idx in range(1, max_rounds + 1):
-            pending = [i for i in range(len(texts)) if not complete[i]]
+            pending = [i for i in range(len(token_ids)) if not complete[i]]
             if not pending:
                 break
             if self.api_counter.remaining() < len(pending):
@@ -380,21 +385,22 @@ class ContentAnalyzer:
             for _ in pending:
                 self.api_counter.increment("local")
             try:
-                more, now_done = self.engine.generate(
+                _, now_done, more_ids = self.engine.generate(
                     frames[np.asarray(pending)],
                     [prompts[i] for i in pending],
-                    prefixes=[texts[i] for i in pending],
+                    prefixes=[token_ids[i] for i in pending],
                     return_status=True,
+                    return_tokens=True,
                 )
             except ValueError as exc:
                 self.logger.warning(
                     f"event=continuation_stopped reason=sequence_budget error={exc}"
                 )
                 break
-            for i, tail, is_done in zip(pending, more, now_done):
-                texts[i] += tail
+            for i, tail, is_done in zip(pending, more_ids, now_done):
+                token_ids[i] = token_ids[i] + tail
                 complete[i] = is_done
-        return texts
+        return [self.engine.tokenizer.decode(row) for row in token_ids]
 
     # -- segmented path --------------------------------------------------------
 

@@ -40,6 +40,10 @@ class ByteTokenizer:
         data = bytes(int(i) for i in np.asarray(ids).reshape(-1) if int(i) < 256)
         return data.decode("utf-8", errors="replace")
 
+    def token_bytes(self, token_id: int) -> bytes:
+        """The exact byte string a token decodes to (empty for specials)."""
+        return bytes([token_id]) if token_id < 256 else b""
+
     def encode_array(
         self, text: str, length: int, add_bos: bool = False
     ) -> np.ndarray:

@@ -516,20 +516,29 @@ class InferenceEngine:
         """The byte-level transition table behind either grammar flavor."""
         return getattr(dfa, "dfa", dfa).next_state
 
-    def _resume_state(self, dfa, prefix: str) -> int:
-        """Grammar state after consuming ``prefix`` (continuation resume)."""
+    def _resume_state(self, dfa, prefix: bytes) -> int:
+        """Grammar state after consuming ``prefix`` bytes (continuation)."""
         table = self._byte_table(dfa)
         state = dfa.start
-        for byte in prefix.encode("utf-8"):
+        for byte in prefix:
             state = int(table[state, byte])
             if state < 0:
                 raise ValueError("continuation prefix leaves the grammar")
         return state
 
+    def _prefix_bytes(self, ids: list[int]) -> bytes:
+        """Exact bytes of a generated id sequence (grammar-resume input).
+
+        Token ids carry exact bytes even when generation was capped mid
+        UTF-8 character — re-encoding decoded TEXT there would hit the
+        U+FFFD replacement and fall out of the grammar.
+        """
+        return b"".join(self.tokenizer.token_bytes(int(t)) for t in ids)
+
     def _assemble_inputs(
         self,
         prompts: list[str],
-        prefixes: list[str] | None,
+        prefixes: list[list[int]] | None,
         b_real: int,
         prompt_len: int,
         dfa,
@@ -544,9 +553,9 @@ class InferenceEngine:
         so positions line up even when one batch mixes templates of
         different bucket sizes. ``prompt_len`` is the batch-wide array
         width for the prompt region (max row bucket when auto-sized).
-        Continuation prefixes append after the row's prompt block and resume
-        the grammar mid-document; the new text continues at the exact
-        positions of the original pass.
+        Continuation prefixes (token-id lists) append after the row's prompt
+        block and resume the grammar mid-document; the new text continues at
+        the exact positions of the original pass.
         """
         b_padded, prompt_tokens = self._pad_and_tokenize(prompts, b_real, prompt_len)
         row_buckets = np.full((b_padded,), prompt_len, np.int32)
@@ -558,7 +567,7 @@ class InferenceEngine:
         prefix_ids: list[list[int]] = [[] for _ in range(b_padded)]
         if prefixes is not None:
             for i, prefix in enumerate(prefixes):
-                prefix_ids[i] = self.tokenizer.encode(prefix) if prefix else []
+                prefix_ids[i] = [int(t) for t in prefix] if len(prefix) else []
         prefix_bucket = _round_up(max(map(len, prefix_ids), default=0), 128) if any(
             prefix_ids
         ) else 0
@@ -591,8 +600,22 @@ class InferenceEngine:
             tokens[i, start : start + len(ids)] = ids
             lengths[i] = start + len(ids)
             if dfa is not None:
-                states[i] = self._resume_state(dfa, prefixes[i])  # type: ignore[index]
+                states[i] = self._resume_state(dfa, self._prefix_bytes(ids))
         return b_padded, total, tokens, lengths, states
+
+    def _normalize_prefixes(self, prefixes) -> list[list[int]] | None:
+        """Accept text or token-id prefixes; ids are the exact path.
+
+        Text prefixes re-encode (BPE boundaries may drift from the original
+        pass, and a cap mid UTF-8 char breaks the grammar walk); token ids
+        from a prior ``return_tokens=True`` call continue exactly.
+        """
+        if prefixes is None:
+            return None
+        return [
+            self.tokenizer.encode(p) if isinstance(p, str) else list(p)
+            for p in prefixes
+        ]
 
     def generate(
         self,
@@ -600,8 +623,9 @@ class InferenceEngine:
         prompts: list[str],
         prompt_len: int | None = None,
         dfa: JsonDfa | None = None,
-        prefixes: list[str] | None = None,
+        prefixes: list[str] | list[list[int]] | None = None,
         return_status: bool = False,
+        return_tokens: bool = False,
     ):
         """Analyze a batch of clips: returns one decoded text per clip.
 
@@ -612,8 +636,11 @@ class InferenceEngine:
         ``prefixes`` continues earlier generations (reference MAX_TOKENS
         continuation, content_analyzer.py:1385-1464): each row re-prefills
         prompt + prefix and resumes the grammar mid-document; the returned
-        text is the NEW tail only. ``return_status=True`` additionally
-        returns per-row completion flags (False = ran out of token budget).
+        text is the NEW tail only. Prefix rows may be strings or token-id
+        lists — ids (from ``return_tokens=True``) resume exactly even when
+        the cap landed mid UTF-8 character. ``return_status=True`` appends
+        per-row completion flags (False = ran out of token budget);
+        ``return_tokens=True`` appends per-row generated token-id lists.
         """
         b_real = frames.shape[0]
         if len(prompts) != b_real:
@@ -622,7 +649,8 @@ class InferenceEngine:
             prompt_len = self._prompt_bucket(prompts, with_video=True)
         dfa = dfa if dfa is not None else self.dfa
         b_padded, total, tokens_in, lengths, states = self._assemble_inputs(
-            prompts, prefixes, b_real, prompt_len, dfa, with_video=True
+            prompts, self._normalize_prefixes(prefixes), b_real, prompt_len,
+            dfa, with_video=True,
         )
 
         if b_padded != b_real:
@@ -634,7 +662,7 @@ class InferenceEngine:
         args = (patches, jnp.asarray(tokens_in))
         return self._execute(
             fn, args, lengths, states, b_real, total, True, return_status,
-            span="engine.generate",
+            return_tokens, span="engine.generate",
         )
 
     def generate_text(
@@ -642,8 +670,9 @@ class InferenceEngine:
         prompts: list[str],
         prompt_len: int | None = None,
         dfa: JsonDfa | None = None,
-        prefixes: list[str] | None = None,
+        prefixes: list[str] | list[list[int]] | None = None,
         return_status: bool = False,
+        return_tokens: bool = False,
     ):
         """Text-only generation (validator scoring, consolidation, rewrite)."""
         b_real = len(prompts)
@@ -651,18 +680,19 @@ class InferenceEngine:
             prompt_len = self._prompt_bucket(prompts, with_video=False)
         dfa = dfa if dfa is not None else self.dfa
         b_padded, total, tokens_in, lengths, states = self._assemble_inputs(
-            prompts, prefixes, b_real, prompt_len, dfa, with_video=False
+            prompts, self._normalize_prefixes(prefixes), b_real, prompt_len,
+            dfa, with_video=False,
         )
 
         fn = self._get_generate(b_padded, total, False, dfa)
         return self._execute(
             fn, (jnp.asarray(tokens_in),), lengths, states, b_real, total,
-            False, return_status, span="engine.generate_text",
+            False, return_status, return_tokens, span="engine.generate_text",
         )
 
     def _execute(
         self, fn, args, lengths, states, b_real, prompt_width, with_video,
-        return_status, span,
+        return_status, return_tokens, span,
     ):
         self._rng, key = jax.random.split(self._rng)
         start = time.perf_counter()
@@ -681,9 +711,11 @@ class InferenceEngine:
         video_tokens = self.config.video_tokens if with_video else 0
         self.stats.prefill_tokens += b_real * (video_tokens + prompt_width)
 
-        texts = [
-            self.tokenizer.decode(tokens[i, : out_pos[i]]) for i in range(b_real)
-        ]
+        ids = [tokens[i, : out_pos[i]].tolist() for i in range(b_real)]
+        texts = [self.tokenizer.decode(row) for row in ids]
+        out: tuple = (texts,)
         if return_status:
-            return texts, [bool(c) for c in complete[:b_real]]
-        return texts
+            out += ([bool(c) for c in complete[:b_real]],)
+        if return_tokens:
+            out += (ids,)
+        return out if len(out) > 1 else texts
