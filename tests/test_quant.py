@@ -1,0 +1,203 @@
+"""int8 weight-only serving quantization (models/quant.py, lm.QDense).
+
+Decode at small batch is weight-bandwidth bound; int8 kernels halve the
+bytes streamed from HBM per step. These tests pin the numerics (per-channel
+dequant error, logits agreement), the engine integration (generation under
+the grammar, checkpoint restore, tensor-parallel sharding of the scales),
+and that training paths are untouched (no quant collection -> plain dense).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import __graft_entry__
+from video_transformer_tpu.analyzer.schema import note_dfa
+from video_transformer_tpu.models.quant import (
+    QUANTIZED_DENSE_NAMES,
+    quantize_decoder_int8,
+)
+from video_transformer_tpu.parallel.engine import InferenceEngine
+
+
+class TestQuantizeTree:
+    def test_kernels_become_int8_with_scales(self):
+        config = __graft_entry__._tiny_config()
+        from video_transformer_tpu.models.vlm import VideoLM
+
+        model = VideoLM(config)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        quantized = quantize_decoder_int8(variables)
+
+        layer = quantized["params"]["decoder"]["layer_0"]
+        for group, names in (("attn", ("q", "k", "v", "out")),
+                             ("mlp", ("gate", "up", "down"))):
+            for name in names:
+                assert layer[group][name]["kernel"].dtype == jnp.int8, name
+        qlayer = quantized["quant"]["decoder"]["layer_0"]
+        scale = qlayer["attn"]["q"]["scale"]
+        kernel = variables["params"]["decoder"]["layer_0"]["attn"]["q"]["kernel"]
+        assert scale.shape == (kernel.shape[1],)
+        # Non-decoder parts stay f32.
+        enc = quantized["params"]["encoder"]
+        flat = jax.tree_util.tree_leaves(enc)
+        assert all(leaf.dtype != jnp.int8 for leaf in flat)
+
+    def test_dequant_error_bounded(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+        from video_transformer_tpu.models.quant import _quantize_kernel
+
+        q, scale = _quantize_kernel(w)
+        dequant = q.astype(jnp.float32) * scale[None, :]
+        # Per-channel symmetric int8: max error is scale/2 per element.
+        err = jnp.max(jnp.abs(dequant - w) / scale[None, :])
+        assert float(err) <= 0.5 + 1e-3
+
+    def test_idempotent(self):
+        config = __graft_entry__._tiny_config()
+        from video_transformer_tpu.models.vlm import VideoLM
+
+        variables = VideoLM(config).init_variables(jax.random.PRNGKey(0))
+        once = quantize_decoder_int8(variables)
+        twice = quantize_decoder_int8(once)
+        k1 = once["params"]["decoder"]["layer_0"]["mlp"]["gate"]["kernel"]
+        k2 = twice["params"]["decoder"]["layer_0"]["mlp"]["gate"]["kernel"]
+        assert k1.dtype == k2.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
+class TestQuantizedForward:
+    def test_logits_close_to_f32(self):
+        """Weight-only per-channel int8 must track the f32 forward closely
+        enough that the grammar-constrained argmax rarely flips."""
+        config = __graft_entry__._tiny_config()
+        from video_transformer_tpu.models.vlm import VideoLM
+
+        model = VideoLM(config)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        quantized = quantize_decoder_int8(variables)
+
+        rng = np.random.default_rng(1)
+        patches = jnp.asarray(
+            rng.standard_normal(
+                (1, config.encoder.tokens_per_clip, config.encoder.patch_dim)
+            ).astype(np.float32)
+        )
+        tokens = jnp.asarray(rng.integers(0, 255, (1, 16)), jnp.int32)
+        lf = model.apply(variables, patches, tokens)
+        lq = model.apply(quantized, patches, tokens)
+        # Compare normalized logits (bf16 compute): the quantization error
+        # should be small relative to the logit scale.
+        denom = float(jnp.std(lf)) + 1e-6
+        rel = float(jnp.max(jnp.abs(lf - lq))) / denom
+        assert rel < 0.35, f"relative logit deviation {rel:.3f}"
+
+
+def _compact_dfa():
+    from video_transformer_tpu.ops.constrained import DfaBuilder
+
+    return (
+        DfaBuilder()
+        .literal('{"title": ')
+        .free_string(2, 40)
+        .literal(', "summary": ')
+        .free_string(2, 60)
+        .literal("}")
+        .finish()
+    )
+
+
+class TestQuantizedEngine:
+    @pytest.fixture(scope="class")
+    def engine(self):
+        config = __graft_entry__._tiny_config()
+        return InferenceEngine(
+            config,
+            dfa=_compact_dfa(),
+            max_new_tokens=256,
+            temperature=0.7,
+            structure_bias=1.5,
+            seed=0,
+            compilation_cache_dir=None,
+            quantize="int8",
+        )
+
+    def test_generates_valid_note_json(self, engine):
+        frames = np.random.default_rng(0).integers(
+            0, 255, (1, 4, 64, 64, 3), dtype=np.uint8
+        )
+        texts, complete = engine.generate(
+            frames, ["分析视频"], prompt_len=16, return_status=True
+        )
+        assert complete == [True]
+        data = json.loads(texts[0])  # grammar guarantees syntax
+        assert "title" in data
+
+    def test_sharded_quantized_engine(self):
+        """dp x tp = 4 x 2: int8 kernels and their scales shard together."""
+        from video_transformer_tpu.parallel.mesh import build_mesh
+
+        config = __graft_entry__._tiny_config()
+        engine = InferenceEngine(
+            config,
+            mesh=build_mesh({"data": 4, "model": 2}),
+            dfa=_compact_dfa(),
+            max_new_tokens=256,
+            temperature=0.7,
+            structure_bias=2.0,
+            seed=0,
+            compilation_cache_dir=None,
+            quantize="int8",
+        )
+        frames = np.random.default_rng(0).integers(
+            0, 255, (2, 4, 64, 64, 3), dtype=np.uint8
+        )
+        texts = engine.generate(frames, ["分析", "分析"], prompt_len=16)
+        assert len(texts) == 2
+
+    def test_restore_requantizes(self, engine, tmp_path):
+        """Checkpoint restore goes through the f32 template then re-applies
+        the int8 transform."""
+        import orbax.checkpoint as ocp
+
+        config = __graft_entry__._tiny_config()
+        donor = InferenceEngine(
+            config, max_new_tokens=8, seed=5, compilation_cache_dir=None
+        )
+        ckpt = tmp_path / "params_1"
+        with ocp.StandardCheckpointer() as checkpointer:
+            checkpointer.save(str(ckpt), donor.params)
+
+        engine.restore(str(tmp_path))
+        k = engine.params["params"]["decoder"]["layer_0"]["attn"]["q"]["kernel"]
+        assert k.dtype == jnp.int8
+        donor_k = donor.params["params"]["decoder"]["layer_0"]["attn"]["q"]["kernel"]
+        scale = engine.params["quant"]["decoder"]["layer_0"]["attn"]["q"]["scale"]
+        dequant = np.asarray(k, np.float32) * np.asarray(scale)[None, :]
+        np.testing.assert_allclose(
+            dequant, np.asarray(donor_k, np.float32), atol=np.asarray(scale).max()
+        )
+
+
+class TestTrainingUntouched:
+    def test_no_quant_collection_means_plain_dense(self):
+        config = __graft_entry__._tiny_config()
+        from video_transformer_tpu.models.vlm import VideoLM
+
+        model = VideoLM(config)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(2)
+        patches = jnp.asarray(
+            rng.standard_normal(
+                (1, config.encoder.tokens_per_clip, config.encoder.patch_dim)
+            ).astype(np.float32)
+        )
+        tokens = jnp.asarray(rng.integers(0, 255, (1, 8)), jnp.int32)
+        logits = model.apply(variables, patches, tokens)
+        assert logits.dtype == jnp.float32
+        assert np.isfinite(np.asarray(logits)).all()

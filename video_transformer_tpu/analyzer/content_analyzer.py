@@ -134,6 +134,7 @@ class ContentAnalyzer:
                 structure_bias=float(self.engine_config.get("structure_bias", 1.5)),
                 tokenizer=tokenizer,
                 param_dtype=self.engine_config.get("param_dtype"),
+                quantize=self.engine_config.get("quantize"),
             )
             self._engine.dfa = self._engine.wrap_grammar(note_dfa(byte_vocab))
             checkpoint_dir = self.engine_config.get("checkpoint_dir")

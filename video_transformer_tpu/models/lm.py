@@ -50,6 +50,36 @@ class RMSNorm(nn.Module):
         return rms_norm(x, weight)
 
 
+class QDense(nn.Module):
+    """Bias-free dense that transparently serves int8 weight-only quant.
+
+    Parameter layout matches nn.Dense (one ``kernel`` [in, out]), so
+    checkpoints interchange. When the caller's variables carry a ``quant``
+    collection (models/quant.py), the kernel leaf is int8 and the matching
+    per-output-channel ``scale`` multiplies the matmul output — XLA streams
+    the int8 kernel from HBM (half the bytes of bf16) and fuses both the
+    on-load convert and the scale epilogue. Without the collection this is
+    exactly a bias-free nn.Dense.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        if self.has_variable("quant", "scale"):
+            scale = self.get_variable("quant", "scale")
+            y = y * scale.astype(self.dtype)
+        return y
+
+
 class Attention(nn.Module):
     config: DecoderConfig
     layer_idx: int
@@ -72,9 +102,9 @@ class Attention(nn.Module):
         # split incorrectly under tensor parallelism).
         q_dim = cfg.num_heads * cfg.head_dim
         kv_dim = cfg.num_kv_heads * cfg.head_dim
-        q = nn.Dense(q_dim, use_bias=False, dtype=dtype, name="q")(x)
-        k = nn.Dense(kv_dim, use_bias=False, dtype=dtype, name="k")(x)
-        v = nn.Dense(kv_dim, use_bias=False, dtype=dtype, name="v")(x)
+        q = QDense(q_dim, dtype=dtype, name="q")(x)
+        k = QDense(kv_dim, dtype=dtype, name="k")(x)
+        v = QDense(kv_dim, dtype=dtype, name="v")(x)
         q = q.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -114,7 +144,7 @@ class Attention(nn.Module):
                 out = decode_attention(q, k_cache, v_cache, index + 1)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, s, q_dim)
-        out = nn.Dense(cfg.hidden_dim, use_bias=False, dtype=dtype, name="out")(out)
+        out = QDense(cfg.hidden_dim, dtype=dtype, name="out")(out)
         return out, cache
 
 
@@ -136,9 +166,9 @@ class SwiGLU(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.config
         dtype = x.dtype
-        gate = nn.Dense(cfg.mlp_dim, use_bias=False, dtype=dtype, name="gate")(x)
-        up = nn.Dense(cfg.mlp_dim, use_bias=False, dtype=dtype, name="up")(x)
-        return nn.Dense(cfg.hidden_dim, use_bias=False, dtype=dtype, name="down")(
+        gate = QDense(cfg.mlp_dim, dtype=dtype, name="gate")(x)
+        up = QDense(cfg.mlp_dim, dtype=dtype, name="up")(x)
+        return QDense(cfg.hidden_dim, dtype=dtype, name="down")(
             nn.silu(gate) * up
         )
 

@@ -1,0 +1,99 @@
+"""Weight-only int8 quantization for serving.
+
+Small-batch decode is WEIGHT-BANDWIDTH bound: every decode step streams the
+full decoder from HBM while the matmuls are tiny, so halving the bytes per
+weight (~bf16 -> int8) approaches a 2x step-time win with zero change to the
+decode loop. This is per-output-channel symmetric weight-only quantization:
+
+    scale[j] = max_i |W[i, j]| / 127          (f32, one per output channel)
+    Q[i, j]  = round(W[i, j] / scale[j])      (int8, lives in HBM)
+    y        = (x @ Q.astype(bf16)) * scale   (dequant fused into the matmul
+                                               epilogue by XLA; Q converts
+                                               on-load in VMEM)
+
+Activations stay bf16 (weight-only, no calibration data needed). The
+``quant`` flax collection mirrors the param tree — modules (lm.QDense) pick
+up scales when the collection is present and fall back to the plain dense
+path when it is not, so training and f32 serving are untouched.
+
+The reference has no quantization story (pure cloud calls); this is a
+TPU-serving capability in its own right.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["quantize_decoder_int8", "QUANTIZED_DENSE_NAMES"]
+
+# Dense sublayers inside each decoder block that carry the streamed weight
+# bulk. Embedding/logits and the vision tower run once per request (prefill)
+# and stay full precision.
+QUANTIZED_DENSE_NAMES = ("q", "k", "v", "out", "gate", "up", "down")
+
+
+def _quantize_kernel(kernel: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[in, out] kernel -> (int8 kernel, f32 scale [out])."""
+    w = kernel.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_decoder_int8(variables: dict[str, Any]) -> dict[str, Any]:
+    """Quantize the decoder blocks' dense kernels inside a variables dict.
+
+    Returns a NEW variables dict where each matched ``kernel`` leaf is int8
+    and a parallel ``quant`` collection holds the per-output-channel scales
+    (same nesting, leaf name ``scale``). Idempotent: int8 leaves are left
+    alone (their scales must already exist).
+    """
+    params = variables["params"]
+    decoder = params.get("decoder", params)  # tolerate bare decoder trees
+
+    def walk(tree: dict, path: tuple[str, ...]):
+        """Yield (path, kernel) for every quantizable dense kernel."""
+        for key, value in tree.items():
+            if (
+                key == "kernel"
+                and len(path) >= 1
+                and path[-1] in QUANTIZED_DENSE_NAMES
+            ):
+                yield path, value
+            elif isinstance(value, dict):
+                yield from walk(value, path + (key,))
+
+    new_decoder = jax.tree_util.tree_map(lambda x: x, decoder)  # shallow copy
+    quant_decoder: dict[str, Any] = {}
+    for path, kernel in walk(decoder, ()):
+        if kernel.dtype == jnp.int8:
+            continue
+        q, scale = _quantize_kernel(kernel)
+        node = new_decoder
+        for key in path[:-1]:
+            node = node[key]
+        node[path[-1]] = dict(node[path[-1]], kernel=q)
+        qnode = quant_decoder
+        for key in path:
+            qnode = qnode.setdefault(key, {})
+        qnode["scale"] = scale
+
+    if not quant_decoder:
+        return dict(variables)
+
+    new_params = dict(params)
+    if "decoder" in params:
+        new_params["decoder"] = new_decoder
+    else:
+        new_params = new_decoder
+    out = dict(variables, params=new_params)
+    quant = dict(out.get("quant", {}))
+    if "decoder" in params:
+        quant["decoder"] = quant_decoder
+    else:
+        quant.update(quant_decoder)
+    out["quant"] = quant
+    return out

@@ -106,6 +106,7 @@ class InferenceEngine:
         compilation_cache_dir: str | None = "./data/cache/jax",
         tokenizer: Any = None,
         param_dtype: str | None = None,
+        quantize: str | None = None,
     ):
         """``structure_bias`` is a length-control logit bias added to JSON
         closing tokens (quote/bracket/brace/EOS) — positive values steer
@@ -136,13 +137,32 @@ class InferenceEngine:
         # Serving-weight dtype: decode at small batch is weight-bandwidth
         # bound, so bf16 resident weights ~double decode throughput vs the
         # f32 training copies (matmuls already run bf16 either way).
+        # ``quantize="int8"`` goes further: decoder dense kernels stored
+        # int8 + per-channel scales (models/quant.py) halve the bytes again.
         self.param_dtype = jnp.dtype(param_dtype) if param_dtype else None
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unsupported quantize mode: {quantize!r}")
+        self.quantize = quantize
 
         if params is None:
             params = self.model.init_variables(jax.random.PRNGKey(seed))
-        shardings = param_shardings(self.mesh, params)
-        self.params = jax.device_put(self._cast_params(params), shardings)
+        # Restore templates are built from the PRE-cast f32 structure so
+        # checkpoints load regardless of the serving transform.
+        self._f32_struct = jax.tree_util.tree_map(
+            lambda leaf: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype), params
+        )
+        self.params = self._place(params)
         self._tables: dict[int, Any] = {}
+
+    def _place(self, params: Any) -> Any:
+        """f32 checkpoint/init tree -> served variables on the mesh
+        (dtype cast, optional int8 quantization, shardings applied)."""
+        params = self._cast_params(params)
+        if self.quantize == "int8":
+            from ..models.quant import quantize_decoder_int8
+
+            params = quantize_decoder_int8(params)
+        return jax.device_put(params, param_shardings(self.mesh, params))
 
     def _cast_params(self, params: Any) -> Any:
         if self.param_dtype is None:
@@ -221,21 +241,18 @@ class InferenceEngine:
             if not candidates:
                 raise FileNotFoundError(f"no params_N checkpoints under {path}")
             path = candidates[-1]
-        # Checkpoints are written f32 by the trainer; restore against an f32
-        # template, then drop to the serving dtype.
-        def as_f32(leaf):
-            dtype = (
-                jnp.float32
-                if getattr(leaf, "dtype", None) == self.param_dtype
-                and self.param_dtype is not None
-                else leaf.dtype
-            )
-            return jax.ShapeDtypeStruct(leaf.shape, dtype, sharding=leaf.sharding)
-
-        template = jax.tree_util.tree_map(as_f32, self.params)
+        # Checkpoints are written f32 by the trainer; restore against the
+        # engine's pre-transform f32 structure, then re-apply the serving
+        # transform (dtype cast / int8 quantization / shardings).
+        shardings = param_shardings(self.mesh, self._f32_struct)
+        template = jax.tree_util.tree_map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            self._f32_struct,
+            shardings,
+        )
         with ocp.StandardCheckpointer() as checkpointer:
             restored = checkpointer.restore(str(path.resolve()), template)
-        self.params = self._cast_params(restored)
+        self.params = self._place(restored)
         self._generate_cache.clear()
 
     # -- compiled program ----------------------------------------------------

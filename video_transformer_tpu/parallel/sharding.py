@@ -34,6 +34,16 @@ PARTITION_RULES: list[tuple[tuple[str, ...], P]] = [
     (("projector_down", "kernel"), P(MODEL_AXIS, None)),
     # Patch embedding: large input dim (tubelet pixels), shard output.
     (("patch_embed", "kernel"), P(None, MODEL_AXIS)),
+    # int8 serving scales (models/quant.py): one per OUTPUT channel, so
+    # column-parallel scales shard with the output dim; row-parallel
+    # projections keep their output replicated and so do their scales.
+    (("q", "scale"), P(MODEL_AXIS)),
+    (("k", "scale"), P(MODEL_AXIS)),
+    (("v", "scale"), P(MODEL_AXIS)),
+    (("gate", "scale"), P(MODEL_AXIS)),
+    (("up", "scale"), P(MODEL_AXIS)),
+    (("out", "scale"), P()),
+    (("down", "scale"), P()),
 ]
 
 

@@ -73,6 +73,32 @@ TOPIC_BANK: tuple[Topic, ...] = (
     Topic("混合精度", "用半精度计算配合全精度累加", ("半精度", "数值稳定"), "加速矩阵计算"),
     Topic("模型并行", "把参数切分到多个设备上", ("张量切分", "设备网格"), "扩展模型规模"),
     Topic("数据并行", "多设备各算一份梯度再求和", ("梯度同步", "批次切分"), "扩展训练吞吐"),
+    # Appended after round 2 started: indices 0-23 above are FROZEN — the
+    # shipped tiny checkpoint and the e2e tests reference them by position.
+    Topic("激活函数", "给线性变换引入非线性映射", ("非线性", "饱和区间"), "引入非线性"),
+    Topic("池化层", "对局部区域取统计量降低分辨率", ("最大池化", "平均池化"), "压缩空间维度"),
+    Topic("随机失活", "训练时随机屏蔽部分神经元", ("屏蔽概率", "集成效应"), "抑制共适应"),
+    Topic("交叉验证", "轮换划分训练集与验证集评估模型", ("数据划分", "评估方差"), "评估泛化性能"),
+    Topic("特征工程", "从原始数据构造有判别力的输入", ("特征选择", "特征缩放"), "构造输入特征"),
+    Topic("梯度裁剪", "限制梯度范数防止更新爆炸", ("梯度范数", "裁剪阈值"), "稳定更新幅度"),
+    Topic("早停策略", "验证指标不再改善时停止训练", ("验证指标", "耐心轮数"), "防止过度训练"),
+    Topic("集成学习", "组合多个弱模型提升整体精度", ("投票机制", "模型多样性"), "组合多个模型"),
+    Topic("决策树", "按特征阈值递归划分样本空间", ("信息增益", "叶子节点"), "划分样本空间"),
+    Topic("支持向量机", "寻找间隔最大的分类超平面", ("核函数", "支持向量"), "最大化分类间隔"),
+    Topic("聚类分析", "按相似度把样本分成若干组", ("簇中心", "距离度量"), "划分样本组别"),
+    Topic("降维方法", "把高维数据映射到低维空间", ("主成分", "方差保留"), "压缩数据维度"),
+    Topic("强化学习", "智能体通过试错最大化累积奖励", ("奖励信号", "策略函数"), "学习决策策略"),
+    Topic("生成对抗", "生成器与判别器相互博弈训练", ("生成器", "判别器"), "生成逼真样本"),
+    Topic("扩散模型", "学习逐步去噪恢复数据分布", ("加噪过程", "去噪网络"), "生成高质样本"),
+    Topic("对比学习", "拉近正样本对并推远负样本对", ("正样本对", "温度系数"), "学习判别表示"),
+    Topic("迁移学习", "把源任务知识迁移到目标任务", ("源任务", "目标任务"), "复用已学知识"),
+    Topic("多模态对齐", "把不同模态映射到共享语义空间", ("共享空间", "跨模态检索"), "对齐多种模态"),
+    Topic("图神经网络", "沿边聚合邻居信息更新节点表示", ("邻居聚合", "消息传递"), "建模图结构"),
+    Topic("序列到序列", "编码输入序列再解码输出序列", ("编码器", "解码器"), "转换序列形式"),
+    Topic("缓存推理", "缓存键值对避免重复前向计算", ("键值缓存", "增量解码"), "加速自回归生成"),
+    Topic("稀疏专家", "按路由选择少数专家参与计算", ("路由器", "专家容量"), "扩展参数规模"),
+    Topic("检索增强", "检索外部知识拼接进生成上下文", ("向量检索", "知识库"), "补充外部知识"),
+    Topic("思维链", "让模型先生成推理步骤再给答案", ("推理步骤", "中间结论"), "提升推理质量"),
 )
 
 

@@ -190,6 +190,11 @@ def main(argv: list[str] | None = None) -> int:
              "note content; see train/grounded.py)",
     )
     parser.add_argument(
+        "--grounded-cache", type=int, default=384,
+        help="size of the pre-rendered grounded sample pool (0 = render "
+             "every sample on the fly; host-bound at large frame sizes)",
+    )
+    parser.add_argument(
         "--tokenizer",
         help="path to a trained BPE vocab (models/bpe.py); resizes the "
              "decoder vocab and uses grammar-aligned note tokenization",
@@ -297,6 +302,7 @@ def main(argv: list[str] | None = None) -> int:
             config, args.batch, args.text_len, logger,
             prompt=prompt, prompt_len=args.prompt_len,
             tok=tok, encode_note=encode_note,
+            cache_size=args.grounded_cache,
         )
     else:
         logger.info("no --data given: training on schema-valid synthetic pairs")
