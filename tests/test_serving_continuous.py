@@ -2,6 +2,7 @@
 
 import json
 
+import jax
 import numpy as np
 import pytest
 
@@ -102,6 +103,40 @@ class TestContinuousBatching:
 
     def test_empty_queue_run_returns_immediately(self, batcher):
         assert batcher.run() == []
+
+    def test_priority_requests_claim_slots_first(self):
+        """With one slot, submissions drain by priority (FIFO within level):
+        a late high-priority request overtakes the earlier backlog."""
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1]),
+            dfa=tiny_dfa(),
+            max_new_tokens=96,
+            temperature=1.0,
+            seed=0,
+            compilation_cache_dir=None,
+        )
+        batcher = ContinuousBatcher(engine, slots=1, prompt_len=16, chunk_steps=8)
+        requests = make_requests(4, seed=2)
+        requests[3].priority = 5  # submitted last, claims the slot first
+        for request in requests:
+            batcher.submit(request)
+        order: list[int] = []
+        batcher.run(on_complete=lambda c: order.append(c.request_id))
+        assert order == [3, 0, 1, 2]
+
+    def test_adaptive_chunks_report_first_token_latency(self, batcher):
+        """first_token_s is populated and short chunks engage while the
+        queue is non-empty (the policy is host-side; we pin the surface)."""
+        assert batcher._next_chunk_steps() == batcher.chunk_steps  # idle
+        for request in make_requests(6, seed=4):
+            batcher.submit(request)
+        assert batcher._next_chunk_steps() == min(
+            batcher.latency_steps, batcher.chunk_steps
+        )
+        results = batcher.run()
+        assert all(c.first_token_s >= 0.0 for c in results)
+        assert batcher._next_chunk_steps() == batcher.chunk_steps
 
     def test_completion_reports_token_budget_exhaustion(self):
         """A grammar that cannot finish within max_new yields complete=False

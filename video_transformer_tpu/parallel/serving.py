@@ -50,6 +50,7 @@ class Request:
     request_id: int
     frames: np.ndarray  # uint8 [T, H, W, 3]
     prompt: str
+    priority: int = 0  # higher drains first; FIFO within a priority level
 
 
 @dataclass
@@ -58,26 +59,45 @@ class Completion:
     text: str
     tokens: int
     complete: bool  # grammar accepted (False = token budget exhausted)
+    first_token_s: float = 0.0  # submit -> first decode chunk containing it
 
 
 @dataclass
 class _Slot:
     request_id: int | None = None
     started: float = 0.0
+    first_token_at: float = 0.0  # 0 until the slot's first decode chunk
 
 
 @dataclass
 class ContinuousBatcher:
-    """Fixed-slot continuous scheduler over an InferenceEngine's model."""
+    """Fixed-slot continuous scheduler over an InferenceEngine's model.
+
+    Scheduling refinements over the plain fixed-chunk loop:
+
+    - **Priority queue**: requests drain highest ``Request.priority`` first
+      (FIFO within a level) — latency-sensitive traffic overtakes batch
+      backfill at the next refill boundary.
+    - **Adaptive chunk sizing**: the decode program takes its step count as
+      a TRACED argument (one compile covers every size). While requests
+      wait in the queue the scheduler runs short chunks (``latency_steps``)
+      so finished slots are harvested and refilled quickly; with no queue
+      it runs full ``chunk_steps`` chunks to amortize host round-trips.
+    - **Early exit**: the on-device loop stops as soon as every slot is
+      done, so a chunk never burns iterations decoding frozen rows.
+    """
 
     engine: Any  # InferenceEngine (params, model, tokenizer, dfa, mesh)
     slots: int = 4
     prompt_len: int = 256
     chunk_steps: int = 64
+    latency_steps: int = 8
     max_new_tokens: int | None = None
 
     _slots: list[_Slot] = field(default_factory=list)
-    _queue: list[Request] = field(default_factory=list)
+    _queue: list[tuple[int, int, Request]] = field(default_factory=list)
+    _submit_seq: int = 0
+    _submit_time: dict[int, float] = field(default_factory=dict)
 
     def __post_init__(self):
         engine = self.engine
@@ -247,10 +267,27 @@ class ContinuousBatcher:
           return step
 
         def decode_chunk(params, cache, state, logits, tokens, out_pos, done,
-                         rng):
+                         rng, n_steps):
+            # ``n_steps`` is a TRACED scalar: one compiled program serves
+            # every chunk size (adaptive sizing never recompiles), and the
+            # loop exits early once every slot is done instead of burning
+            # the rest of the chunk on frozen rows.
             keys = jax.random.split(rng, self.chunk_steps)
-            carry = (cache, state, logits, tokens, out_pos, done)
-            carry, _ = jax.lax.scan(make_step(params), carry, keys)
+            step = make_step(params)
+
+            def cond(carry):
+                i, (_, _, _, _, _, done) = carry
+                return (i < n_steps) & ~jnp.all(done)
+
+            def body(carry):
+                i, inner = carry
+                inner, _ = step(inner, keys[jnp.minimum(i, self.chunk_steps - 1)])
+                return i + 1, inner
+
+            _, carry = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), (cache, state, logits, tokens,
+                                            out_pos, done))
+            )
             cache, state, logits, tokens, out_pos, done = carry
             # One small packed array carries everything the host scheduler
             # needs per chunk — a single device->host transfer (the axon
@@ -265,14 +302,22 @@ class ContinuousBatcher:
     # -- scheduler ----------------------------------------------------------------
 
     def submit(self, request: Request) -> None:
-        self._queue.append(request)
+        import heapq
+
+        heapq.heappush(
+            self._queue, (-request.priority, self._submit_seq, request)
+        )
+        self._submit_seq += 1
+        self._submit_time[request.request_id] = time.perf_counter()
 
     def _fill_slots(self) -> None:
+        import heapq
+
         engine = self.engine
         for i, slot in enumerate(self._slots):
             if slot.request_id is not None or not self._queue:
                 continue
-            request = self._queue.pop(0)
+            _, _, request = heapq.heappop(self._queue)
             patches = engine.preprocess(request.frames[None])
             prompt_tokens = engine.tokenizer.encode_array(
                 request.prompt, self.prompt_len, add_bos=True
@@ -285,13 +330,26 @@ class ContinuousBatcher:
             )
             slot.request_id = request.request_id
             slot.started = time.perf_counter()
+            slot.first_token_at = 0.0
+
+    def _next_chunk_steps(self) -> int:
+        """Latency-optimized short chunks while work is queued, full-width
+        chunks when the pool is the only work left."""
+        if self._queue:
+            return max(1, min(self.latency_steps, self.chunk_steps))
+        return self.chunk_steps
 
     def _harvest(self, status: np.ndarray) -> list[Completion]:
         done, out_pos, state = status
+        now = time.perf_counter()
         tokens = None
         results: list[Completion] = []
         for i, slot in enumerate(self._slots):
-            if slot.request_id is None or not done[i]:
+            if slot.request_id is None:
+                continue
+            if slot.first_token_at == 0.0:
+                slot.first_token_at = now
+            if not done[i]:
                 continue
             if tokens is None:
                 tokens = np.asarray(self.tokens_out)
@@ -299,8 +357,12 @@ class ContinuousBatcher:
             complete = True
             if self.dfa is not None:
                 complete = int(state[i]) == self.dfa.accept
+            submitted = self._submit_time.pop(slot.request_id, slot.started)
             results.append(
-                Completion(slot.request_id, text, int(out_pos[i]), complete)
+                Completion(
+                    slot.request_id, text, int(out_pos[i]), complete,
+                    first_token_s=round(slot.first_token_at - submitted, 4),
+                )
             )
             slot.request_id = None
         return results
@@ -319,6 +381,7 @@ class ContinuousBatcher:
              self.out_pos, self.done, status) = self._decode(
                 self.engine.params, self.cache, self.state, self.logits,
                 self.tokens_out, self.out_pos, self.done, key,
+                jnp.int32(self._next_chunk_steps()),
             )
             for completion in self._harvest(np.asarray(status)):
                 all_results.append(completion)
