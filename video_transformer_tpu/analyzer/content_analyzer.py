@@ -115,10 +115,20 @@ class ContentAnalyzer:
             preset = get_preset(self.engine_config.get("model_preset", "tiny"))
             tokenizer = None
             tok_cfg = self.engine_config.get("tokenizer") or {}
-            if isinstance(tok_cfg, dict) and tok_cfg.get("type") == "bpe":
+            tok_type = tok_cfg.get("type") if isinstance(tok_cfg, dict) else None
+            if tok_type == "bpe":
                 from ..models.bpe import BpeTokenizer
 
                 tokenizer = BpeTokenizer.load(tok_cfg["path"])
+            elif tok_type == "hf":
+                # Real-checkpoint vocabularies (Qwen2-VL tokenizer.json).
+                from ..models.hf_tokenizer import HfTokenizer
+
+                tokenizer = HfTokenizer(
+                    tok_cfg["path"],
+                    vocab_size=tok_cfg.get("vocab_size"),
+                )
+            if tokenizer is not None:
                 preset = replace(
                     preset,
                     decoder=replace(

@@ -51,10 +51,13 @@ class TokenGrammar:
     def __init__(
         self,
         dfa: JsonDfa,
-        tokenizer: BpeTokenizer,
+        tokenizer: "BpeTokenizer | object",
         max_token_bytes: int = 16,
         cache_dir: str | Path | None = "./data/cache/grammar",
     ):
+        # ``tokenizer`` may be any subword codec exposing the grammar
+        # primitives: token_table / token_bytes / encode_bytes / EOS
+        # (models/bpe.py self-trained, models/hf_tokenizer.py real vocabs).
         if tokenizer.vocab_size % 128:
             raise ValueError("BPE vocab must be a multiple of 128")
         self.dfa = dfa

@@ -187,6 +187,13 @@ class InferenceEngine:
         return self._tables[key]
 
     @property
+    def _subword(self) -> bool:
+        """Subword tokenizers expose the grammar primitive ``token_table``
+        (models/bpe.py, models/hf_tokenizer.py); the byte tokenizer does
+        not."""
+        return hasattr(self.tokenizer, "token_table")
+
+    @property
     def byte_vocab(self) -> int:
         """Column width for byte-DFA construction against this tokenizer.
 
@@ -195,22 +202,16 @@ class InferenceEngine:
         specials), so grammars build at the canonical 512 width and are
         projected by wrap_grammar.
         """
-        from ..models.bpe import BpeTokenizer
-
-        if isinstance(self.tokenizer, BpeTokenizer):
-            return 512
-        return self.tokenizer.vocab_size
+        return 512 if self._subword else self.tokenizer.vocab_size
 
     def wrap_grammar(self, byte_dfa):
         """Project a byte-level grammar for this engine's tokenizer.
 
-        Byte tokenizer: returned unchanged. BPE tokenizer: wrapped in a
-        TokenGrammar (cached per DFA identity — the bitset precompute is
-        host work worth reusing).
+        Byte tokenizer: returned unchanged. Subword tokenizer (self-trained
+        BPE or an HF vocab adapter): wrapped in a TokenGrammar (cached per
+        DFA identity — the bitset precompute is host work worth reusing).
         """
-        from ..models.bpe import BpeTokenizer
-
-        if not isinstance(self.tokenizer, BpeTokenizer):
+        if not self._subword:
             return byte_dfa
         if not hasattr(self, "_wrapped_grammars"):
             self._wrapped_grammars = {}
