@@ -45,6 +45,44 @@ class TestTrainer:
         assert last["loss"] < first["loss"]
         assert trainer.step_count == 9
 
+    def test_pipeline_parallel_trainer_matches_sequential(self):
+        """One PP train step (2 stages, 2 microbatches) produces the same
+        loss/metrics as the sequential step on identical init + batch, and
+        subsequent steps keep training (GPipe backward is exact, not an
+        approximation)."""
+        from video_transformer_tpu.parallel.pipeline_parallel import (
+            build_pipe_mesh,
+        )
+
+        config = micro_config()
+        tc = TrainConfig(
+            learning_rate=1e-3, warmup_steps=1, total_steps=50,
+            pp_microbatches=2,
+        )
+        seq = Trainer(config, build_mesh({"data": 4, "model": 2}), tc, seed=11)
+        pp = Trainer(config, build_pipe_mesh(2), tc, seed=11)
+        assert pp.use_pp and not seq.use_pp
+
+        rng = np.random.default_rng(3)
+        patches, tokens = synthetic_batch(rng, config, batch=4, text_len=48)
+        m_seq = seq.step(patches, tokens)
+        m_pp = pp.step(patches, tokens)
+        assert abs(m_seq["loss"] - m_pp["loss"]) < 2e-3
+        assert abs(m_seq["accuracy"] - m_pp["accuracy"]) < 1e-6
+
+        first = m_pp["loss"]
+        for _ in range(6):
+            last = pp.step(patches, tokens)
+        assert last["loss"] < first
+
+    def test_pipeline_trainer_rejects_uneven_stages(self):
+        from video_transformer_tpu.parallel.pipeline_parallel import (
+            build_pipe_mesh,
+        )
+
+        with pytest.raises(ValueError, match="pipeline stages"):
+            Trainer(micro_config(), build_pipe_mesh(3))  # 2 layers % 3 != 0
+
     def test_remat_and_accumulation(self):
         mesh = build_mesh({"data": 4, "model": 2})
         trainer = Trainer(

@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+from .mesh import compat_shard_map
 
 __all__ = ["CP_AXIS", "ring_attention", "build_cp_mesh"]
 
@@ -122,11 +123,10 @@ def ring_attention(
         out = acc / jnp.maximum(l, 1e-30)
         return out.reshape(b, hq, block, d).astype(q.dtype)
 
-    return shard_map(
+    return compat_shard_map(
         cp,
         mesh=mesh,
         in_specs=(P(None, None, CP_AXIS), P(None, None, CP_AXIS),
                   P(None, None, CP_AXIS)),
         out_specs=P(None, None, CP_AXIS),
-        check_rep=False,
     )(q, k, v)

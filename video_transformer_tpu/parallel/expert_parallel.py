@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+from .mesh import compat_shard_map
 
 __all__ = ["EXPERT_AXIS", "build_expert_mesh", "init_moe_params", "moe_swiglu"]
 
@@ -126,7 +127,7 @@ def moe_swiglu(
         )
         return jax.lax.psum(local, EXPERT_AXIS)
 
-    out = shard_map(
+    out = compat_shard_map(
         ep,
         mesh=mesh,
         in_specs=(
@@ -134,6 +135,5 @@ def moe_swiglu(
             P(None, EXPERT_AXIS),
         ),
         out_specs=P(),
-        check_rep=False,
     )(tokens, params["gate"], params["up"], params["down"], weights)
     return out.reshape(b, s, h), aux

@@ -87,3 +87,26 @@ def build_mesh(
         devices=devices,
         axis_types=(jax.sharding.AxisType.Auto, jax.sharding.AxisType.Auto),
     )
+
+
+def compat_shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions (without replication checking).
+
+    jax 0.8 moved shard_map out of experimental and renamed check_rep to
+    check_vma; the parallel modules (pipeline/context/expert) all need
+    unchecked replication because they psum partial results themselves.
+    """
+    try:
+        from jax import shard_map as new_shard_map
+
+        return new_shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as old_shard_map
+
+        return old_shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )

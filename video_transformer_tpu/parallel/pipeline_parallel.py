@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
+from .mesh import compat_shard_map
 from ..models.config import DecoderConfig
 from ..ops.attention import flash_attention
 from ..ops.norms import rms_norm
@@ -185,15 +185,54 @@ def pipeline_blocks_forward(
         )
         return jax.lax.psum(outputs, PIPE_AXIS)
 
-    pp_sharded = shard_map(
+    pp_sharded = compat_shard_map(
         pp,
         mesh=mesh,
         in_specs=(P(PIPE_AXIS), P(), P()),
         out_specs=P(),
-        check_rep=False,
     )
     out_micro = pp_sharded(stacked_params, x_micro, pos_micro)
     return out_micro.reshape(b, *x.shape[1:])
+
+
+def pipeline_vlm_logits(
+    model: Any,  # VideoLM
+    variables: Any,
+    patches: jax.Array,  # [B, N, patch_dim]
+    tokens: jax.Array,  # [B, St]
+    mesh: Mesh,
+    n_micro: int,
+    remat: bool = False,
+) -> jax.Array:
+    """VLM training forward with the decoder block stack pipelined.
+
+    Vision encoder, embedding, and the tied logits head run replicated
+    (small fraction of weights); the [video, text] sequence streams through
+    the staged block stack. Gradients flow through stack_block_params'
+    jnp.stack (its transpose unstacks back onto layer_i leaves), so
+    jax.grad of a loss on these logits trains the ORIGINAL parameter tree —
+    this is the Trainer's PP path.
+    """
+    from ..models.vlm import VideoLM
+
+    cfg = model.config.decoder
+    video = model.apply(variables, patches, method=VideoLM.encode_video)
+    decoder_params = variables["params"]["decoder"]
+    embedding = decoder_params["embed"]["embedding"]
+    dtype = video.dtype
+    text = jnp.take(embedding, tokens, axis=0).astype(dtype)
+    x = jnp.concatenate([video, text], axis=1)
+    b, s, _ = x.shape
+    positions = jnp.broadcast_to(jnp.arange(s)[None, :].astype(jnp.int32), (b, s))
+
+    stacked = stack_block_params(decoder_params, cfg.num_layers)
+    x = pipeline_blocks_forward(
+        stacked, x, positions, cfg, mesh, n_micro, remat=remat
+    )
+    x = rms_norm(x, decoder_params["final_norm"]["weight"])
+    return jnp.einsum(
+        "bsh,vh->bsv", x.astype(jnp.float32), embedding.astype(jnp.float32)
+    )
 
 
 def pipeline_decoder_apply(

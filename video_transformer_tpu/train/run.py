@@ -182,6 +182,15 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--accum", type=int, default=1)
     parser.add_argument("--tp", type=int, default=1, help="model-axis size")
+    parser.add_argument(
+        "--pp", type=int, default=1,
+        help="pipeline stages (GPipe over the decoder blocks; layers must "
+             "divide evenly; mutually exclusive with --tp)",
+    )
+    parser.add_argument(
+        "--pp-micro", type=int, default=4,
+        help="GPipe microbatches per step (batch must divide by it)",
+    )
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--data", help="staging dir of (video, note) pairs")
     parser.add_argument(
@@ -246,11 +255,19 @@ def main(argv: list[str] | None = None) -> int:
     if total % 128:
         args.text_len += 128 - total % 128
         logger.info(f"text_len aligned to {args.text_len} (seq multiple of 128)")
-    mesh = build_mesh({"model": args.tp})
-    data_axis = mesh.shape["data"]
-    if args.batch % data_axis:
-        args.batch = ((args.batch + data_axis - 1) // data_axis) * data_axis
-        logger.info(f"batch rounded up to {args.batch} (data axis {data_axis})")
+    if args.pp > 1:
+        if args.tp > 1:
+            raise SystemExit("--pp and --tp are mutually exclusive")
+        from ..parallel.pipeline_parallel import build_pipe_mesh
+
+        mesh = build_pipe_mesh(args.pp)
+        round_to = args.pp_micro
+    else:
+        mesh = build_mesh({"model": args.tp})
+        round_to = mesh.shape["data"]
+    if args.batch % round_to:
+        args.batch = ((args.batch + round_to - 1) // round_to) * round_to
+        logger.info(f"batch rounded up to {args.batch} (divisor {round_to})")
     logger.info(f"mesh: {dict(mesh.shape)} preset={args.preset}")
 
     trainer = Trainer(
@@ -263,6 +280,7 @@ def main(argv: list[str] | None = None) -> int:
             accum_steps=args.accum,
             remat=args.remat,
             prompt_len=args.prompt_len,
+            pp_microbatches=args.pp_micro,
         ),
     )
 

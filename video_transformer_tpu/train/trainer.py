@@ -44,6 +44,9 @@ class TrainConfig:
     prompt_len: int = 0
     """Width of the serving prompt block at the start of each sequence
     (masked out of the loss; aligns train positions with inference)."""
+    pp_microbatches: int = 4
+    """GPipe microbatch count when training on a "pipe" mesh (the batch
+    must divide by it; utilization = n_micro / (n_micro + stages - 1))."""
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -75,6 +78,7 @@ def distillation_loss(
     tokens: jax.Array,  # [B, St] teacher text (BOS ... EOS PAD*)
     pad_id: int,
     prompt_lens: jax.Array | None = None,  # [B] per-row prompt block widths
+    logits_fn: Any = None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Next-token CE on text positions; video tokens condition only.
 
@@ -84,9 +88,15 @@ def distillation_loss(
     every prompt's block to its own 128-multiple bucket
     (engine._assemble_inputs) — training must mask the same widths or
     generation starts at out-of-distribution positions.
+
+    ``logits_fn(params, patches, tokens)`` overrides the forward (the
+    pipeline-parallel path stages the decoder blocks; same loss math).
     """
     video_tokens = model.config.video_tokens
-    logits = model.apply(params, patches, tokens)  # [B, Nv+St, V]
+    if logits_fn is None:
+        logits = model.apply(params, patches, tokens)  # [B, Nv+St, V]
+    else:
+        logits = logits_fn(params, patches, tokens)
     # Position Nv+k-1 predicts text token k (inputs are [video, text]).
     text_logits = logits[:, video_tokens - 1 : -1, :]  # predicts tokens[:, 0:St]
     targets = tokens
@@ -108,13 +118,15 @@ def make_train_step(
     model: VideoLM,
     optimizer: optax.GradientTransformation,
     pad_id: int = ByteTokenizer.PAD,
+    logits_fn: Any = None,
 ):
     """Build the (jittable) train step: (params, opt_state, batch) -> updated."""
 
     def train_step(params, opt_state, patches, tokens, prompt_lens):
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: distillation_loss(
-                model, p, patches, tokens, pad_id, prompt_lens
+                model, p, patches, tokens, pad_id, prompt_lens,
+                logits_fn=logits_fn,
             ),
             has_aux=True,
         )(params)
@@ -138,23 +150,61 @@ class Trainer:
     ):
         self.mesh = mesh
         self.train_config = train_config or TrainConfig()
-        self.model = VideoLM(model_config, remat=self.train_config.remat)
+        from ..parallel.pipeline_parallel import PIPE_AXIS
+
+        self.use_pp = PIPE_AXIS in mesh.axis_names
+        # On a pipe mesh the BLOCK STACK shards inside shard_map (GPipe);
+        # the VideoLM's own remat flag stays off — pipeline_blocks_forward
+        # applies per-block remat itself.
+        self.model = VideoLM(
+            model_config, remat=self.train_config.remat and not self.use_pp
+        )
         self.optimizer = make_optimizer(self.train_config)
 
+        logits_fn = None
+        if self.use_pp:
+            from ..parallel.pipeline_parallel import pipeline_vlm_logits
+
+            n_micro = max(self.train_config.pp_microbatches, 1)
+            if model_config.decoder.num_layers % mesh.shape[PIPE_AXIS]:
+                raise ValueError(
+                    f"decoder layers {model_config.decoder.num_layers} must "
+                    f"divide into {mesh.shape[PIPE_AXIS]} pipeline stages"
+                )
+            logits_fn = lambda p, patches, tokens: pipeline_vlm_logits(
+                self.model, p, patches, tokens, mesh, n_micro,
+                remat=self.train_config.remat,
+            )
+
         params = self.model.init_variables(jax.random.PRNGKey(seed))
-        sharding = param_shardings(mesh, params)
+        if self.use_pp:
+            # Parameters/optimizer replicate across stages (each stage slices
+            # its block rows locally inside shard_map); batch is replicated.
+            def replicated(tree):
+                return jax.tree_util.tree_map(
+                    lambda _: NamedSharding(mesh, P()), tree
+                )
+
+            sharding = replicated(params)
+            data_sharding = NamedSharding(mesh, P())
+        else:
+            sharding = param_shardings(mesh, params)
+            data_sharding = NamedSharding(mesh, P(DATA_AXIS))
         self.params = jax.device_put(params, sharding)
         opt_state = self.optimizer.init(self.params)
         # Optimizer moments mirror parameter sharding automatically: they are
         # pytrees of the same leaves, so reuse the same rule pass.
-        self.opt_state = jax.device_put(opt_state, param_shardings(mesh, opt_state))
+        opt_sharding = (
+            replicated(opt_state) if self.use_pp
+            else param_shardings(mesh, opt_state)
+        )
+        self.opt_state = jax.device_put(opt_state, opt_sharding)
 
-        data_sharding = NamedSharding(mesh, P(DATA_AXIS))
         self._step = jax.jit(
-            make_train_step(self.model, self.optimizer),
-            in_shardings=(sharding, param_shardings(mesh, opt_state),
+            make_train_step(self.model, self.optimizer, logits_fn=logits_fn),
+            in_shardings=(sharding, opt_sharding,
                           data_sharding, data_sharding, data_sharding),
-            out_shardings=(sharding, param_shardings(mesh, opt_state), None),
+            out_shardings=(sharding, opt_sharding, None),
             donate_argnums=(0, 1),
         )
         self.step_count = 0
