@@ -71,3 +71,40 @@ class TestTrainingCLI:
         records = list(distillation_records(tmp_path))
         assert len(records) == 1
         assert records[0][1] == {"title": "t"}
+
+
+class TestGroundingEval:
+    def test_run_eval_scores_hits(self):
+        """run_eval counts a hit only when the note names the clip's topic."""
+        import json as _json
+
+        from video_transformer_tpu.train.eval_grounding import run_eval
+        from video_transformer_tpu.train.grounded import TOPIC_BANK
+
+        class StubEngine:
+            class config:
+                class encoder:
+                    num_frames = 2
+                    image_size = 16
+
+            class stats:
+                tokens_per_second = 0.0
+
+            def __init__(self):
+                self.calls = 0
+
+            def generate(self, frames, prompts):
+                # First row names its topic, second row names the wrong one.
+                out = []
+                for i in range(frames.shape[0]):
+                    name = TOPIC_BANK[0].name if self.calls == 0 else "错误主题"
+                    self.calls += 1
+                    out.append(_json.dumps({"title": name, "deep_dive": []},
+                                           ensure_ascii=False))
+                return out
+
+        report = run_eval(StubEngine(), [0, 5], batch=1)
+        assert report["total"] == 2
+        assert report["hits"] == 1
+        assert report["per_topic"][TOPIC_BANK[0].name] is True
+        assert report["per_topic"][TOPIC_BANK[5].name] is False

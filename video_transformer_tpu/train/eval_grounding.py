@@ -1,0 +1,140 @@
+"""Topic-grounding evaluation: do generated notes describe the FRAMES?
+
+For each sampled topic the evaluator renders an UNSEEN clip carrying that
+topic's visual signature (train/grounded.py), generates a note with one
+fixed prompt (only the frames differ between rows), and scores a hit when
+the note's title/summary/takeaways name the clip's topic. This is the
+measurable stand-in for the reference's genuine multimodal analysis
+(reference content_analyzer.py:1296-1300) — the reference has no offline
+eval at all (its quality signal is the cloud validator).
+
+  python -m video_transformer_tpu.train.eval_grounding \\
+      --preset base --checkpoint data/checkpoints/base-zh-grounded \\
+      --tokenizer data/tokenizers/bpe-zh-2048.json [--topics 16] [--batch 4]
+
+Prints one JSON line: {"hits": H, "total": N, "per_topic": {...}, ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+__all__ = ["main", "run_eval"]
+
+
+def run_eval(
+    engine,
+    topic_ids: list[int],
+    batch: int,
+    seed: int = 99,
+    temperature_prompt_seconds: int = 120,
+) -> dict:
+    """Score grounding hits for ``topic_ids`` through ``engine``."""
+    from ..analyzer.prompts import render_prompt
+    from ..contracts.timefmt import format_seconds
+    from .grounded import TOPIC_BANK, render_topic_clip
+
+    rng = np.random.default_rng(seed)
+    config = engine.config
+    prompt = render_prompt(
+        "analysis",
+        {"duration_label": format_seconds(temperature_prompt_seconds)},
+    )
+
+    results: dict[str, bool] = {}
+    hits = 0
+    tokens = 0
+    start = time.perf_counter()
+    for i in range(0, len(topic_ids), batch):
+        ids = topic_ids[i : i + batch]
+        frames = np.stack(
+            [
+                render_topic_clip(
+                    t, config.encoder.num_frames, config.encoder.image_size, rng
+                )
+                for t in ids
+            ]
+        )
+        texts = engine.generate(frames, [prompt] * len(ids))
+        for t, text in zip(ids, texts):
+            name = TOPIC_BANK[t].name
+            try:
+                data = json.loads(text)
+            except json.JSONDecodeError:
+                results[name] = False
+                continue
+            blob = (
+                data.get("title", "")
+                + data.get("one_sentence_summary", "")
+                + " ".join(data.get("key_takeaways", []))
+            )
+            hit = name in blob
+            results[name] = bool(hit)
+            hits += hit
+            tokens += len(text)
+    elapsed = time.perf_counter() - start
+    return {
+        "hits": hits,
+        "total": len(topic_ids),
+        "per_topic": results,
+        "decode_tokens_per_s": round(engine.stats.tokens_per_second, 1),
+        "wall_seconds": round(elapsed, 2),
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="topic-grounding eval")
+    parser.add_argument("--preset", default="tiny")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--tokenizer", help="BPE vocab path (models/bpe.py)")
+    parser.add_argument("--topics", type=int, default=16,
+                        help="number of topics to sample (stride over bank)")
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--max-new-tokens", type=int, default=1024)
+    parser.add_argument("--temperature", type=float, default=0.7)
+    parser.add_argument("--quantize", default=None, choices=["int8"])
+    args = parser.parse_args(argv)
+
+    from dataclasses import replace
+
+    from ..analyzer.schema import note_dfa
+    from ..models.config import get_preset
+    from ..parallel.engine import InferenceEngine
+    from .grounded import TOPIC_BANK
+
+    config = get_preset(args.preset)
+    tokenizer = None
+    if args.tokenizer:
+        from ..models.bpe import BpeTokenizer
+
+        tokenizer = BpeTokenizer.load(args.tokenizer)
+        config = replace(
+            config, decoder=replace(config.decoder, vocab_size=tokenizer.vocab_size)
+        )
+    engine = InferenceEngine(
+        config,
+        max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature,
+        tokenizer=tokenizer,
+        param_dtype="bfloat16",
+        quantize=args.quantize,
+        seed=1,
+    )
+    engine.dfa = engine.wrap_grammar(note_dfa(engine.byte_vocab))
+    engine.restore(args.checkpoint)
+
+    n = min(args.topics, len(TOPIC_BANK))
+    stride = max(len(TOPIC_BANK) // n, 1)
+    topic_ids = [(i * stride) % len(TOPIC_BANK) for i in range(n)]
+    report = run_eval(engine, topic_ids, args.batch)
+    print(json.dumps(report, ensure_ascii=False))
+    return 0 if report["hits"] == report["total"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
