@@ -32,6 +32,11 @@ import os
 # Official numbers are taken at `base` (0.4B) — a scale that exercises the
 # MXU — not `tiny` (a CI-speed toy whose throughput says nothing).
 PRESET = os.environ.get("VTX_BENCH_PRESET", "base")
+# Weight-only int8 serving quantization (models/quant.py): decode streams
+# the decoder from HBM every step, so int8 residency ~halves step time.
+QUANTIZE = os.environ.get("VTX_BENCH_QUANT", "int8") or None
+if QUANTIZE in ("none", "null", "0", ""):
+    QUANTIZE = None
 VIDEO_SECONDS = float(os.environ.get("VTX_BENCH_VIDEO_SECONDS", "240"))
 FPS = 2.0
 SEGMENT_SECONDS = 60
@@ -65,6 +70,7 @@ def build_engine():
         structure_bias=2.5,
         seed=0,
         param_dtype="bfloat16",
+        quantize=QUANTIZE,
     )
 
 
@@ -204,6 +210,7 @@ def main() -> int:
                         "decode_tokens_per_s": stats["tokens_per_second"],
                         "preproc_frames_per_s": round(preproc_fps, 1),
                         "model_preset": PRESET,
+                        "quantize": QUANTIZE,
                         "model_params": n_params,
                         "mfu_decode": round(mfu_decode, 5),
                         "prompt_truncations": len(truncations),
