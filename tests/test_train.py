@@ -154,3 +154,54 @@ class TestSyntheticData:
         assert patches.shape == (3, config.video_tokens, config.encoder.patch_dim)
         assert tokens.shape == (3, 32)
         assert tokens.dtype == np.int32
+
+
+class TestCompositeGrounding:
+    def test_composite_clip_carries_both_signatures(self):
+        import numpy as np
+
+        from video_transformer_tpu.train.grounded import (
+            render_composite_clip,
+            render_topic_clip,
+        )
+
+        rng = np.random.default_rng(0)
+        size = 32
+        comp = render_composite_clip(1, 7, 4, size, rng)
+        top_only = render_topic_clip(1, 4, size, np.random.default_rng(0))
+        split = int(size * 0.6)
+        # Top band tracks the primary topic's palette; bottom band does not.
+        top_diff = np.abs(
+            comp[:, :split].astype(int) - top_only[:, :split].astype(int)
+        ).mean()
+        bottom_diff = np.abs(
+            comp[:, split:].astype(int) - top_only[:, split:].astype(int)
+        ).mean()
+        assert bottom_diff > top_diff * 2
+
+    def test_composite_note_names_both_topics_and_replays(self):
+        import json
+
+        import numpy as np
+
+        from video_transformer_tpu.analyzer.schema import note_dfa
+        from video_transformer_tpu.train.grounded import (
+            TOPIC_BANK,
+            composite_note,
+        )
+
+        rng = np.random.default_rng(1)
+        primary, secondary = TOPIC_BANK[3], TOPIC_BANK[30]
+        note = composite_note(primary, secondary, rng)
+        assert primary.name in note["title"]
+        blob = " ".join(note["key_takeaways"]) + json.dumps(
+            note["deep_dive"], ensure_ascii=False
+        )
+        assert secondary.name in blob
+        # Full note must replay through the byte grammar (trainable pair).
+        dfa = note_dfa(512)
+        table = dfa.next_state
+        state = dfa.start
+        for byte in json.dumps(note, ensure_ascii=False).encode("utf-8"):
+            state = int(table[state, byte])
+            assert state >= 0, "composite note leaves the grammar"

@@ -34,7 +34,9 @@ __all__ = [
     "TOPIC_BANK",
     "Topic",
     "render_topic_clip",
+    "render_composite_clip",
     "grounded_note",
+    "composite_note",
     "grounded_records",
     "stage_grounded_corpus",
 ]
@@ -263,6 +265,60 @@ def grounded_note(topic: Topic, rng: np.random.Generator) -> dict:
             }
         ],
     }
+
+
+def render_composite_clip(
+    primary_idx: int,
+    secondary_idx: int,
+    num_frames: int,
+    size: int,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """A clip carrying TWO topic signatures: primary on the top band,
+    secondary on the bottom band (60/40 split).
+
+    Compositional grounding: the note must name the primary topic in its
+    title AND surface the secondary in takeaways/connections, so the model
+    has to read both regions — single-signature shortcuts (global color
+    statistics) stop working.
+    """
+    rng = rng or np.random.default_rng(primary_idx * 97 + secondary_idx)
+    top = render_topic_clip(primary_idx, num_frames, size, rng)
+    bottom = render_topic_clip(secondary_idx, num_frames, size, rng)
+    split = int(size * 0.6)
+    frames = top.copy()
+    frames[:, split:] = bottom[:, split:]
+    return frames
+
+
+def composite_note(
+    primary: Topic, secondary: Topic, rng: np.random.Generator
+) -> dict:
+    """A note naming the primary topic up front and weaving the secondary
+    through takeaways / a dedicated chapter / glossary."""
+    note = grounded_note(primary, rng)
+    t1 = secondary.terms[0]
+    note["key_takeaways"] = note["key_takeaways"][:2] + [
+        f"{secondary.name}{secondary.action}"
+    ]
+    note["deep_dive"].append(
+        {
+            "chapter_title": f"{secondary.name}延伸",
+            "chapter_summary": f"结合{primary.name}讲解{secondary.name}",
+            "chapter_self_check": [
+                {"q": f"什么是{secondary.name}", "a": secondary.gloss[:18]}
+            ],
+            "sections": [
+                _section(
+                    secondary.name, secondary.name, primary.name,
+                    200 + int(rng.integers(0, 30)), rng,
+                )
+            ],
+        }
+    )
+    note["glossary"][secondary.name[:8]] = secondary.gloss
+    note["glossary"][t1[:8]] = f"{t1}支撑{secondary.name}"
+    return note
 
 
 def grounded_records(

@@ -104,7 +104,7 @@ def _staged_batches(data_dir, config, batch, text_len, logger, prompt=None,
 
 def _grounded_batches(config, batch, text_len, logger, prompt=None,
                       prompt_len=0, tok=None, encode_note=None, seed=0,
-                      cache_size=384):
+                      cache_size=384, composite_p=0.0):
     """Grounded pairs: frames carry the note's topic signature.
 
     Rendering + host preprocessing dominates training wall-clock at large
@@ -115,7 +115,13 @@ def _grounded_batches(config, batch, text_len, logger, prompt=None,
     """
     import json
 
-    from .grounded import TOPIC_BANK, grounded_note, render_topic_clip
+    from .grounded import (
+        TOPIC_BANK,
+        composite_note,
+        grounded_note,
+        render_composite_clip,
+        render_topic_clip,
+    )
 
     tok = tok or ByteTokenizer(config.decoder.vocab_size)
     encode_note = encode_note or (lambda text: tok.encode(text))
@@ -123,13 +129,22 @@ def _grounded_batches(config, batch, text_len, logger, prompt=None,
 
     def sample():
         idx = int(rng.integers(len(TOPIC_BANK)))
-        frames = render_topic_clip(
-            idx, config.encoder.num_frames, config.encoder.image_size, rng
-        )
+        if composite_p > 0 and rng.random() < composite_p:
+            # Compositional pair: two signatures in one clip, note covers both.
+            other = int(rng.integers(len(TOPIC_BANK) - 1))
+            other += other >= idx
+            frames = render_composite_clip(
+                idx, other, config.encoder.num_frames,
+                config.encoder.image_size, rng,
+            )
+            note = composite_note(TOPIC_BANK[idx], TOPIC_BANK[other], rng)
+        else:
+            frames = render_topic_clip(
+                idx, config.encoder.num_frames, config.encoder.image_size, rng
+            )
+            note = grounded_note(TOPIC_BANK[idx], rng)
         patches = _frames_to_patches(frames, config)
-        text = json.dumps(
-            grounded_note(TOPIC_BANK[idx], rng), ensure_ascii=False
-        )
+        text = json.dumps(note, ensure_ascii=False)
         row, block = _pack_row(
             tok, encode_note, text, text_len, prompt, prompt_len, rng
         )
@@ -197,6 +212,11 @@ def main(argv: list[str] | None = None) -> int:
         "--grounded", action="store_true",
         help="train on grounded topic-signature pairs (frames determine the "
              "note content; see train/grounded.py)",
+    )
+    parser.add_argument(
+        "--grounded-composite", type=float, default=0.0,
+        help="probability of compositional two-signature pairs (the note "
+             "must cover BOTH topics in the frames)",
     )
     parser.add_argument(
         "--grounded-cache", type=int, default=384,
@@ -321,6 +341,7 @@ def main(argv: list[str] | None = None) -> int:
             prompt=prompt, prompt_len=args.prompt_len,
             tok=tok, encode_note=encode_note,
             cache_size=args.grounded_cache,
+            composite_p=args.grounded_composite,
         )
     else:
         logger.info("no --data given: training on schema-valid synthetic pairs")
