@@ -87,3 +87,42 @@ class Test7bScale:
                 assert leaf.shape[-1] % 128 == 0 or leaf.shape[0] % 128 == 0, (
                     path, leaf.shape,
                 )
+
+
+class TestInt8SingleChip:
+    def test_int8_decoder_fits_single_chip(self, abstract_params):
+        """Weight-only int8 (models/quant.py) brings the 7b preset onto ONE
+        v5e chip: decoder dense kernels at 1 byte/param, everything else
+        bf16, with >= 40% HBM left for cache + activations."""
+        from video_transformer_tpu.models.quant import QUANTIZED_DENSE_NAMES
+
+        _, params = abstract_params
+        total = 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            names = tuple(
+                getattr(k, "key", getattr(k, "name", str(k))) for k in path
+            )
+            quantized = (
+                len(names) >= 2
+                and names[-1] == "kernel"
+                and names[-2] in QUANTIZED_DENSE_NAMES
+                and "decoder" in names
+            )
+            per = 1 if quantized else 2
+            total += int(np.prod(leaf.shape)) * per
+            if quantized:  # f32 scale per output channel
+                total += int(leaf.shape[-1]) * 4
+        assert total < 0.6 * V5E_HBM_BYTES, f"{total / 1e9:.1f} GB"
+
+    def test_quantize_abstract_structure(self, abstract_params):
+        """quantize_decoder_int8 under eval_shape: int8 kernels + scales
+        appear without materializing 7b of weights."""
+        from video_transformer_tpu.models.quant import quantize_decoder_int8
+
+        _, params = abstract_params
+
+        quantized = jax.eval_shape(quantize_decoder_int8, params)
+        layer = quantized["params"]["decoder"]["layer_0"]
+        assert layer["attn"]["q"]["kernel"].dtype == jnp.int8
+        scale = quantized["quant"]["decoder"]["layer_0"]["attn"]["q"]["scale"]
+        assert scale.shape == (layer["attn"]["q"]["kernel"].shape[1],)

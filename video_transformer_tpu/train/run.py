@@ -233,6 +233,11 @@ def main(argv: list[str] | None = None) -> int:
         help="serving prompt block width prepended to each sequence "
              "(masked from the loss; 0 disables)",
     )
+    parser.add_argument(
+        "--init-from",
+        help="orbax checkpoint (params_N dir or its parent) to initialize "
+             "from — continued distillation / fine-tuning",
+    )
     parser.add_argument("--out", default="./data/checkpoints")
     parser.add_argument("--checkpoint-every", type=int, default=500)
     parser.add_argument("--log-dir", default="./data/output/logs")
@@ -349,6 +354,21 @@ def main(argv: list[str] | None = None) -> int:
             config, args.batch, args.text_len,
             note_dfa(min(config.decoder.vocab_size, 512)), prompt, args.prompt_len,
         )
+
+    if args.init_from:
+        from pathlib import Path
+
+        path = Path(args.init_from)
+        if path.is_dir() and not path.name.startswith("params_"):
+            candidates = sorted(
+                (p for p in path.iterdir() if p.name.startswith("params_")),
+                key=lambda p: int(p.name.split("_")[-1]),
+            )
+            if not candidates:
+                raise SystemExit(f"no params_N checkpoints under {path}")
+            path = candidates[-1]
+        trainer.restore_checkpoint(str(path))
+        logger.info(f"event=train_init_from checkpoint={path}")
 
     start = time.perf_counter()
     tokens_seen = 0
