@@ -96,6 +96,91 @@ class TestContinuation:
             )
 
 
+class TestSessionContinuation:
+    """Cache-reusing continuation: decode-only rounds, zero re-prefill."""
+
+    def test_session_rounds_complete_the_note(self, capped_engine):
+        _, complete, ids, session = capped_engine.generate_text(
+            ["分析视频"], prompt_len=16, return_status=True,
+            return_tokens=True, session_rounds=12, return_session=True,
+        )
+        assert session is not None and session.rounds_left > 0
+        prefill_before = capped_engine.stats.prefill_tokens
+        all_ids = list(ids[0])
+        rounds = 0
+        while not complete[0] and session.rounds_left > 0:
+            _, complete, more = capped_engine.continue_session(session)
+            assert more[0]  # every live round must make progress
+            all_ids += more[0]
+            rounds += 1
+        assert complete[0], f"note incomplete after {rounds} session rounds"
+        # The whole point: continuation rounds never re-prefilled.
+        assert capped_engine.stats.prefill_tokens == prefill_before
+        data = json.loads(capped_engine.tokenizer.decode(all_ids))
+        assert {"title", "deep_dive", "glossary"} <= data.keys()
+
+    def test_session_tail_does_not_restart_document(self, capped_engine):
+        _, complete, _, session = capped_engine.generate_text(
+            ["分析视频"], prompt_len=16, return_status=True,
+            return_tokens=True, session_rounds=2, return_session=True,
+        )
+        assert complete == [False]
+        tails, _, _ = capped_engine.continue_session(session)
+        assert tails[0] and not tails[0].startswith('{"title"')
+
+    def test_completed_rows_return_empty_tails(self, capped_engine):
+        """A session resumed after acceptance leaves the row frozen."""
+        _, complete, _, session = capped_engine.generate_text(
+            ["分析视频"], prompt_len=16, return_status=True,
+            return_tokens=True, session_rounds=12, return_session=True,
+        )
+        while not complete[0] and session.rounds_left > 1:
+            _, complete, _ = capped_engine.continue_session(session)
+        if complete[0] and session.rounds_left > 0:
+            tails, now_done, tail_ids = capped_engine.continue_session(session)
+            assert tails[0] == ""
+            assert tail_ids[0] == []
+            assert now_done[0]
+
+    def test_rounds_granted_fit_sequence_budget(self, capped_engine):
+        """An oversized reserve degrades to what the cache can hold."""
+        max_seq = capped_engine.config.decoder.max_seq_len
+        per_round = capped_engine.max_new_tokens
+        ceiling = max_seq // per_round  # loose upper bound on grantable rounds
+        _, _, _, session = capped_engine.generate_text(
+            ["分析视频"], prompt_len=16, return_status=True,
+            return_tokens=True, session_rounds=10_000, return_session=True,
+        )
+        assert session is not None
+        assert 0 < session.rounds_left <= ceiling
+
+    def test_unfittable_session_returns_none(self):
+        """max_new at the sequence ceiling leaves no reserve -> None."""
+        config = __graft_entry__._tiny_config()
+        engine = InferenceEngine(
+            config,
+            dfa=note_dfa(512, scale=0.2),
+            max_new_tokens=config.decoder.max_seq_len - 256,
+            temperature=1.0,
+            structure_bias=2.0,
+            seed=3,
+            compilation_cache_dir=None,
+        )
+        _, session = engine.generate_text(
+            ["x"], prompt_len=16, session_rounds=3, return_session=True,
+        )
+        assert session is None
+
+    def test_exhausted_session_raises(self, capped_engine):
+        _, _, _, session = capped_engine.generate_text(
+            ["分析视频"], prompt_len=16, return_status=True,
+            return_tokens=True, session_rounds=1, return_session=True,
+        )
+        capped_engine.continue_session(session)
+        with pytest.raises(ValueError, match="exhausted"):
+            capped_engine.continue_session(session)
+
+
 class TestAnalyzerContinuationLoop:
     @staticmethod
     def _tok():
@@ -180,6 +265,50 @@ class TestAnalyzerContinuationLoop:
         frames = np.zeros((1, 1, 4, 4, 3), np.uint8)
         texts = analyzer._continue_incomplete(frames, ["p"], [head], [False])
         assert texts == ["梯"]
+
+    def test_session_resume_preferred_over_reprefill(self):
+        """With a live session, continuation rounds never call generate."""
+        from video_transformer_tpu.analyzer.content_analyzer import ContentAnalyzer
+        from video_transformer_tpu.utils.counter import APICounter
+
+        tok = self._tok()
+
+        class Session:
+            rounds_left = 3
+
+        class SessionEngine:
+            data_parallel = 1
+            tokenizer = tok
+
+            def __init__(self):
+                self.generate_calls = 0
+                self.resume_calls = 0
+
+            def generate(self, frames, prompts, prefixes=None,
+                         return_status=False, return_tokens=False,
+                         session_rounds=0, return_session=False):
+                self.generate_calls += 1
+                raise AssertionError("continuation must resume, not re-prefill")
+
+            def continue_session(self, session):
+                self.resume_calls += 1
+                session.rounds_left -= 1
+                done = self.resume_calls >= 2
+                return ["尾"], [done], [tok.encode("尾")]
+
+        engine = SessionEngine()
+        analyzer = ContentAnalyzer(
+            {"analyzer": {"max_continuations": 3}},
+            APICounter(max_calls=50),
+            engine=engine,
+        )
+        frames = np.zeros((1, 1, 4, 4, 3), np.uint8)
+        texts = analyzer._continue_incomplete(
+            frames, ["p"], [tok.encode("头")], [False], Session()
+        )
+        assert texts == ["头尾尾"]
+        assert engine.resume_calls == 2
+        assert engine.generate_calls == 0
 
     def test_budget_stops_continuation(self):
         from video_transformer_tpu.analyzer.content_analyzer import ContentAnalyzer

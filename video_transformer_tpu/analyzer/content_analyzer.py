@@ -322,11 +322,28 @@ class ContentAnalyzer:
         """
         for _ in range(frames.shape[0]):
             self.api_counter.increment("local")
-        _, complete, token_ids = self.pacer.call_with_retry(
-            self.engine.generate, frames, prompts,
-            return_status=True, return_tokens=True,
+        max_rounds = int(self.analyzer_config.get("max_continuations", 3) or 0)
+        # Reserve KV-cache room for the continuation rounds up front: each
+        # round then resumes the live cache (decode only) instead of
+        # re-prefilling prompt + prefix. The engine grants as many rounds as
+        # fit the sequence budget (None session = fall back to re-prefill).
+        # Feature-detected so injected stub engines (the reference's test
+        # pattern) only need the base generate signature.
+        session = None
+        if hasattr(self.engine, "continue_session"):
+            _, complete, token_ids, session = self.pacer.call_with_retry(
+                self.engine.generate, frames, prompts,
+                return_status=True, return_tokens=True,
+                session_rounds=max_rounds, return_session=True,
+            )
+        else:
+            _, complete, token_ids = self.pacer.call_with_retry(
+                self.engine.generate, frames, prompts,
+                return_status=True, return_tokens=True,
+            )
+        texts = self._continue_incomplete(
+            frames, prompts, token_ids, complete, session
         )
-        texts = self._continue_incomplete(frames, prompts, token_ids, complete)
 
         results: list[dict[str, Any] | None] = [None] * len(prompts)
         failed: list[int] = []
@@ -368,17 +385,21 @@ class ContentAnalyzer:
         prompts: list[str],
         token_ids: list[list[int]],
         complete: list[bool],
+        session=None,
     ) -> list[str]:
         """Continue token-capped generations until the grammar accepts.
 
         The long-note path: each round appends up to max_new_tokens more to
-        every incomplete row. Continuation passes TOKEN IDS, not re-encoded
-        text — the resumed pass sees the exact tokens of the original one
-        (BPE boundaries preserved; a cap mid UTF-8 character resumes the
-        byte-DFA mid-character). Bounded by analyzer.max_continuations and
-        the call budget; stops early if a prefix no longer fits the sequence
-        budget (the engine raises). Each row decodes once at the end so no
-        text is ever assembled across a token boundary.
+        every incomplete row. The fast path resumes the engine ``session``
+        (KV cache + grammar state held on device — zero prefill FLOPs per
+        round); when the session reserve is exhausted or was never granted,
+        rounds fall back to re-prefilling with TOKEN-ID prefixes — ids, not
+        re-encoded text, so BPE boundaries are preserved and a cap mid
+        UTF-8 character resumes the byte-DFA mid-character. Bounded by
+        analyzer.max_continuations and the call budget; stops early if a
+        prefix no longer fits the sequence budget (the engine raises). Each
+        row decodes once at the end so no text is ever assembled across a
+        token boundary.
         """
         max_rounds = int(self.analyzer_config.get("max_continuations", 3) or 0)
         for round_idx in range(1, max_rounds + 1):
@@ -390,11 +411,22 @@ class ContentAnalyzer:
                     f"event=continuation_skipped reason=budget rows={len(pending)}"
                 )
                 break
+            mode = (
+                "resume" if session is not None and session.rounds_left > 0
+                else "reprefill"
+            )
             self.logger.info(
-                f"event=note_continuation round={round_idx} rows={len(pending)}"
+                f"event=note_continuation round={round_idx} rows={len(pending)} "
+                f"mode={mode}"
             )
             for _ in pending:
                 self.api_counter.increment("local")
+            if mode == "resume":
+                _, now_done, more_ids = self.engine.continue_session(session)
+                for i in range(len(token_ids)):
+                    token_ids[i] = token_ids[i] + more_ids[i]
+                    complete[i] = now_done[i]
+                continue
             try:
                 _, now_done, more_ids = self.engine.generate(
                     frames[np.asarray(pending)],

@@ -34,7 +34,7 @@ from ..utils.tracing import tracer
 from .mesh import DATA_AXIS, MODEL_AXIS, build_mesh
 from .sharding import param_shardings
 
-__all__ = ["InferenceEngine", "EngineStats"]
+__all__ = ["InferenceEngine", "EngineStats", "EngineSession"]
 
 
 def _round_up(x: int, multiple: int) -> int:
@@ -87,6 +87,28 @@ class EngineStats:
             "frames_preprocessed": self.frames_preprocessed,
             "preprocess_seconds": round(self.preprocess_seconds, 3),
         }
+
+
+@dataclass
+class EngineSession:
+    """Device-resident decode state for cache-reusing continuation.
+
+    The reference's MAX_TOKENS continuation re-sends the full history each
+    round (content_analyzer.py:1385-1464 — text-only history to avoid
+    re-uploading the video). Re-prefilling is the TPU analog of that resend;
+    a session instead keeps the KV cache, next-token logits, and grammar
+    state on device between rounds, so each continuation round is decode
+    only — zero prefill FLOPs and no host round-trip of the prefix.
+    """
+
+    cache: dict
+    logits: Any
+    state: Any
+    done: Any
+    b_real: int
+    dfa: Any
+    with_video: bool
+    rounds_left: int
 
 
 class InferenceEngine:
@@ -258,10 +280,30 @@ class InferenceEngine:
 
     # -- compiled program ----------------------------------------------------
 
-    def _build_generate(
-        self, batch: int, prompt_len: int, with_video: bool, dfa: JsonDfa | None
-    ):
-        """Trace + compile the full generate program for one shape bucket."""
+    def _block_width(self, dfa: JsonDfa | None) -> int:
+        return (1 + self.max_forced_run) if dfa is not None else 1
+
+    def _kv_spec(self) -> P:
+        # Cache layout [L, B, Hkv, S, D]: batch over "data"; kv heads over
+        # "model" too when they divide the axis (k/v are produced
+        # head-sharded by the column-parallel projections, so this keeps
+        # them resident without an all-gather).
+        cfg = self.config
+        model_axis = self.mesh.shape[MODEL_AXIS]
+        if model_axis > 1 and cfg.decoder.num_kv_heads % model_axis == 0:
+            return P(None, DATA_AXIS, MODEL_AXIS)
+        return P(None, DATA_AXIS)
+
+    def _decode_loop_fn(self, dfa: JsonDfa | None):
+        """Build ``run_decode(params, logits, cache, state, done, rng)``.
+
+        One full constrained decode round: up to max_new_tokens appended per
+        row (grammar fast-forward blocks count their forced run). Shared by
+        the prefill+decode generate program and the decode-only resume
+        program (cache-reusing continuation) — both must trace the IDENTICAL
+        loop so a resumed generation is bit-equivalent to a longer budget.
+        Returns the final carry so callers can resume again.
+        """
         cfg = self.config
         table = self._table_for(dfa)
         model = self.model
@@ -273,29 +315,16 @@ class InferenceEngine:
         # call append (1 + run) tokens. ~half the JSON skeleton is forced, so
         # this roughly halves decode iterations with zero misprediction.
         if dfa is not None:
-            max_run = self.max_forced_run
-            f_len, f_tok, f_end = dfa.forced_tables(max_run=max_run)
+            f_len, f_tok, f_end = dfa.forced_tables(max_run=self.max_forced_run)
             forced_len = jnp.asarray(f_len)
             forced_tok = jnp.asarray(f_tok)
             forced_end = jnp.asarray(f_end)
-            block_width = 1 + max_run
-        else:
-            block_width = 1
-
-        video_tokens = cfg.video_tokens if with_video else 0
-        cache_len = _round_up(
-            video_tokens + prompt_len + max_new + block_width + 1, 128
-        )
-        if cache_len > cfg.decoder.max_seq_len:
-            raise ValueError(
-                f"sequence {cache_len} exceeds max_seq_len {cfg.decoder.max_seq_len}"
-            )
+        block_width = self._block_width(dfa)
         # Per-row out_pos may reach max_new - 1 + block_width before the row
         # freezes, and done rows still write an (ignored) EOS block at
         # out_pos each step — 2x block_width of slack guarantees
         # dynamic_update_slice never clamps into valid tokens.
         out_width = max_new + 2 * block_width
-        data_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
 
         if self.structure_bias != 0.0:
             bias = np.zeros((cfg.decoder.vocab_size,), np.float32)
@@ -305,17 +334,140 @@ class InferenceEngine:
         else:
             close_bias = None
 
-        # Cache layout [L, B, Hkv, S, D]: batch over "data"; kv heads over
-        # "model" too when they divide the axis (k/v are produced
-        # head-sharded by the column-parallel projections, so this keeps
-        # them resident without an all-gather).
-        model_axis = self.mesh.shape[MODEL_AXIS]
-        if model_axis > 1 and cfg.decoder.num_kv_heads % model_axis == 0:
-            kv_spec = P(None, DATA_AXIS, MODEL_AXIS)
-        else:
-            kv_spec = P(None, DATA_AXIS)
+        def sample(logits, state, done, key):
+            if table is not None:
+                logits = dfa.constrain(logits, state, table)
+            if close_bias is not None:
+                logits = logits + close_bias
+            if temperature > 0:
+                tok = jax.random.categorical(key, logits / temperature, axis=-1)
+            else:
+                tok = jnp.argmax(logits, axis=-1)
+            # Finished rows keep emitting EOS.
+            return jnp.where(done, eos, tok).astype(jnp.int32)
 
-        def generate(params, patches, prompt, lengths, init_state, rng):
+        write_rows = jax.vmap(
+            lambda row, block, pos: jax.lax.dynamic_update_slice(row, block, (pos,))
+        )
+
+        def run_decode(params, logits, cache, state, finished, rng):
+            # ``finished`` [B] marks PERMANENTLY ended rows (grammar accept,
+            # natural EOS, batch padding). The per-round token cap instead
+            # freezes a row via out_pos — and since out_pos resets each
+            # round, a capped row thaws automatically when a session
+            # resumes (the cap is a round budget, not a terminal state).
+            def cond(carry):
+                step, _, _, _, _, out_pos, finished, _ = carry
+                # Rows that hit the token cap freeze individually so one
+                # capped row never truncates the rest of the batch.
+                return (step < max_new) & ~jnp.all(finished | (out_pos >= max_new))
+
+            def body(carry):
+                step, logits, cache, state, tokens, out_pos, finished, rng = carry
+                frozen = finished | (out_pos >= max_new)
+                b = logits.shape[0]
+                rng, key = jax.random.split(rng)
+                tok = sample(logits, state, frozen, key)
+
+                if table is not None:
+                    mid_state = dfa.advance(state, tok, table)
+                    mid_state = jnp.where(frozen, state, mid_state)
+                    # Fast-forward the forced literal run from mid_state.
+                    run = jnp.where(frozen, 0, forced_len[mid_state])  # [B]
+                    cols = jnp.arange(block_width - 1)[None, :]
+                    run_block = jnp.where(
+                        cols < run[:, None], forced_tok[mid_state], eos
+                    )
+                    block = jnp.concatenate([tok[:, None], run_block], axis=1)
+                    new_state = jnp.where(run > 0, forced_end[mid_state], mid_state)
+                    finished = finished | (new_state == dfa.accept)
+                    state = new_state
+                else:
+                    run = jnp.zeros((b,), jnp.int32)
+                    block = tok[:, None]
+                    finished = finished | (~frozen & (tok == eos))
+
+                tokens = write_rows(tokens, block, out_pos)
+                # A natural EOS ends the row without being emitted (run==0 &
+                # tok==eos only happens forced-on-frozen or as a live no-dfa
+                # stop); frozen rows never advance.
+                ended = finished | frozen
+                advance = jnp.where(ended & (run == 0) & (tok == eos), 0, 1 + run)
+                out_pos = out_pos + advance
+
+                index_before = cache["index"]
+                block_logits, cache = model.apply(
+                    params, block, cache, method=VideoLM.decode_block
+                )
+                # Each row's next logits sit after its last VALID token; the
+                # decoder advanced index by the full block width — rewind to
+                # the per-row logical position.
+                cache = dict(cache, index=index_before + advance)
+                new_logits = jnp.take_along_axis(
+                    block_logits, run[:, None, None], axis=1
+                )[:, 0, :]
+                # Frozen rows keep their last live logits: the EOS filler
+                # block must not poison the next-token distribution a
+                # resumed session samples from (the stale k/v it wrote past
+                # the row's index is never attended, and is overwritten on
+                # resume).
+                logits = jnp.where(frozen[:, None], logits, new_logits)
+                return step + 1, logits, cache, state, tokens, out_pos, finished, rng
+
+            b = logits.shape[0]
+            tokens = jnp.full((b, out_width), eos, jnp.int32)
+            out_pos = jnp.zeros((b,), jnp.int32)
+            carry = (
+                jnp.int32(0), logits, cache, state, tokens, out_pos, finished, rng
+            )
+            _, logits, cache, state, tokens, out_pos, finished, _ = (
+                jax.lax.while_loop(cond, body, carry)
+            )
+            # complete = the grammar accepted (or EOS without a grammar) —
+            # a False row ran out of token budget and can be continued.
+            complete = (state == dfa.accept) if dfa else finished
+            return tokens, out_pos, complete, logits, cache, state, finished
+
+        return run_decode
+
+    def _build_generate(
+        self,
+        batch: int,
+        prompt_len: int,
+        with_video: bool,
+        dfa: JsonDfa | None,
+        extra_rounds: int = 0,
+        with_session: bool = False,
+    ):
+        """Trace + compile the full generate program for one shape bucket.
+
+        ``extra_rounds`` reserves KV-cache room for that many decode-only
+        continuation rounds after this one (cache-reusing continuation);
+        ``with_session`` additionally returns the live decode carry
+        (logits/cache/state/done) so those rounds can resume it.
+        """
+        cfg = self.config
+        model = self.model
+        max_new = self.max_new_tokens
+        block_width = self._block_width(dfa)
+
+        video_tokens = cfg.video_tokens if with_video else 0
+        cache_len = _round_up(
+            video_tokens
+            + prompt_len
+            + (1 + extra_rounds) * (max_new + block_width)
+            + 1,
+            128,
+        )
+        if cache_len > cfg.decoder.max_seq_len:
+            raise ValueError(
+                f"sequence {cache_len} exceeds max_seq_len {cfg.decoder.max_seq_len}"
+            )
+        data_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        kv_spec = self._kv_spec()
+        run_decode = self._decode_loop_fn(dfa)
+
+        def generate(params, patches, prompt, lengths, active, init_state, rng):
             b = prompt.shape[0]
             dtype = jnp.dtype(cfg.dtype)
             cache = init_kv_cache(cfg.decoder, b, cache_len, dtype)
@@ -341,87 +493,17 @@ class InferenceEngine:
                     params, prompt, cache, lengths, method=VideoLM.prefill_text
                 )
             state = init_state
-            done = (
-                (state == dfa.accept) if dfa else jnp.zeros((b,), bool)
+            # Batch-padding rows start done: they freeze immediately instead
+            # of decoding to the token cap (a never-accepting pad row would
+            # otherwise pin every call at max_new iterations).
+            done = ~active
+            if dfa:
+                done = done | (state == dfa.accept)
+            tokens, out_pos, complete, logits, cache, state, done = run_decode(
+                params, logits, cache, state, done, rng
             )
-            tokens = jnp.full((b, out_width), eos, jnp.int32)
-            out_pos = jnp.zeros((b,), jnp.int32)
-
-            def sample(logits, state, done, key):
-                if table is not None:
-                    logits = dfa.constrain(logits, state, table)
-                if close_bias is not None:
-                    logits = logits + close_bias
-                if temperature > 0:
-                    tok = jax.random.categorical(key, logits / temperature, axis=-1)
-                else:
-                    tok = jnp.argmax(logits, axis=-1)
-                # Finished rows keep emitting EOS.
-                return jnp.where(done, eos, tok).astype(jnp.int32)
-
-            write_rows = jax.vmap(
-                lambda row, block, pos: jax.lax.dynamic_update_slice(
-                    row, block, (pos,)
-                )
-            )
-
-            def cond(carry):
-                step, _, _, _, _, _, done, _ = carry
-                # Rows that hit the token cap are frozen individually in the
-                # body (done |= out_pos >= max_new) so one capped row never
-                # truncates the rest of the batch mid-generation.
-                return (step < max_new) & ~jnp.all(done)
-
-            def body(carry):
-                step, logits, cache, state, tokens, out_pos, done, rng = carry
-                rng, key = jax.random.split(rng)
-                tok = sample(logits, state, done, key)
-
-                if table is not None:
-                    mid_state = dfa.advance(state, tok, table)
-                    mid_state = jnp.where(done, state, mid_state)
-                    # Fast-forward the forced literal run from mid_state.
-                    run = jnp.where(done, 0, forced_len[mid_state])  # [B]
-                    cols = jnp.arange(block_width - 1)[None, :]
-                    run_block = jnp.where(
-                        cols < run[:, None], forced_tok[mid_state], eos
-                    )
-                    block = jnp.concatenate([tok[:, None], run_block], axis=1)
-                    new_state = jnp.where(run > 0, forced_end[mid_state], mid_state)
-                    done = done | (new_state == dfa.accept)
-                    state = new_state
-                else:
-                    run = jnp.zeros((b,), jnp.int32)
-                    block = tok[:, None]
-                    done = done | (tok == eos)
-
-                tokens = write_rows(tokens, block, out_pos)
-                advance = jnp.where(done & (run == 0) & (tok == eos), 0, 1 + run)
-                out_pos = out_pos + advance
-                done = done | (out_pos >= max_new)
-
-                index_before = cache["index"]
-                block_logits, cache = model.apply(
-                    params, block, cache, method=VideoLM.decode_block
-                )
-                # Each row's next logits sit after its last VALID token; the
-                # decoder advanced index by the full block width — rewind to
-                # the per-row logical position.
-                cache = dict(cache, index=index_before + advance)
-                logits = jnp.take_along_axis(
-                    block_logits, run[:, None, None], axis=1
-                )[:, 0, :]
-                return step + 1, logits, cache, state, tokens, out_pos, done, rng
-
-            carry = (
-                jnp.int32(0), logits, cache, state, tokens, out_pos, done, rng
-            )
-            _, _, _, state, tokens, out_pos, done, _ = jax.lax.while_loop(
-                cond, body, carry
-            )
-            # complete = the grammar accepted (or EOS without a grammar) —
-            # a False row ran out of token budget and can be continued.
-            complete = (state == dfa.accept) if dfa else done
+            if with_session:
+                return tokens, out_pos, complete, logits, cache, state, done
             return tokens, out_pos, complete
 
         replicated = NamedSharding(self.mesh, P())
@@ -433,32 +515,84 @@ class InferenceEngine:
                 data_sharding,
                 data_sharding,
                 data_sharding,
+                data_sharding,
                 replicated,
             )
         else:
-            def fn(params, prompt, lengths, init_state, rng):  # type: ignore[misc]
-                return generate(params, None, prompt, lengths, init_state, rng)
+            def fn(params, prompt, lengths, active, init_state, rng):  # type: ignore[misc]
+                return generate(params, None, prompt, lengths, active, init_state, rng)
 
             in_shardings = (
                 param_shardings(self.mesh, self.params),
                 data_sharding,
                 data_sharding,
                 data_sharding,
+                data_sharding,
                 replicated,
             )
-        return jax.jit(
-            fn,
-            in_shardings=in_shardings,
-            out_shardings=(data_sharding, data_sharding, data_sharding),
-        )
+        if with_session:
+            cache_shardings = {
+                "k": NamedSharding(self.mesh, kv_spec),
+                "v": NamedSharding(self.mesh, kv_spec),
+                "index": data_sharding,
+            }
+            out_shardings = (
+                data_sharding, data_sharding, data_sharding, data_sharding,
+                cache_shardings, data_sharding, data_sharding,
+            )
+        else:
+            out_shardings = (data_sharding, data_sharding, data_sharding)
+        return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_shardings)
 
     def _get_generate(
-        self, batch: int, prompt_len: int, with_video: bool, dfa: JsonDfa | None
+        self,
+        batch: int,
+        prompt_len: int,
+        with_video: bool,
+        dfa: JsonDfa | None,
+        extra_rounds: int = 0,
+        with_session: bool = False,
     ):
-        key = (batch, prompt_len, with_video, id(dfa) if dfa else 0)
+        key = (
+            batch, prompt_len, with_video, id(dfa) if dfa else 0,
+            extra_rounds, with_session,
+        )
         if key not in self._generate_cache:
             self._generate_cache[key] = self._build_generate(
-                batch, prompt_len, with_video, dfa
+                batch, prompt_len, with_video, dfa, extra_rounds, with_session
+            )
+        return self._generate_cache[key]
+
+    def _get_resume(self, dfa: JsonDfa | None):
+        """Decode-only program resuming a session's while_loop (no prefill).
+
+        jit specializes per cache/batch shape on call, so one entry per
+        grammar identity suffices. The input cache is donated: the session
+        buffer is updated in place rather than copied (KV is the dominant
+        allocation at long cache lengths).
+        """
+        key = ("resume", id(dfa) if dfa else 0)
+        if key not in self._generate_cache:
+            run_decode = self._decode_loop_fn(dfa)
+            data_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+            replicated = NamedSharding(self.mesh, P())
+            cache_shardings = {
+                "k": NamedSharding(self.mesh, self._kv_spec()),
+                "v": NamedSharding(self.mesh, self._kv_spec()),
+                "index": data_sharding,
+            }
+            self._generate_cache[key] = jax.jit(
+                run_decode,
+                in_shardings=(
+                    param_shardings(self.mesh, self.params),
+                    data_sharding, cache_shardings, data_sharding,
+                    data_sharding, replicated,
+                ),
+                out_shardings=(
+                    data_sharding, data_sharding, data_sharding, data_sharding,
+                    cache_shardings, data_sharding, data_sharding,
+                ),
+                donate_argnums=(2,),
             )
         return self._generate_cache[key]
 
@@ -635,6 +769,29 @@ class InferenceEngine:
             for p in prefixes
         ]
 
+    def _max_session_rounds(
+        self, prompt_width: int, with_video: bool, requested: int
+    ) -> int:
+        """Largest continuation-round reserve that still fits the KV cache.
+
+        A session's cache must hold prompt + (1 + rounds) * max_new up
+        front; when the full request does not fit, grant what does (0 means
+        no session — the caller falls back to re-prefill continuation).
+        """
+        video_tokens = self.config.video_tokens if with_video else 0
+        block_width = self._block_width(self.dfa)
+        for rounds in range(requested, 0, -1):
+            cache_len = _round_up(
+                video_tokens
+                + prompt_width
+                + (1 + rounds) * (self.max_new_tokens + block_width)
+                + 1,
+                128,
+            )
+            if cache_len <= self.config.decoder.max_seq_len:
+                return rounds
+        return 0
+
     def generate(
         self,
         frames: np.ndarray,
@@ -644,6 +801,8 @@ class InferenceEngine:
         prefixes: list[str] | list[list[int]] | None = None,
         return_status: bool = False,
         return_tokens: bool = False,
+        session_rounds: int = 0,
+        return_session: bool = False,
     ):
         """Analyze a batch of clips: returns one decoded text per clip.
 
@@ -659,6 +818,10 @@ class InferenceEngine:
         the cap landed mid UTF-8 character. ``return_status=True`` appends
         per-row completion flags (False = ran out of token budget);
         ``return_tokens=True`` appends per-row generated token-id lists.
+        ``session_rounds=N`` reserves cache room for N decode-only
+        continuation rounds and ``return_session=True`` appends the
+        EngineSession to drive them (None when the reserve does not fit —
+        fall back to ``prefixes``); see ``continue_session``.
         """
         b_real = frames.shape[0]
         if len(prompts) != b_real:
@@ -670,17 +833,23 @@ class InferenceEngine:
             prompts, self._normalize_prefixes(prefixes), b_real, prompt_len,
             dfa, with_video=True,
         )
+        if session_rounds:
+            session_rounds = self._max_session_rounds(total, True, session_rounds)
 
         if b_padded != b_real:
             pad = np.zeros((b_padded - b_real,) + frames.shape[1:], frames.dtype)
             frames = np.concatenate([frames, pad], axis=0)
         patches = self.preprocess(frames)
-        fn = self._get_generate(b_padded, total, True, dfa)
+        with_session = return_session and session_rounds > 0
+        fn = self._get_generate(
+            b_padded, total, True, dfa, session_rounds, with_session
+        )
 
         args = (patches, jnp.asarray(tokens_in))
         return self._execute(
             fn, args, lengths, states, b_real, total, True, return_status,
-            return_tokens, span="engine.generate",
+            return_tokens, span="engine.generate", dfa=dfa,
+            session_rounds=session_rounds, return_session=return_session,
         )
 
     def generate_text(
@@ -691,6 +860,8 @@ class InferenceEngine:
         prefixes: list[str] | list[list[int]] | None = None,
         return_status: bool = False,
         return_tokens: bool = False,
+        session_rounds: int = 0,
+        return_session: bool = False,
     ):
         """Text-only generation (validator scoring, consolidation, rewrite)."""
         b_real = len(prompts)
@@ -701,26 +872,82 @@ class InferenceEngine:
             prompts, self._normalize_prefixes(prefixes), b_real, prompt_len,
             dfa, with_video=False,
         )
+        if session_rounds:
+            session_rounds = self._max_session_rounds(total, False, session_rounds)
 
-        fn = self._get_generate(b_padded, total, False, dfa)
+        with_session = return_session and session_rounds > 0
+        fn = self._get_generate(
+            b_padded, total, False, dfa, session_rounds, with_session
+        )
         return self._execute(
             fn, (jnp.asarray(tokens_in),), lengths, states, b_real, total,
             False, return_status, return_tokens, span="engine.generate_text",
+            dfa=dfa, session_rounds=session_rounds, return_session=return_session,
         )
 
-    def _execute(
-        self, fn, args, lengths, states, b_real, prompt_width, with_video,
-        return_status, return_tokens, span,
-    ):
+    def continue_session(
+        self, session: EngineSession
+    ) -> tuple[list[str], list[bool], list[list[int]]]:
+        """One decode-only continuation round over a session's live cache.
+
+        Resumes every row from its device-resident KV cache, next-token
+        logits, and grammar state — no prefill, no prefix round-trip (the
+        TPU replacement for the reference's history resend,
+        content_analyzer.py:1385-1464). Rows already complete stay frozen
+        and return empty tails. Returns (new-tail texts, complete flags,
+        new-tail token ids); the session advances in place.
+        """
+        if session.rounds_left <= 0:
+            raise ValueError("session cache exhausted; no continuation rounds left")
+        fn = self._get_resume(session.dfa)
         self._rng, key = jax.random.split(self._rng)
         start = time.perf_counter()
-        with tracer.span(span, batch=len(lengths)):
-            tokens, out_pos, complete = fn(
-                self.params, *args, jnp.asarray(lengths), jnp.asarray(states), key
+        with tracer.span("engine.continue_session", batch=session.b_real):
+            tokens, out_pos, complete, logits, cache, state, done = fn(
+                self.params, session.logits, session.cache, session.state,
+                session.done, key,
             )
             tokens = np.asarray(tokens)
         out_pos = np.asarray(out_pos)
-        complete = np.asarray(complete)
+        complete_np = np.asarray(complete)
+        elapsed = time.perf_counter() - start
+
+        session.cache = cache
+        session.logits = logits
+        session.state = state
+        session.done = done
+        session.rounds_left -= 1
+
+        b_real = session.b_real
+        self.stats.generate_calls += 1
+        self.stats.tokens_generated += int(out_pos[:b_real].sum())
+        self.stats.generate_seconds += elapsed
+
+        ids = [tokens[i, : out_pos[i]].tolist() for i in range(b_real)]
+        texts = [self.tokenizer.decode(row) for row in ids]
+        return texts, [bool(c) for c in complete_np[:b_real]], ids
+
+    def _execute(
+        self, fn, args, lengths, states, b_real, prompt_width, with_video,
+        return_status, return_tokens, span, dfa=None, session_rounds=0,
+        return_session=False,
+    ):
+        active = np.arange(len(lengths)) < b_real
+        with_session = return_session and session_rounds > 0
+        self._rng, key = jax.random.split(self._rng)
+        start = time.perf_counter()
+        with tracer.span(span, batch=len(lengths)):
+            outs = fn(
+                self.params, *args, jnp.asarray(lengths), jnp.asarray(active),
+                jnp.asarray(states), key,
+            )
+            if with_session:
+                tokens, out_pos, complete, logits, cache, state, done = outs
+            else:
+                tokens, out_pos, complete = outs
+            tokens = np.asarray(tokens)
+        out_pos = np.asarray(out_pos)
+        complete_np = np.asarray(complete)
         elapsed = time.perf_counter() - start
 
         self.stats.generate_calls += 1
@@ -733,7 +960,16 @@ class InferenceEngine:
         texts = [self.tokenizer.decode(row) for row in ids]
         out: tuple = (texts,)
         if return_status:
-            out += ([bool(c) for c in complete[:b_real]],)
+            out += ([bool(c) for c in complete_np[:b_real]],)
         if return_tokens:
             out += (ids,)
+        if return_session:
+            session = None
+            if with_session:
+                session = EngineSession(
+                    cache=cache, logits=logits, state=state, done=done,
+                    b_real=b_real, dfa=dfa, with_video=with_video,
+                    rounds_left=session_rounds,
+                )
+            out += (session,)
         return out if len(out) > 1 else texts
