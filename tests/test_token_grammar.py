@@ -168,3 +168,32 @@ class TestEngineWithTokenGrammar:
             "title", "one_sentence_summary", "key_takeaways",
             "deep_dive", "glossary", "visual_schemas",
         } <= data.keys()
+
+    def test_bitset_shards_over_model_axis(self, bpe, grammar):
+        """On a tensor-parallel mesh the grammar bitset's word axis shards
+        over "model" (per-chip residency / tp — the 152k-vocab table is the
+        one large grammar array); constrained decoding stays correct."""
+        import __graft_entry__
+        from video_transformer_tpu.parallel.engine import InferenceEngine
+        from video_transformer_tpu.parallel.mesh import build_mesh
+
+        config = __graft_entry__._tiny_config()
+        engine = InferenceEngine(
+            config,
+            mesh=build_mesh({"data": 4, "model": 2}),
+            dfa=grammar,
+            tokenizer=bpe,
+            max_new_tokens=900,
+            temperature=1.0,
+            structure_bias=2.0,
+            compilation_cache_dir=None,
+        )
+        tables = engine._table_for(grammar)
+        words = grammar.allowed_bits.shape[1]
+        shard = tables["bits"].sharding.shard_shape(tables["bits"].shape)
+        assert shard[1] == words // 2
+        # Small tables stay replicated.
+        bt = tables["byte_table"]
+        assert bt.sharding.shard_shape(bt.shape) == bt.shape
+        text = engine.generate_text(["分析视频"], prompt_len=16)[0]
+        json.loads(text)

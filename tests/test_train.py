@@ -75,6 +75,35 @@ class TestTrainer:
             last = pp.step(patches, tokens)
         assert last["loss"] < first
 
+    def test_pipeline_trainer_1f1b_matches_sequential(self):
+        """The 1F1B schedule's hand-written backward trains identically."""
+        from video_transformer_tpu.parallel.pipeline_parallel import (
+            build_pipe_mesh,
+        )
+
+        config = micro_config()
+        tc = TrainConfig(
+            learning_rate=1e-3, warmup_steps=1, total_steps=50,
+            pp_microbatches=2, pp_schedule="1f1b",
+        )
+        seq = Trainer(
+            config, build_mesh({"data": 4, "model": 2}),
+            TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=50),
+            seed=11,
+        )
+        pp = Trainer(config, build_pipe_mesh(2), tc, seed=11)
+
+        rng = np.random.default_rng(3)
+        patches, tokens = synthetic_batch(rng, config, batch=4, text_len=48)
+        m_seq = seq.step(patches, tokens)
+        m_pp = pp.step(patches, tokens)
+        assert abs(m_seq["loss"] - m_pp["loss"]) < 2e-3
+        assert abs(m_seq["accuracy"] - m_pp["accuracy"]) < 1e-6
+        first = m_pp["loss"]
+        for _ in range(4):
+            last = pp.step(patches, tokens)
+        assert last["loss"] < first
+
     def test_pipeline_trainer_rejects_uneven_stages(self):
         from video_transformer_tpu.parallel.pipeline_parallel import (
             build_pipe_mesh,

@@ -203,9 +203,29 @@ class InferenceEngine:
             return None
         key = id(dfa)
         if key not in self._tables:
-            self._tables[key] = jax.device_put(
-                dfa.device_table(), NamedSharding(self.mesh, P())
-            )
+            tables = dfa.device_table()
+            replicated = NamedSharding(self.mesh, P())
+            shardings: Any = replicated
+            if isinstance(tables, dict) and "bits" in tables:
+                # TokenGrammar bitset [S, ceil(V/32)]: the one big grammar
+                # array (~114 MB at S≈6k, V=152k). Shard its word axis over
+                # "model" — per-chip residency divides by TP degree, and the
+                # per-step cost is gathering [B, W/tp] rows that XLA
+                # all-gathers (KBs over ICI) inside the decode loop.
+                model_axis = self.mesh.shape[MODEL_AXIS]
+                words = tables["bits"].shape[1]
+                bits_spec = (
+                    P(None, MODEL_AXIS)
+                    if model_axis > 1 and words % model_axis == 0
+                    else P()
+                )
+                shardings = {
+                    name: NamedSharding(
+                        self.mesh, bits_spec if name == "bits" else P()
+                    )
+                    for name in tables
+                }
+            self._tables[key] = jax.device_put(tables, shardings)
         return self._tables[key]
 
     @property

@@ -106,45 +106,26 @@ def block_forward(
     return x + h
 
 
-def pipeline_blocks_forward(
-    stacked_params: Any,  # leaves [L, ...], L % n_stages == 0
-    x: jax.Array,  # [B, S, H] block-stack input (post-embedding)
-    positions: jax.Array,  # [B, S]
-    config: DecoderConfig,
-    mesh: Mesh,
-    n_micro: int,
-    remat: bool = False,
-) -> jax.Array:
-    """Run the staged block stack over x with GPipe microbatching.
-
-    Returns [B, S, H] (the last stage's output, replicated over "pipe").
-    The batch splits into ``n_micro`` microbatches; utilization is
-    n_micro / (n_micro + S - 1), so pick n_micro >= 4*S in production.
-    """
-    n_stages = mesh.shape[PIPE_AXIS]
-    b = x.shape[0]
-    if b % n_micro:
-        raise ValueError(f"batch {b} must divide into {n_micro} microbatches")
+def _make_stage_fn(config: DecoderConfig, remat: bool):
+    """The per-stage function: apply this stage's [L/S] blocks via lax.scan."""
     cos, sin = rope_angles(config.max_seq_len, config.head_dim, config.rope_theta)
-
     apply_block = block_forward
     if remat:
-        apply_block = jax.checkpoint(
-            block_forward, static_argnums=(5,)
-        )
+        apply_block = jax.checkpoint(block_forward, static_argnums=(5,))
 
-    def stage_scan(local_params, h, pos):
-        """Apply this stage's [L/S] blocks sequentially (lax.scan)."""
-
+    def stage_fn(local_params, h, pos):
         def body(carry, layer_params):
             return apply_block(layer_params, carry, pos, cos, sin, config), None
 
         out, _ = jax.lax.scan(body, h, local_params)
         return out
 
-    mb = b // n_micro
-    x_micro = x.reshape(n_micro, mb, *x.shape[1:])
-    pos_micro = positions.reshape(n_micro, mb, positions.shape[-1])
+    return stage_fn
+
+
+def _gpipe_fwd(stage_fn, n_stages: int, n_micro: int):
+    """The forward tick program: inject -> stage -> emit -> ppermute."""
+    fwd_perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
     def pp(local_params, xm, posm):
         stage = jax.lax.axis_index(PIPE_AXIS)
@@ -162,21 +143,15 @@ def pipeline_blocks_forward(
             state = jnp.where(take, inject, state)
             pos_state = jnp.where(take, pos_inject, pos_state)
 
-            state = stage_scan(local_params, state, pos_state)
+            state = stage_fn(local_params, state, pos_state)
 
             emit = t - last
             if emit >= 0:
                 outputs = outputs.at[emit].set(
                     jnp.where(stage == last, state, outputs[emit])
                 )
-            state = jax.lax.ppermute(
-                state, PIPE_AXIS,
-                [(i, (i + 1) % n_stages) for i in range(n_stages)],
-            )
-            pos_state = jax.lax.ppermute(
-                pos_state, PIPE_AXIS,
-                [(i, (i + 1) % n_stages) for i in range(n_stages)],
-            )
+            state = jax.lax.ppermute(state, PIPE_AXIS, fwd_perm)
+            pos_state = jax.lax.ppermute(pos_state, PIPE_AXIS, fwd_perm)
 
         # Replicate the last stage's outputs to every stage (the loss and
         # logits head run replicated).
@@ -185,13 +160,171 @@ def pipeline_blocks_forward(
         )
         return jax.lax.psum(outputs, PIPE_AXIS)
 
-    pp_sharded = compat_shard_map(
-        pp,
-        mesh=mesh,
-        in_specs=(P(PIPE_AXIS), P(), P()),
-        out_specs=P(),
+    return pp
+
+
+def _pipeline_1f1b(config: DecoderConfig, mesh: Mesh, n_micro: int, remat: bool):
+    """Pipeline with a hand-scheduled memory-bounded backward (1F1B-class).
+
+    jax.grad through the GPipe forward stashes every microbatch's stage
+    activations until the full backward — O(n_micro) per stage. Here the
+    pipeline is a custom_vjp whose backward runs TWO waves in one tick
+    loop:
+
+      recompute wave (left->right): re-runs the forward exactly as GPipe,
+        stashing each stage's INPUT activation in a rotating buffer;
+      backward wave (right->left), offset by (S-1) ticks: stage i runs the
+        VJP of its stage function against the cotangent arriving from stage
+        i+1, reading its input activation from the buffer slot the
+        recompute wave filled 2i ticks earlier.
+
+    A stashed activation lives at most 2(S-1) ticks, so the buffer depth is
+    2S-1 — activation memory O(stages), independent of n_micro. FLOPs match
+    GPipe+remat (forward runs twice: once as the wave, once inside the
+    VJP). The bubble is the schedule's n_micro + 2(S-1) ticks — same
+    asymptotics as separate forward+backward GPipe passes.
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    last = n_stages - 1
+    stage_fn = _make_stage_fn(config, remat)
+    fwd_perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    bwd_perm = [(i, (i - 1) % n_stages) for i in range(n_stages)]
+
+    fwd_sharded = compat_shard_map(
+        _gpipe_fwd(stage_fn, n_stages, n_micro),
+        mesh=mesh, in_specs=(P(PIPE_AXIS), P(), P()), out_specs=P(),
     )
-    out_micro = pp_sharded(stacked_params, x_micro, pos_micro)
+
+    def bwd_pp(local_params, xm, posm, gm):
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        depth = 2 * n_stages - 1  # max stash lifetime 2(S-1) ticks, +1 slack
+        offset = last  # backward wave enters when the first output exists
+        fwd_state = jnp.zeros_like(xm[0])
+        pos_state = jnp.zeros_like(posm[0])
+        cot_state = jnp.zeros_like(xm[0])
+        acts = jnp.zeros((depth,) + xm.shape[1:], xm.dtype)
+        param_grads = jax.tree_util.tree_map(jnp.zeros_like, local_params)
+        dx = jnp.zeros_like(xm)
+
+        for t in range(n_micro + 2 * last):
+            # ---- recompute wave (the GPipe forward, replayed) ----
+            wave_live = t < n_micro + last
+            if wave_live:
+                take = (stage == 0) & (t < n_micro)
+                fwd_state = jnp.where(take, xm[min(t, n_micro - 1)], fwd_state)
+                pos_state = jnp.where(
+                    take, posm[min(t, n_micro - 1)], pos_state
+                )
+                acts = acts.at[t % depth].set(fwd_state)
+                new_fwd = stage_fn(local_params, fwd_state, pos_state)
+
+            # ---- backward wave ----
+            # Stage i processes microbatch m = t - offset - (last - i); its
+            # input activation was stashed by the wave at tick i + m, i.e.
+            # buffer slot (t - offset - last + 2i) mod depth.
+            m = t - offset - last + stage
+            valid = (m >= 0) & (m < n_micro)
+            m_c = jnp.clip(m, 0, n_micro - 1)
+            g_in = jnp.where(
+                stage == last,
+                jax.lax.dynamic_index_in_dim(
+                    gm, jnp.clip(t - offset, 0, n_micro - 1), 0, keepdims=False
+                ),
+                cot_state,
+            )
+            a = jnp.take(acts, (t - offset - last + 2 * stage) % depth, axis=0)
+            pos_b = jax.lax.dynamic_index_in_dim(posm, m_c, 0, keepdims=False)
+            _, vjp_fn = jax.vjp(
+                lambda p, h: stage_fn(p, h, pos_b), local_params, a
+            )
+            dparams, da = vjp_fn(g_in.astype(a.dtype))
+            param_grads = jax.tree_util.tree_map(
+                lambda acc, dp: acc + jnp.where(valid, dp, 0),
+                param_grads, dparams,
+            )
+            da = jnp.where(valid, da, 0)
+            # Stage 0's input grad is the pipeline's dx for microbatch
+            # m0 = t - offset - last (a trace-time constant).
+            m0 = t - offset - last
+            if 0 <= m0 < n_micro:
+                dx = dx.at[m0].set(jnp.where(stage == 0, da, dx[m0]))
+
+            if wave_live:
+                fwd_state = jax.lax.ppermute(new_fwd, PIPE_AXIS, fwd_perm)
+                pos_state = jax.lax.ppermute(pos_state, PIPE_AXIS, fwd_perm)
+            cot_state = jax.lax.ppermute(da, PIPE_AXIS, bwd_perm)
+
+        dx = jnp.where(stage == 0, dx, 0)
+        return param_grads, jax.lax.psum(dx, PIPE_AXIS)
+
+    bwd_sharded = compat_shard_map(
+        bwd_pp,
+        mesh=mesh,
+        in_specs=(P(PIPE_AXIS), P(), P(), P()),
+        out_specs=(P(PIPE_AXIS), P()),
+    )
+
+    @jax.custom_vjp
+    def run(stacked_params, xm, posm):
+        return fwd_sharded(stacked_params, xm, posm)
+
+    def run_fwd(stacked_params, xm, posm):
+        return run(stacked_params, xm, posm), (stacked_params, xm, posm)
+
+    def run_bwd(res, g):
+        stacked_params, xm, posm = res
+        dparams, dx = bwd_sharded(stacked_params, xm, posm, g)
+        # Integer positions take a float0 cotangent.
+        dpos = np.zeros(posm.shape, jax.dtypes.float0)
+        return dparams, dx, dpos
+
+    run.defvjp(run_fwd, run_bwd)
+    return run
+
+
+def pipeline_blocks_forward(
+    stacked_params: Any,  # leaves [L, ...], L % n_stages == 0
+    x: jax.Array,  # [B, S, H] block-stack input (post-embedding)
+    positions: jax.Array,  # [B, S]
+    config: DecoderConfig,
+    mesh: Mesh,
+    n_micro: int,
+    remat: bool = False,
+    schedule: str = "gpipe",
+) -> jax.Array:
+    """Run the staged block stack over x with GPipe microbatching.
+
+    Returns [B, S, H] (the last stage's output, replicated over "pipe").
+    The batch splits into ``n_micro`` microbatches; utilization is
+    n_micro / (n_micro + S - 1), so pick n_micro >= 4*S in production.
+    ``schedule="1f1b"`` swaps in the memory-bounded hand-scheduled
+    backward (_pipeline_1f1b): O(stages) stashed activations instead of
+    jax.grad's O(n_micro) — pick it when n_micro must grow to fill the
+    bubble but activation memory is the binding constraint.
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    b = x.shape[0]
+    if b % n_micro:
+        raise ValueError(f"batch {b} must divide into {n_micro} microbatches")
+    if schedule not in ("gpipe", "1f1b"):
+        raise ValueError(f"unknown pipeline schedule: {schedule!r}")
+
+    mb = b // n_micro
+    x_micro = x.reshape(n_micro, mb, *x.shape[1:])
+    pos_micro = positions.reshape(n_micro, mb, positions.shape[-1])
+
+    if schedule == "1f1b":
+        run = _pipeline_1f1b(config, mesh, n_micro, remat)
+        out_micro = run(stacked_params, x_micro, pos_micro)
+    else:
+        stage_fn = _make_stage_fn(config, remat)
+        pp_sharded = compat_shard_map(
+            _gpipe_fwd(stage_fn, n_stages, n_micro),
+            mesh=mesh,
+            in_specs=(P(PIPE_AXIS), P(), P()),
+            out_specs=P(),
+        )
+        out_micro = pp_sharded(stacked_params, x_micro, pos_micro)
     return out_micro.reshape(b, *x.shape[1:])
 
 
@@ -203,6 +336,7 @@ def pipeline_vlm_logits(
     mesh: Mesh,
     n_micro: int,
     remat: bool = False,
+    schedule: str = "gpipe",
 ) -> jax.Array:
     """VLM training forward with the decoder block stack pipelined.
 
@@ -227,7 +361,8 @@ def pipeline_vlm_logits(
 
     stacked = stack_block_params(decoder_params, cfg.num_layers)
     x = pipeline_blocks_forward(
-        stacked, x, positions, cfg, mesh, n_micro, remat=remat
+        stacked, x, positions, cfg, mesh, n_micro, remat=remat,
+        schedule=schedule,
     )
     x = rms_norm(x, decoder_params["final_norm"]["weight"])
     return jnp.einsum(
@@ -242,6 +377,7 @@ def pipeline_decoder_apply(
     mesh: Mesh,
     n_micro: int,
     remat: bool = False,
+    schedule: str = "gpipe",
 ) -> jax.Array:
     """Full decoder forward (embed -> staged blocks -> norm -> tied logits)
     with the block stack pipelined. Drop-in equal to Decoder.__call__ on the
@@ -256,7 +392,8 @@ def pipeline_decoder_apply(
 
     stacked = stack_block_params(decoder_params, config.num_layers)
     x = pipeline_blocks_forward(
-        stacked, x, positions, config, mesh, n_micro, remat=remat
+        stacked, x, positions, config, mesh, n_micro, remat=remat,
+        schedule=schedule,
     )
     x = rms_norm(x, decoder_params["final_norm"]["weight"])
     logits = jnp.einsum(

@@ -206,6 +206,11 @@ def main(argv: list[str] | None = None) -> int:
         "--pp-micro", type=int, default=4,
         help="GPipe microbatches per step (batch must divide by it)",
     )
+    parser.add_argument(
+        "--pp-schedule", default="gpipe", choices=["gpipe", "1f1b"],
+        help="pipeline backward: gpipe (jax.grad, O(n_micro) activation "
+             "stash) or 1f1b (hand-scheduled waves, O(stages) stash)",
+    )
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--data", help="staging dir of (video, note) pairs")
     parser.add_argument(
@@ -306,6 +311,7 @@ def main(argv: list[str] | None = None) -> int:
             remat=args.remat,
             prompt_len=args.prompt_len,
             pp_microbatches=args.pp_micro,
+            pp_schedule=args.pp_schedule,
         ),
     )
 

@@ -47,6 +47,11 @@ class TrainConfig:
     pp_microbatches: int = 4
     """GPipe microbatch count when training on a "pipe" mesh (the batch
     must divide by it; utilization = n_micro / (n_micro + stages - 1))."""
+    pp_schedule: str = "gpipe"
+    """Pipeline backward schedule: "gpipe" (jax.grad through the staged
+    forward; stashes O(n_micro) activations per stage) or "1f1b" (hand
+    scheduled recompute+backward waves; O(stages) stash — pick it when
+    growing n_micro to fill the bubble exhausts HBM)."""
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -174,6 +179,7 @@ class Trainer:
             logits_fn = lambda p, patches, tokens: pipeline_vlm_logits(
                 self.model, p, patches, tokens, mesh, n_micro,
                 remat=self.train_config.remat,
+                schedule=self.train_config.pp_schedule,
             )
 
         params = self.model.init_variables(jax.random.PRNGKey(seed))
