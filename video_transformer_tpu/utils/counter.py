@@ -44,9 +44,8 @@ class APICounter:
     @property
     def limit(self) -> int:
         """The cap in force right now (soft, clamped by hard when set)."""
-        if self.hard_max_calls is None:
-            return self.max_calls
-        return min(self.max_calls, self.hard_max_calls)
+        hard = self.hard_max_calls
+        return self.max_calls if hard is None else min(self.max_calls, hard)
 
     # Reference-compatible spelling used by older call sites.
     def _effective_max_calls(self) -> int:
@@ -56,14 +55,15 @@ class APICounter:
         """Move the soft cap (never above the hard ceiling). Returns it."""
         if hard_max_calls is not None:
             self.hard_max_calls = hard_max_calls
-        ceiling = max_calls if self.hard_max_calls is None else self.hard_max_calls
-        self.max_calls = min(max_calls, ceiling)
+        hard = self.hard_max_calls
+        self.max_calls = max_calls if hard is None else min(max_calls, hard)
         return self.max_calls
 
     def increase_max_calls(
         self, additional_calls: int, hard_max_calls: int | None = None
     ) -> int:
-        return self.set_max_calls(self.max_calls + additional_calls, hard_max_calls)
+        raised = self.max_calls + additional_calls
+        return self.set_max_calls(raised, hard_max_calls)
 
     def increment(self, service: str) -> bool:
         """Record one call. Budgeted services raise APILimitExceeded at the

@@ -40,18 +40,29 @@ HEADING_EXPANDED = NOTE_HEADINGS["expanded"]
 HEADING_COVERAGE_INDEX = NOTE_HEADINGS["coverage"]
 REQUIRED_OUTPUT_HEADINGS = tuple(NOTE_HEADINGS.values())
 
-# Headings of the source sections the legacy rebuild consumes.
-SOURCE_KEY_TAKEAWAYS_HEADING = "## 📝 关键结论 (Key Takeaways)"
-SOURCE_GLOSSARY_HEADING = "## 📖 关键术语表 (Glossary)"
-
-# Takeaway-mapping appendix surface.
-MAPPING_SECTION_HEADING = "## 🔗 关键结论映射 (Key Takeaway Mapping)"
-UNMAPPED_TAKEAWAYS_HEADING = "## Unmapped Takeaways"
-MAPPING_TABLE_HEADER = "| Takeaway | Topics | Match Strategy |"
-MAPPING_TABLE_SEPARATOR = "| --- | --- | --- |"
-MAPPING_JSON_FENCE = "```json"
-
-BUDGET_WARNING_TEMPLATE = "<!-- BUDGET_EXCEEDED: actual={actual}, target={target} -->"
+# Headings of the source sections the legacy rebuild consumes, and the
+# takeaway-mapping appendix surface (grouped like NOTE_HEADINGS; the
+# module-level aliases below are the compatibility API).
+SOURCE_HEADINGS: dict[str, str] = {
+    "key_takeaways": "## 📝 关键结论 (Key Takeaways)",
+    "glossary": "## 📖 关键术语表 (Glossary)",
+}
+MAPPING_SURFACE: dict[str, str] = {
+    "section": "## 🔗 关键结论映射 (Key Takeaway Mapping)",
+    "unmapped": "## Unmapped Takeaways",
+    "table_header": "| Takeaway | Topics | Match Strategy |",
+    "table_separator": "| --- | --- | --- |",
+    "json_fence": "```json",
+    "budget_warning": "<!-- BUDGET_EXCEEDED: actual={actual}, target={target} -->",
+}
+SOURCE_KEY_TAKEAWAYS_HEADING = SOURCE_HEADINGS["key_takeaways"]
+SOURCE_GLOSSARY_HEADING = SOURCE_HEADINGS["glossary"]
+MAPPING_SECTION_HEADING = MAPPING_SURFACE["section"]
+UNMAPPED_TAKEAWAYS_HEADING = MAPPING_SURFACE["unmapped"]
+MAPPING_TABLE_HEADER = MAPPING_SURFACE["table_header"]
+MAPPING_TABLE_SEPARATOR = MAPPING_SURFACE["table_separator"]
+MAPPING_JSON_FENCE = MAPPING_SURFACE["json_fence"]
+BUDGET_WARNING_TEMPLATE = MAPPING_SURFACE["budget_warning"]
 
 
 class BudgetResult(NamedTuple):
@@ -79,14 +90,15 @@ class BudgetSpec(NamedTuple):
         )
 
 
-def budget_for_duration(
-    duration_seconds: float, spec: BudgetSpec | None = None
-) -> BudgetResult:
+def budget_for_duration(duration_seconds, spec: BudgetSpec | None = None):
+    """Resolve the default (or given) BudgetSpec for a video duration."""
     return (spec or BudgetSpec()).resolve(duration_seconds)
 
 
 def format_budget_warning(actual_lines: int, target_lines: int) -> str:
-    return BUDGET_WARNING_TEMPLATE.format(actual=actual_lines, target=target_lines)
+    return BUDGET_WARNING_TEMPLATE.format(
+        actual=actual_lines, target=target_lines
+    )
 
 
 def count_budget_lines(text: str, exclude_code_from_budget: bool = False) -> int:
@@ -138,4 +150,5 @@ def normalize_takeaway(text: str) -> str:
 
 
 def build_coverage_index_lines(topics: Iterable[str]) -> list[str]:
-    return [f"- {topic}" for topic in topics]
+    """One `- topic` bullet per entry, render order preserved."""
+    return ["- " + topic for topic in topics]
