@@ -230,7 +230,12 @@ class Decoder(nn.Module):
         cache: Cache | None = None,
         dtype: jnp.dtype = jnp.bfloat16,
         prefill: bool = False,
+        logits_at: jax.Array | None = None,
     ) -> tuple[jax.Array, Cache | None]:
+        """``logits_at`` [B] narrows the logits head to ONE position per row
+        (the decode loop consumes a single next-token distribution per step;
+        at real vocab sizes the [B, W, V] head over a fast-forward block is
+        W x wasted FLOPs and tens of MB of f32 logits)."""
         cfg = self.config
         if inputs.ndim == 2:
             x = self.embed_tokens(inputs, dtype)
@@ -254,6 +259,8 @@ class Decoder(nn.Module):
             x, cache = block(x, positions, rope, cache, prefill)
 
         x = self.final_norm(x)
+        if logits_at is not None:
+            x = jnp.take_along_axis(x, logits_at[:, None, None], axis=1)
         # Tied logits: reuse the embedding table (fp32 accumulate).
         logits = jnp.einsum(
             "bsh,vh->bsv", x.astype(jnp.float32),

@@ -148,6 +148,18 @@ class VideoLM(nn.Module):
         logits, cache = self.decoder(tokens, cache=cache, dtype=self.compute_dtype)
         return logits, cache
 
+    def decode_block_pick(
+        self, tokens: jax.Array, cache: Cache, pick: jax.Array
+    ) -> tuple[jax.Array, Cache]:
+        """decode_block computing logits ONLY at ``pick`` [B] per row:
+        [B, W] -> ([B, V], cache). The hidden states of every block position
+        still enter the KV cache; the logits head runs once per row instead
+        of once per block column (the decode loop's hot path)."""
+        logits, cache = self.decoder(
+            tokens, cache=cache, dtype=self.compute_dtype, logits_at=pick
+        )
+        return logits[:, 0, :], cache
+
     def __call__(
         self, patches: jax.Array, tokens: jax.Array
     ) -> jax.Array:

@@ -416,16 +416,14 @@ class InferenceEngine:
                 out_pos = out_pos + advance
 
                 index_before = cache["index"]
-                block_logits, cache = model.apply(
-                    params, block, cache, method=VideoLM.decode_block
+                # Each row's next logits sit after its last VALID token
+                # (block column ``run``) — the head computes only that
+                # column; the decoder advanced index by the full block
+                # width, so rewind to the per-row logical position.
+                new_logits, cache = model.apply(
+                    params, block, cache, run, method=VideoLM.decode_block_pick
                 )
-                # Each row's next logits sit after its last VALID token; the
-                # decoder advanced index by the full block width — rewind to
-                # the per-row logical position.
                 cache = dict(cache, index=index_before + advance)
-                new_logits = jnp.take_along_axis(
-                    block_logits, run[:, None, None], axis=1
-                )[:, 0, :]
                 # Frozen rows keep their last live logits: the EOS filler
                 # block must not poison the next-token distribution a
                 # resumed session samples from (the stale k/v it wrote past

@@ -255,13 +255,14 @@ class ContinuousBatcher:
             done = done | (out_pos >= max_new)
 
             index_before = cache["index"]
-            block_logits, cache = model.apply(
-                params, block, cache, method=VideoLM.decode_block
+            # Logits head narrowed to each row's last valid block column
+            # (decode_block_pick): one [B, V] head per step instead of
+            # [B, W, V] — the W-1 forced columns never need distributions.
+            picked, cache = model.apply(
+                params, block, cache, run, method=VideoLM.decode_block_pick
             )
             cache = dict(cache, index=index_before + advance)
-            logits = jnp.take_along_axis(
-                block_logits, run[:, None, None], axis=1
-            )[:, 0, :].astype(jnp.float32)
+            logits = picked.astype(jnp.float32)
             return (cache, state, logits, tokens, out_pos, done), None
 
           return step
