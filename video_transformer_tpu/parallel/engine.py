@@ -788,7 +788,8 @@ class InferenceEngine:
         ]
 
     def _max_session_rounds(
-        self, prompt_width: int, with_video: bool, requested: int
+        self, prompt_width: int, with_video: bool, requested: int,
+        dfa: JsonDfa | None,
     ) -> int:
         """Largest continuation-round reserve that still fits the KV cache.
 
@@ -797,7 +798,7 @@ class InferenceEngine:
         no session — the caller falls back to re-prefill continuation).
         """
         video_tokens = self.config.video_tokens if with_video else 0
-        block_width = self._block_width(self.dfa)
+        block_width = self._block_width(dfa)
         for rounds in range(requested, 0, -1):
             cache_len = _round_up(
                 video_tokens
@@ -852,7 +853,9 @@ class InferenceEngine:
             dfa, with_video=True,
         )
         if session_rounds:
-            session_rounds = self._max_session_rounds(total, True, session_rounds)
+            session_rounds = self._max_session_rounds(
+                total, True, session_rounds, dfa
+            )
 
         if b_padded != b_real:
             pad = np.zeros((b_padded - b_real,) + frames.shape[1:], frames.dtype)
@@ -891,7 +894,9 @@ class InferenceEngine:
             dfa, with_video=False,
         )
         if session_rounds:
-            session_rounds = self._max_session_rounds(total, False, session_rounds)
+            session_rounds = self._max_session_rounds(
+                total, False, session_rounds, dfa
+            )
 
         with_session = return_session and session_rounds > 0
         fn = self._get_generate(
