@@ -108,3 +108,44 @@ class TestGroundingEval:
         assert report["hits"] == 1
         assert report["per_topic"][TOPIC_BANK[0].name] is True
         assert report["per_topic"][TOPIC_BANK[5].name] is False
+
+    def test_run_eval_composite_requires_both_topics(self):
+        """A composite clip hits only when the note names BOTH topics."""
+        import json as _json
+
+        from video_transformer_tpu.train.eval_grounding import run_eval
+        from video_transformer_tpu.train.grounded import TOPIC_BANK
+
+        class StubEngine:
+            class config:
+                class encoder:
+                    num_frames = 2
+                    image_size = 16
+
+            class stats:
+                tokens_per_second = 0.0
+
+            def __init__(self):
+                self.calls = 0
+
+            def generate(self, frames, prompts):
+                out = []
+                for _ in range(frames.shape[0]):
+                    if self.calls == 0:
+                        title = TOPIC_BANK[1].name + "与" + TOPIC_BANK[2].name
+                    else:
+                        title = TOPIC_BANK[3].name  # names only one of the pair
+                    self.calls += 1
+                    out.append(_json.dumps({"title": title, "deep_dive": []},
+                                           ensure_ascii=False))
+                return out
+
+        report = run_eval(
+            StubEngine(), [], batch=1, composite_pairs=[(1, 2), (3, 4)]
+        )
+        assert report["composite_total"] == 2
+        assert report["composite_hits"] == 1
+        both = f"{TOPIC_BANK[1].name}+{TOPIC_BANK[2].name}"
+        one = f"{TOPIC_BANK[3].name}+{TOPIC_BANK[4].name}"
+        assert report["per_composite"][both] is True
+        assert report["per_composite"][one] is False

@@ -27,17 +27,36 @@ import numpy as np
 __all__ = ["main", "run_eval"]
 
 
+def _note_blob(text: str) -> str | None:
+    """The note fields grounding is scored on, or None on parse failure."""
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        return None
+    return (
+        data.get("title", "")
+        + data.get("one_sentence_summary", "")
+        + " ".join(data.get("key_takeaways", []))
+    )
+
+
 def run_eval(
     engine,
     topic_ids: list[int],
     batch: int,
     seed: int = 99,
     temperature_prompt_seconds: int = 120,
+    composite_pairs: list[tuple[int, int]] | None = None,
 ) -> dict:
-    """Score grounding hits for ``topic_ids`` through ``engine``."""
+    """Score grounding hits for ``topic_ids`` through ``engine``.
+
+    ``composite_pairs`` additionally scores two-signature clips
+    (render_composite_clip): a pair hits only when the note names BOTH
+    topics — the compositional bar single-signature shortcuts cannot pass.
+    """
     from ..analyzer.prompts import render_prompt
     from ..contracts.timefmt import format_seconds
-    from .grounded import TOPIC_BANK, render_topic_clip
+    from .grounded import TOPIC_BANK, render_composite_clip, render_topic_clip
 
     rng = np.random.default_rng(seed)
     config = engine.config
@@ -45,46 +64,57 @@ def run_eval(
         "analysis",
         {"duration_label": format_seconds(temperature_prompt_seconds)},
     )
+    t_frames = config.encoder.num_frames
+    size = config.encoder.image_size
 
     results: dict[str, bool] = {}
     hits = 0
-    tokens = 0
     start = time.perf_counter()
     for i in range(0, len(topic_ids), batch):
         ids = topic_ids[i : i + batch]
         frames = np.stack(
-            [
-                render_topic_clip(
-                    t, config.encoder.num_frames, config.encoder.image_size, rng
-                )
-                for t in ids
-            ]
+            [render_topic_clip(t, t_frames, size, rng) for t in ids]
         )
         texts = engine.generate(frames, [prompt] * len(ids))
         for t, text in zip(ids, texts):
             name = TOPIC_BANK[t].name
-            try:
-                data = json.loads(text)
-            except json.JSONDecodeError:
-                results[name] = False
-                continue
-            blob = (
-                data.get("title", "")
-                + data.get("one_sentence_summary", "")
-                + " ".join(data.get("key_takeaways", []))
-            )
-            hit = name in blob
+            blob = _note_blob(text)
+            hit = blob is not None and name in blob
             results[name] = bool(hit)
             hits += hit
-            tokens += len(text)
+
+    composite_results: dict[str, bool] = {}
+    composite_hits = 0
+    for i in range(0, len(composite_pairs or []), batch):
+        pairs = composite_pairs[i : i + batch]
+        frames = np.stack(
+            [render_composite_clip(a, b, t_frames, size, rng) for a, b in pairs]
+        )
+        texts = engine.generate(frames, [prompt] * len(pairs))
+        for (a, b), text in zip(pairs, texts):
+            label = f"{TOPIC_BANK[a].name}+{TOPIC_BANK[b].name}"
+            blob = _note_blob(text)
+            hit = (
+                blob is not None
+                and TOPIC_BANK[a].name in blob
+                and TOPIC_BANK[b].name in blob
+            )
+            composite_results[label] = bool(hit)
+            composite_hits += hit
+
     elapsed = time.perf_counter() - start
-    return {
+    report = {
         "hits": hits,
         "total": len(topic_ids),
         "per_topic": results,
         "decode_tokens_per_s": round(engine.stats.tokens_per_second, 1),
         "wall_seconds": round(elapsed, 2),
     }
+    if composite_pairs:
+        report["composite_hits"] = composite_hits
+        report["composite_total"] = len(composite_pairs)
+        report["per_composite"] = composite_results
+    return report
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -94,6 +124,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--tokenizer", help="BPE vocab path (models/bpe.py)")
     parser.add_argument("--topics", type=int, default=16,
                         help="number of topics to sample (stride over bank)")
+    parser.add_argument("--composites", type=int, default=0,
+                        help="number of two-signature clips to score "
+                             "(hit = note names BOTH topics)")
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--temperature", type=float, default=0.7)
@@ -131,9 +164,18 @@ def main(argv: list[str] | None = None) -> int:
     n = min(args.topics, len(TOPIC_BANK))
     stride = max(len(TOPIC_BANK) // n, 1)
     topic_ids = [(i * stride) % len(TOPIC_BANK) for i in range(n)]
-    report = run_eval(engine, topic_ids, args.batch)
+    pairs = None
+    if args.composites:
+        pair_rng = np.random.default_rng(17)
+        pairs = []
+        for _ in range(args.composites):
+            a, b = pair_rng.choice(len(TOPIC_BANK), size=2, replace=False)
+            pairs.append((int(a), int(b)))
+    report = run_eval(engine, topic_ids, args.batch, composite_pairs=pairs)
     print(json.dumps(report, ensure_ascii=False))
-    return 0 if report["hits"] == report["total"] else 1
+    total = report["total"] + report.get("composite_total", 0)
+    got = report["hits"] + report.get("composite_hits", 0)
+    return 0 if got == total else 1
 
 
 if __name__ == "__main__":
