@@ -49,6 +49,41 @@ class TestTPUEndToEnd:
         assert {"title", "deep_dive", "glossary"} <= parsed.keys()
         assert engine.stats.tokens_per_second > 100
 
+    def test_session_continuation_completes_capped_note_on_chip(self):
+        """Cache-reusing continuation on hardware: a token cap far below
+        one note's length is closed by decode-only resume rounds, with
+        zero prefill tokens after the first pass."""
+        from video_transformer_tpu.analyzer.schema import note_dfa
+        from video_transformer_tpu.models.config import get_preset
+        from video_transformer_tpu.parallel.engine import InferenceEngine
+        from video_transformer_tpu.parallel.mesh import build_mesh
+
+        engine = InferenceEngine(
+            get_preset("tiny"),
+            mesh=build_mesh({"model": 1}),
+            dfa=note_dfa(512, scale=0.25),
+            max_new_tokens=256,
+            temperature=1.0,
+            structure_bias=2.5,
+        )
+        frames = np.random.default_rng(1).integers(
+            0, 255, (1, 4, 64, 64, 3), dtype=np.uint8
+        )
+        _, complete, ids, session = engine.generate(
+            frames, ["analyze"], prompt_len=32, return_status=True,
+            return_tokens=True, session_rounds=16, return_session=True,
+        )
+        assert session is not None
+        prefill_before = engine.stats.prefill_tokens
+        all_ids = list(ids[0])
+        while not complete[0] and session.rounds_left > 0:
+            _, complete, more = engine.continue_session(session)
+            all_ids += more[0]
+        assert complete[0]
+        assert engine.stats.prefill_tokens == prefill_before
+        parsed = json.loads(engine.tokenizer.decode(all_ids))
+        assert {"title", "deep_dive", "glossary"} <= parsed.keys()
+
     def test_grounded_bpe_engine_names_the_topic_on_chip(self):
         """The shipped BPE + grounded checkpoint, on hardware: the note must
         name the topic carried by the frames."""
