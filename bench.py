@@ -39,7 +39,10 @@ if QUANTIZE in ("none", "null", "0", ""):
     QUANTIZE = None
 VIDEO_SECONDS = float(os.environ.get("VTX_BENCH_VIDEO_SECONDS", "240"))
 FPS = 2.0
-SEGMENT_SECONDS = 60
+# Segment length trades decode batch width against per-row note length:
+# shorter segments mean more rows per sharded batch (weight reads amortize
+# over more rows) but more prefills. 60 is the measured sweet spot default.
+SEGMENT_SECONDS = int(os.environ.get("VTX_BENCH_SEGMENT_SECONDS", "60"))
 
 # Peak dense bf16 throughput per chip, for the MFU estimate.
 _PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e12}
@@ -211,6 +214,7 @@ def main() -> int:
                         "preproc_frames_per_s": round(preproc_fps, 1),
                         "model_preset": PRESET,
                         "quantize": QUANTIZE,
+                        "segment_seconds": SEGMENT_SECONDS,
                         "model_params": n_params,
                         "mfu_decode": round(mfu_decode, 5),
                         "prompt_truncations": len(truncations),
