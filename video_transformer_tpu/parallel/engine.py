@@ -72,6 +72,8 @@ class EngineStats:
     prefill_tokens: int = 0
     frames_preprocessed: int = 0
     preprocess_seconds: float = 0.0
+    session_resumes: int = 0
+    """Decode-only continuation rounds (each one saved a full re-prefill)."""
 
     @property
     def tokens_per_second(self) -> float:
@@ -86,6 +88,7 @@ class EngineStats:
             "prefill_tokens": self.prefill_tokens,
             "frames_preprocessed": self.frames_preprocessed,
             "preprocess_seconds": round(self.preprocess_seconds, 3),
+            "session_resumes": self.session_resumes,
         }
 
 
@@ -943,6 +946,7 @@ class InferenceEngine:
 
         b_real = session.b_real
         self.stats.generate_calls += 1
+        self.stats.session_resumes += 1
         self.stats.tokens_generated += int(out_pos[:b_real].sum())
         self.stats.generate_seconds += elapsed
 
