@@ -136,11 +136,16 @@ class TestSessionContinuation:
         )
         while not complete[0] and session.rounds_left > 1:
             _, complete, _ = capped_engine.continue_session(session)
-        if complete[0] and session.rounds_left > 0:
-            tails, now_done, tail_ids = capped_engine.continue_session(session)
-            assert tails[0] == ""
-            assert tail_ids[0] == []
-            assert now_done[0]
+        # The scale-0.2 note completes well inside the reserve; if this
+        # precondition breaks, the contract below must fail loudly rather
+        # than silently skip.
+        assert complete[0] and session.rounds_left > 0, (
+            f"note incomplete with rounds_left={session.rounds_left}"
+        )
+        tails, now_done, tail_ids = capped_engine.continue_session(session)
+        assert tails[0] == ""
+        assert tail_ids[0] == []
+        assert now_done[0]
 
     def test_rounds_granted_fit_sequence_budget(self, capped_engine):
         """An oversized reserve degrades to what the cache can hold."""

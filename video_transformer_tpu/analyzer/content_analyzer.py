@@ -422,7 +422,17 @@ class ContentAnalyzer:
             for _ in pending:
                 self.api_counter.increment("local")
             if mode == "resume":
-                _, now_done, more_ids = self.engine.continue_session(session)
+                try:
+                    _, now_done, more_ids = self.engine.continue_session(session)
+                except Exception as exc:  # transient XLA/runtime failures
+                    # The donated session cache may be gone after a failed
+                    # resume; the accumulated token ids are intact, so the
+                    # remaining rounds degrade to re-prefill continuation.
+                    self.logger.warning(
+                        f"event=continuation_resume_failed error={exc}"
+                    )
+                    session = None
+                    continue
                 for i in range(len(token_ids)):
                     token_ids[i] = token_ids[i] + more_ids[i]
                     complete[i] = now_done[i]

@@ -110,7 +110,6 @@ class EngineSession:
     done: Any
     b_real: int
     dfa: Any
-    with_video: bool
     rounds_left: int
 
 
@@ -801,18 +800,13 @@ class InferenceEngine:
         no session — the caller falls back to re-prefill continuation).
         """
         video_tokens = self.config.video_tokens if with_video else 0
-        block_width = self._block_width(dfa)
-        for rounds in range(requested, 0, -1):
-            cache_len = _round_up(
-                video_tokens
-                + prompt_width
-                + (1 + rounds) * (self.max_new_tokens + block_width)
-                + 1,
-                128,
-            )
-            if cache_len <= self.config.decoder.max_seq_len:
-                return rounds
-        return 0
+        per_round = self.max_new_tokens + self._block_width(dfa)
+        # Closed form: round_up(total, 128) <= max_seq_len iff total <= the
+        # largest 128-multiple under the cap, so the grant is a division.
+        cap = (self.config.decoder.max_seq_len // 128) * 128
+        budget = cap - video_tokens - prompt_width - 1
+        rounds = budget // per_round - 1
+        return max(0, min(requested, rounds))
 
     def generate(
         self,
@@ -855,6 +849,9 @@ class InferenceEngine:
             prompts, self._normalize_prefixes(prefixes), b_real, prompt_len,
             dfa, with_video=True,
         )
+        # A cache reserve without return_session would be dead HBM and a
+        # dead compile bucket — the session is the only way to use it.
+        session_rounds = session_rounds if return_session else 0
         if session_rounds:
             session_rounds = self._max_session_rounds(
                 total, True, session_rounds, dfa
@@ -896,6 +893,7 @@ class InferenceEngine:
             prompts, self._normalize_prefixes(prefixes), b_real, prompt_len,
             dfa, with_video=False,
         )
+        session_rounds = session_rounds if return_session else 0
         if session_rounds:
             session_rounds = self._max_session_rounds(
                 total, False, session_rounds, dfa
@@ -995,8 +993,7 @@ class InferenceEngine:
             if with_session:
                 session = EngineSession(
                     cache=cache, logits=logits, state=state, done=done,
-                    b_real=b_real, dfa=dfa, with_video=with_video,
-                    rounds_left=session_rounds,
+                    b_real=b_real, dfa=dfa, rounds_left=session_rounds,
                 )
             out += (session,)
         return out if len(out) > 1 else texts

@@ -179,14 +179,24 @@ def _pipeline_1f1b(config: DecoderConfig, mesh: Mesh, n_micro: int, remat: bool)
         recompute wave filled 2i ticks earlier.
 
     A stashed activation lives at most 2(S-1) ticks, so the buffer depth is
-    2S-1 — activation memory O(stages), independent of n_micro. FLOPs match
-    GPipe+remat (forward runs twice: once as the wave, once inside the
-    VJP). The bubble is the schedule's n_micro + 2(S-1) ticks — same
-    asymptotics as separate forward+backward GPipe passes.
+    2S-1 — activation memory O(stages), independent of n_micro. The FLOPs
+    price of that bound is one extra stage forward per microbatch vs
+    GPipe+remat (primal forward + recompute wave + the VJP's internal
+    forward = 3 forwards + backward, vs remat's 2 + backward — roughly
+    +25% of a fused fwd+bwd). The bubble is the schedule's
+    n_micro + 2(S-1) ticks — same asymptotics as separate forward+backward
+    GPipe passes.
+
+    ``remat`` is deliberately dropped inside this backward: the primal and
+    the recompute wave are never differentiated through (jax.checkpoint
+    would be a no-op), and the per-tick VJP already bounds its transient to
+    one microbatch's stage residuals — per-block remat there would only
+    re-run each block a fourth time for no persistent-memory gain.
     """
     n_stages = mesh.shape[PIPE_AXIS]
     last = n_stages - 1
-    stage_fn = _make_stage_fn(config, remat)
+    del remat
+    stage_fn = _make_stage_fn(config, remat=False)
     fwd_perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
     bwd_perm = [(i, (i - 1) % n_stages) for i in range(n_stages)]
 
