@@ -176,6 +176,19 @@ class TestSessionContinuation:
         )
         assert session is None
 
+    def test_reserve_without_return_session_is_dropped(self, capped_engine):
+        """session_rounds alone must not reserve cache (dead HBM + a dead
+        compile bucket) — the session is the only consumer of the reserve."""
+        before = set(capped_engine._generate_cache)
+        capped_engine.generate_text(
+            ["分析视频"], prompt_len=16, session_rounds=12,
+        )
+        new_keys = set(capped_engine._generate_cache) - before
+        assert all(
+            key[4] == 0 and key[5] is False
+            for key in new_keys if key[0] != "resume"
+        ), f"reserve leaked into compile buckets: {new_keys}"
+
     def test_exhausted_session_raises(self, capped_engine):
         _, _, _, session = capped_engine.generate_text(
             ["分析视频"], prompt_len=16, return_status=True,
