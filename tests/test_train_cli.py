@@ -74,6 +74,24 @@ class TestTrainingCLI:
 
 
 class TestGroundingEval:
+    def test_restore_skips_orbax_tmp_dirs(self, tmp_path):
+        """A killed save leaves params_N.orbax-checkpoint-tmp; restore must
+        pick the highest COMPLETE checkpoint, not crash on the suffix."""
+        import orbax.checkpoint as ocp
+
+        import __graft_entry__
+        from video_transformer_tpu.parallel.engine import InferenceEngine
+
+        engine = InferenceEngine(
+            __graft_entry__._tiny_config(), compilation_cache_dir=None
+        )
+        with ocp.StandardCheckpointer() as checkpointer:
+            checkpointer.save(
+                str((tmp_path / "params_7").resolve()), engine.params
+            )
+        (tmp_path / "params_9.orbax-checkpoint-tmp").mkdir()
+        engine.restore(str(tmp_path))  # picks params_7; no crash on _9-tmp
+
     def test_run_eval_scores_hits(self):
         """run_eval counts a hit only when the note names the clip's topic."""
         import json as _json

@@ -279,9 +279,18 @@ class InferenceEngine:
 
         path = Path(checkpoint_path)
         if path.is_dir() and not path.name.startswith("params_"):
+            def step_of(p: Path) -> int | None:
+                # Skip orbax in-progress dirs (params_N.orbax-checkpoint-tmp
+                # left by a killed save) and anything non-numeric.
+                suffix = p.name.split("_")[-1]
+                return int(suffix) if suffix.isdigit() else None
+
             candidates = sorted(
-                (p for p in path.iterdir() if p.name.startswith("params_")),
-                key=lambda p: int(p.name.split("_")[-1]),
+                (
+                    p for p in path.iterdir()
+                    if p.name.startswith("params_") and step_of(p) is not None
+                ),
+                key=step_of,
             )
             if not candidates:
                 raise FileNotFoundError(f"no params_N checkpoints under {path}")
