@@ -143,35 +143,53 @@ def _grounded_batches(config, batch, text_len, logger, prompt=None,
                 idx, config.encoder.num_frames, config.encoder.image_size, rng
             )
             note = grounded_note(TOPIC_BANK[idx], rng)
-        patches = _frames_to_patches(frames, config)
         text = json.dumps(note, ensure_ascii=False)
         row, block = _pack_row(
             tok, encode_note, text, text_len, prompt, prompt_len, rng
         )
-        return patches, row, block
+        return frames, row, block
+
+    def augment(frames: np.ndarray) -> np.ndarray:
+        """Cheap photometric/temporal jitter: a cached clip never repeats
+        pixel-identically, so the pool's effective diversity is unbounded
+        (the round-2 lesson: a few-hundred-sample pool trained to acc 0.999
+        memorizes pixels and loses unseen-clip grounding)."""
+        out = frames.astype(np.float32)
+        out *= rng.uniform(0.82, 1.18)  # brightness
+        out += rng.uniform(-12.0, 12.0)  # offset
+        out += rng.normal(0.0, rng.uniform(0.0, 6.0), out.shape)  # sensor noise
+        shift = int(rng.integers(0, frames.shape[0]))  # temporal phase
+        out = np.roll(out, shift, axis=0)
+        return np.clip(out, 0.0, 255.0).astype(np.uint8)
+
+    import jax.numpy as jnp
+
+    def to_batch(drawn):
+        frames = np.stack([augment(d[0]) for d in drawn])
+        patches = np.asarray(
+            preprocess_frames(
+                jnp.asarray(frames), config.encoder, jnp.float32
+            )
+        )
+        return (
+            patches,
+            np.stack([d[1] for d in drawn]),
+            np.asarray([d[2] for d in drawn], np.int32),
+        )
 
     if cache_size > 0:
         logger.info(
             f"grounded corpus: {len(TOPIC_BANK)} topics, caching "
-            f"{cache_size} samples"
+            f"{cache_size} samples (per-draw jitter)"
         )
         pool = [sample() for _ in range(cache_size)]
         while True:
             picks = rng.integers(0, cache_size, size=batch)
-            yield (
-                np.stack([pool[i][0] for i in picks]),
-                np.stack([pool[i][1] for i in picks]),
-                np.asarray([pool[i][2] for i in picks], np.int32),
-            )
+            yield to_batch([pool[i] for i in picks])
 
     logger.info(f"grounded corpus: {len(TOPIC_BANK)} topics, on-the-fly")
     while True:
-        drawn = [sample() for _ in range(batch)]
-        yield (
-            np.stack([d[0] for d in drawn]),
-            np.stack([d[1] for d in drawn]),
-            np.asarray([d[2] for d in drawn], np.int32),
-        )
+        yield to_batch([sample() for _ in range(batch)])
 
 
 def _synthetic_batches(config, batch, text_len, dfa, prompt, prompt_len):
