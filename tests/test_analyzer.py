@@ -111,6 +111,48 @@ class TestAnalyzeVideoEndToEnd:
         markdown = result.knowledge_doc.to_markdown(self_check_mode="static")
         assert "## 🔍 深度解析 (Deep Dive)" in markdown
 
+    def test_long_video_continuous_batching(self, tmp_path):
+        """Enough segments to exceed the slot pool routes the sweep through
+        the ContinuousBatcher (mid-flight refills); the result and the
+        manifest must be indistinguishable from the batch path."""
+        import jax
+
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1]),
+            dfa=note_dfa(512, scale=0.25),
+            max_new_tokens=1400,
+            temperature=1.0,
+            structure_bias=2.5,
+            seed=0,
+        )
+        clip = write_clip(tmp_path / "served.npzv", seconds=30)
+        config = make_config(tmp_path)
+        config["analyzer"]["long_video"]["serving_slots_per_chip"] = 2
+        config["analyzer"]["long_video"]["continuous_batching"] = True
+        # Token-capped slots hand off to the engine's exact continuation.
+        config["analyzer"]["max_continuations"] = 4
+        records: list[str] = []
+
+        class Capture(logging.Handler):
+            def emit(self, r):
+                records.append(r.getMessage())
+
+        logger = logging.getLogger("serving-e2e")
+        logger.addHandler(Capture())
+        logger.setLevel(logging.INFO)
+        analyzer = ContentAnalyzer(
+            config, APICounter(max_calls=50), logger, engine=engine,
+        )
+        result = analyzer.analyze_video(clip)
+        assert any("event=segment_serving slots=2" in m for m in records)
+        assert result.metadata["segments"] == 3
+        assert result.metadata["segments_analyzed"] == 3
+        manifest = json.loads(
+            (tmp_path / "temp" / "segments" / "served" / "manifest.json").read_text()
+        )
+        assert all(s["status"] == "completed" for s in manifest["segments"])
+
     def test_long_video_segmented(self, tmp_path, engine):
         clip = write_clip(tmp_path / "long.npzv", seconds=30)
         counter = APICounter(max_calls=50)

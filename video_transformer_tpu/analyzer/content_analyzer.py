@@ -308,7 +308,8 @@ class ContentAnalyzer:
         )
 
     def _generate_note(
-        self, frames: np.ndarray, prompts: list[str], reasks: int = 2
+        self, frames: np.ndarray, prompts: list[str], reasks: int = 2,
+        batch_bucket: int | None = None,
     ) -> list[dict[str, Any] | None]:
         """Generate + parse note JSON per clip, re-asking failures.
 
@@ -335,6 +336,7 @@ class ContentAnalyzer:
                 self.engine.generate, frames, prompts,
                 return_status=True, return_tokens=True,
                 session_rounds=max_rounds, return_session=True,
+                batch_bucket=batch_bucket,
             )
         else:
             _, complete, token_ids = self.pacer.call_with_retry(
@@ -455,6 +457,115 @@ class ContentAnalyzer:
                 complete[i] = is_done
         return [self.engine.tokenizer.decode(row) for row in token_ids]
 
+    def _get_batcher(self, slots: int, prompt_len: int):
+        """ContinuousBatcher cached per (slots, prompt bucket, grammar)."""
+        from ..parallel.serving import ContinuousBatcher
+
+        if not hasattr(self, "_batchers"):
+            self._batchers: dict[tuple, Any] = {}
+        key = (slots, prompt_len, id(self.engine.dfa))
+        if key not in self._batchers:
+            self._batchers[key] = ContinuousBatcher(
+                self.engine, slots=slots, prompt_len=prompt_len
+            )
+        return self._batchers[key]
+
+    def _serve_segments(
+        self, segments, slots, segment_prompt, decode_chunk, record,
+        manifest, manifest_path,
+    ) -> None:
+        """Analyze segments through the continuous batcher.
+
+        Slots refill from the queue the moment a note finishes, so the
+        pool decodes at full width for the whole sweep — the sharded
+        run-to-completion batch instead idles every finished row until its
+        slowest sibling ends. Completions arrive out of order; the merge
+        sorts by start time. Incomplete rows (token cap before grammar
+        accept) continue through the engine's exact token-id path.
+        """
+        from ..parallel.serving import Request
+        from ..video.prefetch import prefetch_map
+
+        prompts = {s["id"]: segment_prompt(s) for s in segments}
+        prompt_len = self.engine._prompt_bucket(
+            list(prompts.values()), with_video=True
+        )
+        batcher = self._get_batcher(slots, prompt_len)
+        by_id = {s["id"]: s for s in segments}
+        self.logger.info(
+            f"event=segment_serving slots={slots} segments={len(segments)} "
+            f"prompt_len={prompt_len}"
+        )
+
+        def handle(completions) -> None:
+            for completion in completions:
+                segment = by_id[completion.request_id]
+                if not completion.complete:
+                    incomplete.append((segment, completion.token_ids))
+                    continue
+                try:
+                    data = self._parse_note_json(completion.text)
+                except (RepairError, ValueError) as exc:
+                    self.logger.warning(
+                        f"event=note_parse_failed item={segment['id']} "
+                        f"error={exc}"
+                    )
+                    reparse.append(segment)
+                    continue
+                record(segment, data)
+            save_manifest(manifest_path, manifest)
+
+        incomplete: list[tuple[SegmentEntry, list[int]]] = []
+        reparse: list[SegmentEntry] = []
+        chunks = [segments[i : i + slots] for i in range(0, len(segments), slots)]
+        for chunk, frames in zip(chunks, prefetch_map(decode_chunk, chunks)):
+            for segment, clip in zip(chunk, frames):
+                update_segment_status(
+                    manifest, segment["id"], "processing",
+                    increment_attempts=True,
+                )
+                self.api_counter.increment("local")
+                batcher.submit(
+                    Request(segment["id"], clip, prompts[segment["id"]])
+                )
+            save_manifest(manifest_path, manifest)
+            handle(batcher.run(drain=False))
+        handle(batcher.run(drain=True))
+
+        # Token-capped rows: exact continuation (engine re-prefills the
+        # generated ids and resumes the grammar mid-document).
+        if incomplete:
+            frames = np.stack(
+                [decode_chunk([s])[0] for s, _ in incomplete]
+            )
+            texts = self._continue_incomplete(
+                frames,
+                [prompts[s["id"]] for s, _ in incomplete],
+                [list(ids) for _, ids in incomplete],
+                [False] * len(incomplete),
+            )
+            for (segment, _), text in zip(incomplete, texts):
+                try:
+                    record(segment, self._parse_note_json(text))
+                except (RepairError, ValueError) as exc:
+                    self.logger.warning(
+                        f"event=note_parse_failed item={segment['id']} "
+                        f"error={exc}"
+                    )
+                    record(segment, None)
+            save_manifest(manifest_path, manifest)
+
+        # Parse failures: full regenerate through the batch engine path
+        # (carries the re-ask ladder).
+        if reparse:
+            frames = np.stack([decode_chunk([s])[0] for s in reparse])
+            data_list = self._generate_note(
+                frames, [prompts[s["id"]] for s in reparse]
+            )
+            for segment, data in zip(reparse, data_list):
+                record(segment, data)
+            save_manifest(manifest_path, manifest)
+
     # -- segmented path --------------------------------------------------------
 
     def _analyze_video_segments(
@@ -500,7 +611,13 @@ class ContentAnalyzer:
         # loop; host decode of the next chunk overlaps device generation.
         from ..video.prefetch import prefetch_map
 
-        chunk_size = max(self.engine.data_parallel, 1) * 4
+        # Per-chip batch width: decode throughput rises steeply with batch
+        # (weight reads amortize across rows) and saturates near 16 at
+        # base scale on v5e (2.4k/3.7k/4.2k tok/s at 4/8/16), bounded by
+        # the KV cache's HBM share (~200 MB/row at base).
+        long_video = self.analyzer_config.get("long_video", {}) or {}
+        per_chip = int(long_video.get("segment_batch_per_chip", 16) or 16)
+        chunk_size = max(self.engine.data_parallel, 1) * per_chip
         total = len(manifest["segments"])
         chunks = [
             to_analyze[i : i + chunk_size]
@@ -512,49 +629,79 @@ class ContentAnalyzer:
                 [self._decode_clip(video_path, s["start"], s["end"]) for s in chunk]
             )
 
-        for chunk, frames in zip(chunks, prefetch_map(decode_chunk, chunks)):
-            for segment in chunk:
+        def segment_prompt(s: SegmentEntry) -> str:
+            return render_prompt(
+                "segment_analysis",
+                {
+                    "segment_index": s["id"] + 1,
+                    "segment_total": total,
+                    "start_label": format_seconds(s["start"]),
+                    "end_label": format_seconds(s["end"]),
+                },
+            )
+
+        def record(segment: SegmentEntry, data: dict[str, Any] | None) -> None:
+            if data is None:
                 update_segment_status(
-                    manifest, segment["id"], "processing", increment_attempts=True
+                    manifest, segment["id"], "failed", error="note_parse_failed"
                 )
-            save_manifest(manifest_path, manifest)
-
-            prompts = [
-                render_prompt(
-                    "segment_analysis",
-                    {
-                        "segment_index": s["id"] + 1,
-                        "segment_total": total,
-                        "start_label": format_seconds(s["start"]),
-                        "end_label": format_seconds(s["end"]),
-                    },
+                gap_notes.append(
+                    format_gap_note(
+                        segment["effective_start"], segment["effective_end"]
+                    )
                 )
-                for s in chunk
-            ]
-            data_list = self._generate_note(frames, prompts)
+                self.logger.warning(f"event=segment_failed id={segment['id']}")
+                return
+            data = offset_timestamps(data, segment["effective_start"])
+            output = {
+                "start": segment["effective_start"],
+                "end": segment["effective_end"],
+                "data": data,
+            }
+            self._save_segment_output(segment, output)
+            outputs.append(output)
+            update_segment_status(manifest, segment["id"], "completed")
 
-            for segment, data in zip(chunk, data_list):
-                if data is None:
+        # Run-to-completion batches pay the straggler: the whole batch
+        # waits for its longest note. The continuous batcher refills
+        # finished slots mid-flight instead (parallel/serving.py) — but its
+        # host-driven chunk loop costs one dispatch round-trip per chunk,
+        # which on a remote-tunnel deployment (this image's axon setup)
+        # outweighs the straggler savings for one-shot segment sweeps.
+        # Default OFF here; the watch-folder service is the streaming
+        # workload it exists for.
+        slots = max(self.engine.data_parallel, 1) * int(
+            long_video.get("serving_slots_per_chip", 8) or 8
+        )
+        use_serving = (
+            bool(long_video.get("continuous_batching", False))
+            and hasattr(self.engine, "continue_session")
+            and len(to_analyze) > slots
+        )
+        if use_serving:
+            self._serve_segments(
+                to_analyze, slots, segment_prompt, decode_chunk, record,
+                manifest, manifest_path,
+            )
+        else:
+            for chunk, frames in zip(chunks, prefetch_map(decode_chunk, chunks)):
+                for segment in chunk:
                     update_segment_status(
-                        manifest, segment["id"], "failed", error="note_parse_failed"
+                        manifest, segment["id"], "processing",
+                        increment_attempts=True,
                     )
-                    gap_notes.append(
-                        format_gap_note(segment["effective_start"], segment["effective_end"])
-                    )
-                    self.logger.warning(
-                        f"event=segment_failed id={segment['id']}"
-                    )
-                    continue
-                data = offset_timestamps(data, segment["effective_start"])
-                output = {
-                    "start": segment["effective_start"],
-                    "end": segment["effective_end"],
-                    "data": data,
-                }
-                self._save_segment_output(segment, output)
-                outputs.append(output)
-                update_segment_status(manifest, segment["id"], "completed")
-            save_manifest(manifest_path, manifest)
+                save_manifest(manifest_path, manifest)
+
+                prompts = [segment_prompt(s) for s in chunk]
+                # Ragged final chunks pad up to the full chunk width so they
+                # reuse the compiled program (pad rows freeze at step 0).
+                data_list = self._generate_note(
+                    frames, prompts,
+                    batch_bucket=chunk_size if len(chunks) > 1 else None,
+                )
+                for segment, data in zip(chunk, data_list):
+                    record(segment, data)
+                save_manifest(manifest_path, manifest)
 
         for segment in skipped:
             update_segment_status(

@@ -671,9 +671,17 @@ class InferenceEngine:
         return min(bucket, ceiling)
 
     def _pad_and_tokenize(
-        self, prompts: list[str], b_real: int, prompt_len: int
+        self, prompts: list[str], b_real: int, prompt_len: int,
+        batch_bucket: int | None = None,
     ) -> tuple[int, np.ndarray]:
-        b_padded = _round_up(max(b_real, 1), self.data_parallel)
+        """``batch_bucket`` rounds the padded batch up to a fixed size so
+        ragged final chunks reuse an existing compiled program instead of
+        tracing a new bucket (pad rows freeze at step 0 — their only cost
+        is the dead matmul rows)."""
+        quantum = self.data_parallel
+        if batch_bucket:
+            quantum = _round_up(batch_bucket, self.data_parallel)
+        b_padded = _round_up(max(b_real, 1), quantum)
         padded_prompts = prompts + [""] * (b_padded - b_real)
         overflow = sum(
             1 for p in prompts if len(self.tokenizer.encode(p)) + 1 > prompt_len
@@ -724,6 +732,7 @@ class InferenceEngine:
         prompt_len: int,
         dfa,
         with_video: bool,
+        batch_bucket: int | None = None,
     ) -> tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
         """Token block [B, prompt_len + prefix_bucket] + per-row lengths and
         grammar resume states.
@@ -738,7 +747,9 @@ class InferenceEngine:
         block and resume the grammar mid-document; the new text continues at
         the exact positions of the original pass.
         """
-        b_padded, prompt_tokens = self._pad_and_tokenize(prompts, b_real, prompt_len)
+        b_padded, prompt_tokens = self._pad_and_tokenize(
+            prompts, b_real, prompt_len, batch_bucket
+        )
         row_buckets = np.full((b_padded,), prompt_len, np.int32)
         for i, p in enumerate(prompts):
             row_buckets[i] = min(
@@ -828,6 +839,7 @@ class InferenceEngine:
         return_tokens: bool = False,
         session_rounds: int = 0,
         return_session: bool = False,
+        batch_bucket: int | None = None,
     ):
         """Analyze a batch of clips: returns one decoded text per clip.
 
@@ -847,6 +859,8 @@ class InferenceEngine:
         continuation rounds and ``return_session=True`` appends the
         EngineSession to drive them (None when the reserve does not fit —
         fall back to ``prefixes``); see ``continue_session``.
+        ``batch_bucket`` pads ragged batches up to a fixed size so the
+        final chunk of a segment sweep reuses the full-chunk program.
         """
         b_real = frames.shape[0]
         if len(prompts) != b_real:
@@ -856,7 +870,7 @@ class InferenceEngine:
         dfa = dfa if dfa is not None else self.dfa
         b_padded, total, tokens_in, lengths, states = self._assemble_inputs(
             prompts, self._normalize_prefixes(prefixes), b_real, prompt_len,
-            dfa, with_video=True,
+            dfa, with_video=True, batch_bucket=batch_bucket,
         )
         # A cache reserve without return_session would be dead HBM and a
         # dead compile bucket — the session is the only way to use it.

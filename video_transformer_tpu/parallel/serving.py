@@ -60,6 +60,10 @@ class Completion:
     tokens: int
     complete: bool  # grammar accepted (False = token budget exhausted)
     first_token_s: float = 0.0  # submit -> first decode chunk containing it
+    token_ids: list[int] = field(default_factory=list)
+    """Raw generated ids — the exact-continuation input for incomplete
+    rows (re-encoding text can shift BPE boundaries; engine.generate
+    accepts these as prefixes)."""
 
 
 @dataclass
@@ -354,7 +358,8 @@ class ContinuousBatcher:
                 continue
             if tokens is None:
                 tokens = np.asarray(self.tokens_out)
-            text = self.engine.tokenizer.decode(tokens[i, : out_pos[i]])
+            ids = tokens[i, : out_pos[i]].tolist()
+            text = self.engine.tokenizer.decode(ids)
             complete = True
             if self.dfa is not None:
                 complete = int(state[i]) == self.dfa.accept
@@ -363,6 +368,7 @@ class ContinuousBatcher:
                 Completion(
                     slot.request_id, text, int(out_pos[i]), complete,
                     first_token_s=round(slot.first_token_at - submitted, 4),
+                    token_ids=ids,
                 )
             )
             slot.request_id = None
