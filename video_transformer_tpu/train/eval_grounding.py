@@ -47,6 +47,7 @@ def run_eval(
     seed: int = 99,
     temperature_prompt_seconds: int = 120,
     composite_pairs: list[tuple[int, int]] | None = None,
+    warmup: bool = False,
 ) -> dict:
     """Score grounding hits for ``topic_ids`` through ``engine``.
 
@@ -66,6 +67,17 @@ def run_eval(
     )
     t_frames = config.encoder.num_frames
     size = config.encoder.image_size
+
+    # Warm the compile caches so decode_tokens_per_s reflects steady state
+    # (the first generate call carries minutes of XLA compile on TPU).
+    if warmup and topic_ids:
+        warm = np.stack(
+            [render_topic_clip(topic_ids[0], t_frames, size, rng)] * min(
+                batch, len(topic_ids)
+            )
+        )
+        engine.generate(warm, [prompt] * warm.shape[0])
+        engine.stats.__init__()
 
     results: dict[str, bool] = {}
     hits = 0
@@ -171,7 +183,9 @@ def main(argv: list[str] | None = None) -> int:
         for _ in range(args.composites):
             a, b = pair_rng.choice(len(TOPIC_BANK), size=2, replace=False)
             pairs.append((int(a), int(b)))
-    report = run_eval(engine, topic_ids, args.batch, composite_pairs=pairs)
+    report = run_eval(
+        engine, topic_ids, args.batch, composite_pairs=pairs, warmup=True
+    )
     print(json.dumps(report, ensure_ascii=False))
     total = report["total"] + report.get("composite_total", 0)
     got = report["hits"] + report.get("composite_hits", 0)
