@@ -189,6 +189,17 @@ class TestSessionContinuation:
             for key in new_keys if key[0] != "resume"
         ), f"reserve leaked into compile buckets: {new_keys}"
 
+    def test_batch_bucket_pads_to_fixed_program(self, capped_engine):
+        """batch_bucket routes a ragged batch into the bucket's program
+        (pad rows freeze at step 0; results cover only the real rows)."""
+        before = set(capped_engine._generate_cache)
+        texts = capped_engine.generate_text(
+            ["分析视频", "分析音频"], prompt_len=16, batch_bucket=4,
+        )
+        assert len(texts) == 2
+        new_keys = set(capped_engine._generate_cache) - before
+        assert any(k[0] == 4 for k in new_keys if k[0] != "resume")
+
     def test_exhausted_session_raises(self, capped_engine):
         _, _, _, session = capped_engine.generate_text(
             ["分析视频"], prompt_len=16, return_status=True,

@@ -906,6 +906,7 @@ class InferenceEngine:
         return_tokens: bool = False,
         session_rounds: int = 0,
         return_session: bool = False,
+        batch_bucket: int | None = None,
     ):
         """Text-only generation (validator scoring, consolidation, rewrite)."""
         b_real = len(prompts)
@@ -914,7 +915,7 @@ class InferenceEngine:
         dfa = dfa if dfa is not None else self.dfa
         b_padded, total, tokens_in, lengths, states = self._assemble_inputs(
             prompts, self._normalize_prefixes(prefixes), b_real, prompt_len,
-            dfa, with_video=False,
+            dfa, with_video=False, batch_bucket=batch_bucket,
         )
         session_rounds = session_rounds if return_session else 0
         if session_rounds:
