@@ -189,16 +189,33 @@ class TestSessionContinuation:
             for key in new_keys if key[0] != "resume"
         ), f"reserve leaked into compile buckets: {new_keys}"
 
-    def test_batch_bucket_pads_to_fixed_program(self, capped_engine):
+    def test_batch_bucket_pads_to_fixed_program(self):
         """batch_bucket routes a ragged batch into the bucket's program
         (pad rows freeze at step 0; results cover only the real rows)."""
-        before = set(capped_engine._generate_cache)
-        texts = capped_engine.generate_text(
+        import jax
+        from dataclasses import replace
+
+        from video_transformer_tpu.parallel.mesh import build_mesh
+
+        config = __graft_entry__._tiny_config()
+        config = replace(config, decoder=replace(config.decoder, max_seq_len=4096))
+        engine = InferenceEngine(
+            config,
+            mesh=build_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1]),
+            dfa=note_dfa(512, scale=0.2),
+            max_new_tokens=160,
+            temperature=1.0,
+            structure_bias=2.0,
+            seed=3,
+            compilation_cache_dir=None,
+        )
+        texts = engine.generate_text(
             ["分析视频", "分析音频"], prompt_len=16, batch_bucket=4,
         )
         assert len(texts) == 2
-        new_keys = set(capped_engine._generate_cache) - before
-        assert any(k[0] == 4 for k in new_keys if k[0] != "resume")
+        assert any(
+            k[0] == 4 for k in engine._generate_cache if k[0] != "resume"
+        )
 
     def test_exhausted_session_raises(self, capped_engine):
         _, _, _, session = capped_engine.generate_text(
