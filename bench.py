@@ -224,6 +224,19 @@ def main() -> int:
                         "segments": result.metadata.get("segments"),
                         "decode_tokens_per_s": stats["tokens_per_second"],
                         "preproc_frames_per_s": round(preproc_fps, 1),
+                        # Wall decomposition: device generate / preprocess /
+                        # everything else (host decode, contract gate, IO).
+                        "generate_seconds": stats["generate_seconds"],
+                        "preprocess_seconds": stats["preprocess_seconds"],
+                        "host_other_seconds": round(
+                            max(
+                                elapsed
+                                - stats["generate_seconds"]
+                                - stats["preprocess_seconds"],
+                                0.0,
+                            ),
+                            2,
+                        ),
                         "model_preset": PRESET,
                         "quantize": QUANTIZE,
                         "segment_seconds": SEGMENT_SECONDS,
