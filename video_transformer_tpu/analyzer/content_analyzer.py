@@ -215,7 +215,9 @@ class ContentAnalyzer:
             else:
                 short_indices.append(i)
 
-        chunk_size = max(self.engine.data_parallel, 1) * 4
+        long_video = self.analyzer_config.get("long_video", {}) or {}
+        per_chip = int(long_video.get("segment_batch_per_chip", 16) or 16)
+        chunk_size = max(self.engine.data_parallel, 1) * per_chip
         for chunk_start in range(0, len(short_indices), chunk_size):
             chunk = short_indices[chunk_start : chunk_start + chunk_size]
             if self.api_counter.remaining() < len(chunk):
@@ -458,17 +460,28 @@ class ContentAnalyzer:
         return [self.engine.tokenizer.decode(row) for row in token_ids]
 
     def _get_batcher(self, slots: int, prompt_len: int):
-        """ContinuousBatcher cached per (slots, prompt bucket, grammar)."""
+        """One cached ContinuousBatcher, rebuilt when its shape/grammar
+        changes.
+
+        Size-1 on purpose: each batcher owns a device-resident slot pool
+        (hundreds of MB of KV at base scale), so accumulating one per
+        (slots, prompt bucket) would leak HBM in a long-lived service.
+        The grammar is compared by IDENTITY with a strong reference held —
+        an id() key alone could silently alias a recycled object.
+        """
         from ..parallel.serving import ContinuousBatcher
 
-        if not hasattr(self, "_batchers"):
-            self._batchers: dict[tuple, Any] = {}
-        key = (slots, prompt_len, id(self.engine.dfa))
-        if key not in self._batchers:
-            self._batchers[key] = ContinuousBatcher(
+        cached = getattr(self, "_batcher", None)
+        if (
+            cached is None
+            or cached.slots != slots
+            or cached.prompt_len != prompt_len
+            or cached.dfa is not self.engine.dfa
+        ):
+            self._batcher = ContinuousBatcher(
                 self.engine, slots=slots, prompt_len=prompt_len
             )
-        return self._batchers[key]
+        return self._batcher
 
     def _serve_segments(
         self, segments, slots, segment_prompt, decode_chunk, record,
@@ -533,11 +546,11 @@ class ContentAnalyzer:
         handle(batcher.run(drain=True))
 
         # Token-capped rows: exact continuation (engine re-prefills the
-        # generated ids and resumes the grammar mid-document).
+        # generated ids and resumes the grammar mid-document). Continued
+        # text that still fails to parse joins the re-ask pool below
+        # instead of becoming an immediate gap.
         if incomplete:
-            frames = np.stack(
-                [decode_chunk([s])[0] for s, _ in incomplete]
-            )
+            frames = decode_chunk([s for s, _ in incomplete])
             texts = self._continue_incomplete(
                 frames,
                 [prompts[s["id"]] for s, _ in incomplete],
@@ -552,18 +565,28 @@ class ContentAnalyzer:
                         f"event=note_parse_failed item={segment['id']} "
                         f"error={exc}"
                     )
-                    record(segment, None)
+                    reparse.append(segment)
             save_manifest(manifest_path, manifest)
 
         # Parse failures: full regenerate through the batch engine path
-        # (carries the re-ask ladder).
+        # (carries the re-ask ladder). These attempts spend budget beyond
+        # the 1-call-per-segment plan, so degrade to gap notes rather than
+        # letting the counter raise mid-analysis.
         if reparse:
-            frames = np.stack([decode_chunk([s])[0] for s in reparse])
-            data_list = self._generate_note(
-                frames, [prompts[s["id"]] for s in reparse]
-            )
-            for segment, data in zip(reparse, data_list):
-                record(segment, data)
+            if self.api_counter.remaining() < len(reparse):
+                self.logger.warning(
+                    f"event=segment_reask_skipped reason=budget "
+                    f"failed={len(reparse)}"
+                )
+                for segment in reparse:
+                    record(segment, None)
+            else:
+                frames = decode_chunk(reparse)
+                data_list = self._generate_note(
+                    frames, [prompts[s["id"]] for s in reparse]
+                )
+                for segment, data in zip(reparse, data_list):
+                    record(segment, data)
             save_manifest(manifest_path, manifest)
 
     # -- segmented path --------------------------------------------------------
@@ -590,7 +613,9 @@ class ContentAnalyzer:
         manifest_path = get_manifest_path(video_id, self.temp_dir)
 
         outputs: list[dict[str, Any]] = []
-        gap_notes: list[str] = []
+        # (segment start, gap text): completions may arrive out of order
+        # (continuous batcher), so gaps sort chronologically before merge.
+        gap_entries: list[tuple[float, str]] = []
 
         # Resume: reload cached outputs of already-completed segments.
         for segment in manifest["segments"]:
@@ -645,11 +670,12 @@ class ContentAnalyzer:
                 update_segment_status(
                     manifest, segment["id"], "failed", error="note_parse_failed"
                 )
-                gap_notes.append(
+                gap_entries.append((
+                    segment["effective_start"],
                     format_gap_note(
                         segment["effective_start"], segment["effective_end"]
-                    )
-                )
+                    ),
+                ))
                 self.logger.warning(f"event=segment_failed id={segment['id']}")
                 return
             data = offset_timestamps(data, segment["effective_start"])
@@ -707,9 +733,12 @@ class ContentAnalyzer:
             update_segment_status(
                 manifest, segment["id"], "skipped", error="budget_exhausted"
             )
-            gap_notes.append(
-                format_gap_note(segment["effective_start"], segment["effective_end"])
-            )
+            gap_entries.append((
+                segment["effective_start"],
+                format_gap_note(
+                    segment["effective_start"], segment["effective_end"]
+                ),
+            ))
         if skipped:
             save_manifest(manifest_path, manifest)
             self.logger.warning(
@@ -719,6 +748,7 @@ class ContentAnalyzer:
         if not outputs:
             raise RuntimeError("All video segments failed to analyze")
 
+        gap_notes = [text for _, text in sorted(gap_entries)]
         merged = merge_segment_outputs(outputs, gap_notes)
         merged = self._maybe_consolidate_note(merged, context="segments")
 

@@ -182,13 +182,19 @@ class ContinuousBatcher:
         dfa = self.dfa
 
         def prefill(params, cache, state, logits, tokens_out, out_pos, done,
-                    patches, prompt, slot):
+                    patches, prompt, length, slot):
             # Single-request prefill into a scratch cache, then splice the
             # slot's rows into the pool (per-layer batch-index update).
+            # ``length`` is the request's OWN 128-multiple prompt bucket —
+            # generation must start right after it (train/serve prompt-block
+            # alignment, train/run.py::_pack_row == engine._assemble_inputs);
+            # a shared fixed width would shift positions for rows whose
+            # prompt lands in a smaller bucket.
             scratch = init_kv_cache(cfg.decoder, 1, self.cache_len,
                                     jnp.dtype(cfg.dtype))
             first_logits, scratch = model.apply(
-                params, patches, prompt, scratch, method=VideoLM.prefill
+                params, patches, prompt, scratch, length,
+                method=VideoLM.prefill,
             )
             cache = {
                 "k": jax.lax.dynamic_update_slice(
@@ -327,11 +333,15 @@ class ContinuousBatcher:
             prompt_tokens = engine.tokenizer.encode_array(
                 request.prompt, self.prompt_len, add_bos=True
             )
+            # Per-request prompt bucket (train/serve position alignment).
+            n_tokens = len(engine.tokenizer.encode(request.prompt)) + 1
+            bucket = min(_round_up(n_tokens, 128), self.prompt_len)
             (self.cache, self.state, self.logits, self.tokens_out,
              self.out_pos, self.done) = self._prefill(
                 engine.params, self.cache, self.state, self.logits,
                 self.tokens_out, self.out_pos, self.done,
-                patches, jnp.asarray(prompt_tokens[None]), i,
+                patches, jnp.asarray(prompt_tokens[None]),
+                jnp.asarray([bucket], jnp.int32), i,
             )
             slot.request_id = request.request_id
             slot.started = time.perf_counter()

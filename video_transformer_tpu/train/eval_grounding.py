@@ -69,10 +69,14 @@ def run_eval(
     size = config.encoder.image_size
 
     # Warm the compile caches so decode_tokens_per_s reflects steady state
-    # (the first generate call carries minutes of XLA compile on TPU).
+    # (the first generate call carries minutes of XLA compile on TPU). The
+    # warmup clip draws from its OWN rng: consuming the scoring stream
+    # would change which "unseen clips" the eval measures, making scores
+    # incomparable across the warmup flag.
     if warmup and topic_ids:
+        warm_rng = np.random.default_rng(seed + 1_000_003)
         warm = np.stack(
-            [render_topic_clip(topic_ids[0], t_frames, size, rng)] * min(
+            [render_topic_clip(topic_ids[0], t_frames, size, warm_rng)] * min(
                 batch, len(topic_ids)
             )
         )
