@@ -138,6 +138,36 @@ class TestContinuousBatching:
         assert all(c.first_token_s >= 0.0 for c in results)
         assert batcher._next_chunk_steps() == batcher.chunk_steps
 
+    def test_prefill_uses_per_request_prompt_bucket(self):
+        """Each slot's generation starts at video_tokens + the request's
+        OWN round_up(tokens+1, 128) bucket — the train/serve prompt-block
+        alignment (train/run.py::_pack_row == engine._assemble_inputs); a
+        shared fixed width would shift positions for short prompts."""
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 4, "model": 2}),
+            dfa=tiny_dfa(),
+            max_new_tokens=96,
+            temperature=1.0,
+            seed=0,
+            compilation_cache_dir=None,
+        )
+        batcher = ContinuousBatcher(
+            engine, slots=4, prompt_len=256, chunk_steps=8
+        )
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+        batcher.submit(Request(0, frames, "短提示"))           # bucket 128
+        batcher.submit(Request(1, frames, "长提示 " * 40))      # bucket 256
+        batcher._fill_slots()
+        video_tokens = engine.config.video_tokens
+        index = np.asarray(batcher.cache["index"])
+        assert index[0] == video_tokens + 128
+        assert index[1] == video_tokens + 256
+        # And both still decode to grammar-complete notes.
+        results = {c.request_id: c for c in batcher.run()}
+        assert results[0].complete and results[1].complete
+
     def test_completion_reports_token_budget_exhaustion(self):
         """A grammar that cannot finish within max_new yields complete=False
         (the scheduler's signal to continue or re-ask upstream)."""
