@@ -57,6 +57,11 @@ class DecoderConfig:
     max_seq_len: int = 4096
     rope_theta: float = 10000.0
     dropout: float = 0.0
+    # Qwen2-family fidelity knobs (models/port.py): the HF decoder carries
+    # q/k/v projection biases (added BEFORE RoPE, so the k-bias is rotated
+    # per position — it cannot be folded away) and an untied lm_head.
+    qkv_bias: bool = False
+    tied_embeddings: bool = True
 
 
 @dataclass(frozen=True)
@@ -200,6 +205,8 @@ def _qwen2vl_7b() -> VLMConfig:
             mlp_dim=18944,
             max_seq_len=32768,
             rope_theta=1000000.0,
+            qkv_bias=True,  # Qwen2 adds q/k/v biases before RoPE
+            tied_embeddings=False,  # real Qwen2-VL-7B has a separate lm_head
         ),
     )
 

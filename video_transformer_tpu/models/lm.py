@@ -51,19 +51,21 @@ class RMSNorm(nn.Module):
 
 
 class QDense(nn.Module):
-    """Bias-free dense that transparently serves int8 weight-only quant.
+    """Dense (bias optional) that transparently serves int8 weight-only quant.
 
-    Parameter layout matches nn.Dense (one ``kernel`` [in, out]), so
-    checkpoints interchange. When the caller's variables carry a ``quant``
-    collection (models/quant.py), the kernel leaf is int8 and the matching
-    per-output-channel ``scale`` multiplies the matmul output — XLA streams
-    the int8 kernel from HBM (half the bytes of bf16) and fuses both the
-    on-load convert and the scale epilogue. Without the collection this is
-    exactly a bias-free nn.Dense.
+    Parameter layout matches nn.Dense (one ``kernel`` [in, out], optional
+    ``bias`` [out]), so checkpoints interchange. When the caller's variables
+    carry a ``quant`` collection (models/quant.py), the kernel leaf is int8
+    and the matching per-output-channel ``scale`` multiplies the matmul
+    output — XLA streams the int8 kernel from HBM (half the bytes of bf16)
+    and fuses both the on-load convert and the scale epilogue. The bias (used
+    for Qwen2-family q/k/v, which carry projection biases) is added after the
+    scale epilogue, matching the float semantics W@x + b.
     """
 
     features: int
     dtype: Any = jnp.bfloat16
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -77,6 +79,11 @@ class QDense(nn.Module):
         if self.has_variable("quant", "scale"):
             scale = self.get_variable("quant", "scale")
             y = y * scale.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
         return y
 
 
@@ -102,9 +109,11 @@ class Attention(nn.Module):
         # split incorrectly under tensor parallelism).
         q_dim = cfg.num_heads * cfg.head_dim
         kv_dim = cfg.num_kv_heads * cfg.head_dim
-        q = QDense(q_dim, dtype=dtype, name="q")(x)
-        k = QDense(kv_dim, dtype=dtype, name="k")(x)
-        v = QDense(kv_dim, dtype=dtype, name="v")(x)
+        # Qwen2-family checkpoints add q/k/v biases BEFORE RoPE: the k-bias
+        # gets rotated per position, so it must live here, not be folded.
+        q = QDense(q_dim, dtype=dtype, use_bias=cfg.qkv_bias, name="q")(x)
+        k = QDense(kv_dim, dtype=dtype, use_bias=cfg.qkv_bias, name="k")(x)
+        v = QDense(kv_dim, dtype=dtype, use_bias=cfg.qkv_bias, name="v")(x)
         q = q.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -219,6 +228,15 @@ class Decoder(nn.Module):
             for i in range(cfg.num_layers)
         ]
         self.final_norm = RMSNorm(cfg.hidden_dim, name="final_norm")
+        if not cfg.tied_embeddings:
+            # Untied logits head, stored [vocab, hidden] to match the HF
+            # lm_head.weight layout (ported verbatim by models/port.py).
+            self.lm_head = self.param(
+                "lm_head",
+                nn.initializers.normal(0.02),
+                (cfg.vocab_size, cfg.hidden_dim),
+                jnp.float32,
+            )
 
     def embed_tokens(self, tokens: jax.Array, dtype: jnp.dtype) -> jax.Array:
         return self.embed(tokens).astype(dtype)
@@ -261,10 +279,11 @@ class Decoder(nn.Module):
         x = self.final_norm(x)
         if logits_at is not None:
             x = jnp.take_along_axis(x, logits_at[:, None, None], axis=1)
-        # Tied logits: reuse the embedding table (fp32 accumulate).
+        # Logits head (fp32 accumulate): the embedding table when tied,
+        # the separate [V, H] lm_head otherwise (Qwen2-VL unties them).
+        head = self.embed.embedding if cfg.tied_embeddings else self.lm_head
         logits = jnp.einsum(
-            "bsh,vh->bsv", x.astype(jnp.float32),
-            self.embed.embedding.astype(jnp.float32),
+            "bsh,vh->bsv", x.astype(jnp.float32), head.astype(jnp.float32)
         )
         if cache is not None:
             cache = dict(cache, index=cache["index"] + s)

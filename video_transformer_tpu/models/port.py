@@ -8,16 +8,19 @@ decoder layout:
   model.embed_tokens.weight                    -> decoder/embed/embedding
   model.layers.{i}.input_layernorm.weight     -> decoder/layer_{i}/attn_norm/weight
   model.layers.{i}.self_attn.{q,k,v}_proj.weight -> .../attn/{q,k,v}/kernel (T)
+  model.layers.{i}.self_attn.{q,k,v}_proj.bias   -> .../attn/{q,k,v}/bias
   model.layers.{i}.self_attn.o_proj.weight    -> .../attn/out/kernel (T)
   model.layers.{i}.post_attention_layernorm.weight -> .../mlp_norm/weight
   model.layers.{i}.mlp.{gate,up,down}_proj.weight -> .../mlp/{gate,up,down}/kernel (T)
   model.norm.weight                            -> decoder/final_norm/weight
+  lm_head.weight                               -> decoder/lm_head (untied, [V, H])
 
 Torch linear weights are [out, in]; flax Dense kernels are [in, out] — every
-projection transposes. Attention biases (Qwen2 uses q/k/v biases) are folded
-away with a warning: this framework's projections are bias-free, and for
-RoPE attention the k-bias is position-independent noise while q-bias shifts
-logits uniformly per head — retraining/distillation absorbs the difference.
+projection transposes (biases and the [V, H] lm_head port verbatim). The
+q/k/v biases are applied BEFORE RoPE exactly as HF does (the k-bias is
+rotated per position, so it changes attention logits content-dependently and
+cannot be dropped or folded); parity of the ported decoder against the HF
+torch module is pinned by tests/test_qwen_port.py::TestDecoderPortParity.
 
 The VISION tower maps onto models/qwen_vit.py (a faithful Qwen2-VL ViT):
 
@@ -53,18 +56,45 @@ __all__ = [
     "port_decoder_state",
     "vision_key_map",
     "port_vision_state",
+    "normalize_qwen2vl_keys",
     "load_safetensors",
 ]
 
 logger = logging.getLogger("video_transformer")
 
 
-def decoder_key_map(num_layers: int) -> dict[str, tuple[tuple[str, ...], bool]]:
+def normalize_qwen2vl_keys(state: Mapping[str, Any]) -> dict[str, Any]:
+    """Rename transformers>=4.52 in-memory names to the hub checkpoint layout.
+
+    Hub safetensors use ``model.embed_tokens...`` / ``visual...`` /
+    ``lm_head.weight``; newer transformers state_dicts nest the text stack
+    under ``model.language_model`` and the tower under ``model.visual``.
+    Idempotent on hub-layout names.
+    """
+    out: dict[str, Any] = {}
+    for key, value in state.items():
+        if key.startswith("model.language_model."):
+            key = "model." + key[len("model.language_model."):]
+        elif key.startswith("model.visual."):
+            key = key[len("model."):]
+        out[key] = value
+    return out
+
+
+def decoder_key_map(
+    num_layers: int,
+    qkv_bias: bool = False,
+    tied_embeddings: bool = True,
+) -> dict[str, tuple[tuple[str, ...], bool]]:
     """HF name -> (flax param path under the VideoLM tree, transpose?)."""
     mapping: dict[str, tuple[tuple[str, ...], bool]] = {
         "model.embed_tokens.weight": (("decoder", "embed", "embedding"), False),
         "model.norm.weight": (("decoder", "final_norm", "weight"), False),
     }
+    if not tied_embeddings:
+        # Untied logits head; HF layout [V, H] is kept verbatim (lm.py reads
+        # it with the same einsum as the tied embedding table).
+        mapping["lm_head.weight"] = (("decoder", "lm_head"), False)
     for i in range(num_layers):
         hf = f"model.layers.{i}"
         fx = f"layer_{i}"
@@ -79,6 +109,11 @@ def decoder_key_map(num_layers: int) -> dict[str, tuple[tuple[str, ...], bool]]:
             mapping[f"{hf}.self_attn.{src}.weight"] = (
                 ("decoder", fx, "attn", dst, "kernel"), True,
             )
+        if qkv_bias:
+            for src, dst in [("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v")]:
+                mapping[f"{hf}.self_attn.{src}.bias"] = (
+                    ("decoder", fx, "attn", dst, "bias"), False,
+                )
         for src, dst in [("gate_proj", "gate"), ("up_proj", "up"),
                          ("down_proj", "down")]:
             mapping[f"{hf}.mlp.{src}.weight"] = (
@@ -107,7 +142,11 @@ def port_decoder_state(
 
     strict=True raises on missing keys; strict=False ports what it finds.
     """
-    mapping = decoder_key_map(config.num_layers)
+    mapping = decoder_key_map(
+        config.num_layers,
+        qkv_bias=config.qkv_bias,
+        tied_embeddings=config.tied_embeddings,
+    )
     tree: dict[str, Any] = {}
     missing: list[str] = []
 
@@ -126,11 +165,15 @@ def port_decoder_state(
             )
         _set_path(tree, path, array)
 
-    skipped_bias = [k for k in state if k.endswith("bias")]
-    if skipped_bias:
+    unmapped = [
+        k for k in state
+        if k not in mapping and not k.startswith("visual.")
+    ]
+    if unmapped:
         logger.warning(
-            f"event=port_biases_dropped count={len(skipped_bias)} "
-            "(bias-free architecture; see models/port.py docstring)"
+            f"event=port_unmapped_keys count={len(unmapped)} "
+            f"sample={unmapped[:4]} (config qkv_bias={config.qkv_bias} "
+            f"tied_embeddings={config.tied_embeddings})"
         )
     if missing:
         if strict:
@@ -148,6 +191,8 @@ def _expected_shape(
     leaf = path[-2:]
     if path[-2:] == ("embed", "embedding"):
         return (config.vocab_size, h)
+    if path[-1] == "lm_head":
+        return (config.vocab_size, h)
     if path[-1] == "weight":  # norms
         return (h,)
     by_name = {
@@ -158,6 +203,9 @@ def _expected_shape(
         ("gate", "kernel"): (h, config.mlp_dim),
         ("up", "kernel"): (h, config.mlp_dim),
         ("down", "kernel"): (config.mlp_dim, h),
+        ("q", "bias"): (q_dim,),
+        ("k", "bias"): (kv_dim,),
+        ("v", "bias"): (kv_dim,),
     }
     return by_name.get(leaf)
 

@@ -87,7 +87,10 @@ def block_forward(
     dtype = x.dtype
 
     def dense(p, v):
-        return (v @ p["kernel"].astype(dtype))
+        y = v @ p["kernel"].astype(dtype)
+        if "bias" in p:  # Qwen2-family q/k/v biases (pre-RoPE)
+            y = y + p["bias"].astype(dtype)
+        return y
 
     h = rms_norm(x, block_params["attn_norm"]["weight"])
     attn_p = block_params["attn"]
@@ -375,8 +378,9 @@ def pipeline_vlm_logits(
         schedule=schedule,
     )
     x = rms_norm(x, decoder_params["final_norm"]["weight"])
+    head = decoder_params.get("lm_head", embedding)  # untied if present
     return jnp.einsum(
-        "bsh,vh->bsv", x.astype(jnp.float32), embedding.astype(jnp.float32)
+        "bsh,vh->bsv", x.astype(jnp.float32), head.astype(jnp.float32)
     )
 
 
@@ -406,7 +410,8 @@ def pipeline_decoder_apply(
         schedule=schedule,
     )
     x = rms_norm(x, decoder_params["final_norm"]["weight"])
+    head = decoder_params.get("lm_head", embedding)  # untied if present
     logits = jnp.einsum(
-        "bsh,vh->bsv", x.astype(jnp.float32), embedding.astype(jnp.float32)
+        "bsh,vh->bsv", x.astype(jnp.float32), head.astype(jnp.float32)
     )
     return logits

@@ -29,6 +29,13 @@ PARTITION_RULES: list[tuple[tuple[str, ...], P]] = [
     # Row-parallel projections: [in, out] with in sharded.
     (("out", "kernel"), P(MODEL_AXIS, None)),
     (("down", "kernel"), P(MODEL_AXIS, None)),
+    # Column-parallel biases (Qwen2 q/k/v): one per output channel.
+    (("q", "bias"), P(MODEL_AXIS)),
+    (("k", "bias"), P(MODEL_AXIS)),
+    (("v", "bias"), P(MODEL_AXIS)),
+    # Untied logits head [V, H]: shard the (large, 152k) vocab dim; the
+    # per-step [B, V] logits all-gather over 'model' is cheap on ICI.
+    (("lm_head",), P(MODEL_AXIS, None)),
     # Projector between encoder and decoder.
     (("projector_up", "kernel"), P(None, MODEL_AXIS)),
     (("projector_down", "kernel"), P(MODEL_AXIS, None)),
