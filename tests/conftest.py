@@ -23,3 +23,22 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", os.environ.get("VTX_TEST_PLATFORM", "cpu"))
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy sweep variants; run with VTX_RUN_SLOW=1 "
+        "(a fast smoke of every slow path stays in the default suite)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("VTX_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow sweep variant; set VTX_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
