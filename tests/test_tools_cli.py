@@ -77,11 +77,113 @@ def legacy_note():
     )
 
 
+def deep_note(missing_subsection: str | None = None, exercises: int = 3):
+    """Reference-style deep-lecture note; optionally drop one subsection
+    or shrink the exercise list below the minimum of 3."""
+    chapter = [
+        "### 第1章：核心主题",
+        "",
+        "#### 动机：为什么要学这个？",
+        "",
+        "动机说明。",
+        "",
+        "#### 直觉：用一句话抓住本质",
+        "",
+        "直觉说明。",
+        "",
+        "#### 推导/机制：用纯文本公式讲清楚",
+        "",
+        "y = w x + b",
+        "",
+        "#### 工程实践：怎么用、怎么调、怎么排查",
+        "",
+        "实践说明。",
+        "",
+        "#### 示例：输入→步骤→输出",
+        "",
+        "示例说明。",
+        "",
+        "#### 常见误区：错在哪里/怎么改",
+        "",
+        "误区说明。",
+        "",
+        "#### 本章练习",
+        "",
+        *[f"{i}. 练习{i}" for i in range(1, exercises + 1)],
+        "",
+        "#### 本章参考答案",
+        "",
+        "1. 答案一",
+        "",
+    ]
+    if missing_subsection:
+        chapter = [
+            line for line in chapter if not line.startswith(missing_subsection)
+        ]
+    return "\n".join(
+        [
+            "# 深度讲义",
+            "",
+            "## 学习目标",
+            "",
+            "- 目标一",
+            "",
+            "## 先修知识与快速回顾",
+            "",
+            "- 先修一",
+            "",
+            "## 学习路线图（本讲你会走到哪里）",
+            "",
+            "- 路线一",
+            "",
+            "## 🔍 讲义正文",
+            "",
+            *chapter,
+            "## 📌 覆盖清单 (Coverage Index)",
+            "",
+            "- 已覆盖",
+            "",
+            "## 📎 附录 (Appendix)",
+            "",
+            "- 附录内容",
+            "",
+        ]
+    )
+
+
 class TestValidateNote:
     def test_valid_lecture_passes(self):
         report = validate_note(lecture_note())
         assert report.format == "lecture"
         assert report.ok, report.errors
+
+    def test_valid_deep_passes(self):
+        report = validate_note(deep_note())
+        assert report.format == "deep"
+        assert report.ok, report.errors
+
+    def test_deep_missing_subsection_flagged(self):
+        report = validate_note(deep_note(missing_subsection="#### 直觉"))
+        assert any("直觉" in e and "缺少必需小节" in e for e in report.errors)
+
+    def test_deep_insufficient_exercises_flagged(self):
+        report = validate_note(deep_note(exercises=2))
+        assert any("练习数量不足" in e for e in report.errors)
+
+    def test_deep_missing_chapter_flagged(self):
+        note = deep_note().replace("### 第1章：核心主题", "### 主题")
+        report = validate_note(note)
+        assert any("缺少章节" in e for e in report.errors)
+
+    def test_template_garbage_flagged(self):
+        note = deep_note() + "\n完成关键计算或调用步骤\n"
+        report = validate_note(note)
+        assert any("垃圾输出" in e for e in report.errors)
+
+    def test_timestamp_artifact_flagged(self):
+        note = lecture_note() + "\n片段 :05-:30 出现异常\n"
+        report = validate_note(note)
+        assert any(":MM-:MM" in e for e in report.errors)
 
     def test_valid_legacy_passes(self):
         report = validate_note(legacy_note())
