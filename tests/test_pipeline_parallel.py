@@ -44,7 +44,7 @@ CFG4 = _make_cfg(4)
 
 def _build(cfg):
     model = Decoder(cfg)
-    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, cfg.vocab_size)
     variables = model.init(jax.random.PRNGKey(0), tokens, dtype=jnp.float32)
     # Wrap under the VideoLM-style scope the pipeline reader expects.
     variables = {"params": {"decoder": variables["params"]}}
