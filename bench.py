@@ -134,6 +134,29 @@ def synth_video(path: Path, seconds: float, fps: float, size: int = 128) -> None
     write_y4m(path, frames, fps=fps)
 
 
+def _decode_microbench(engine, batch: int = 16, repeats: int = 3) -> dict:
+    """Median tokens/s of the constrained decode at a fixed prompt/batch.
+
+    Reuses the bench engine (grammar + sampling + forced fast-forward — the
+    real serving path). Token counts vary slightly with sampling; tok/s =
+    tokens/wall is the stable statistic.
+    """
+    prompts = ["请根据视频内容生成结构化要点笔记，覆盖全部章节。"] * batch
+    engine.generate_text(prompts)  # compile + warm the bucket
+    samples = []
+    for _ in range(repeats):
+        engine.stats.__init__()
+        start = time.perf_counter()
+        engine.generate_text(prompts)
+        wall = time.perf_counter() - start
+        samples.append((engine.stats.tokens_generated / wall, wall))
+    samples.sort()
+    tok_s, wall = samples[len(samples) // 2]
+    return {"decode_fixed_tok_s": round(tok_s, 1),
+            "decode_fixed_wall_s": round(wall, 3),
+            "decode_fixed_batch": batch}
+
+
 def run_once(engine, work_dir: Path, label: str):
     clip = work_dir / f"bench_{label}.y4m"
     synth_video(clip, VIDEO_SECONDS, FPS)
@@ -170,12 +193,13 @@ def main() -> int:
         # Warmup: compile every shape bucket (prefill + decode + preprocess).
         run_once(engine, work_dir, "warmup")
 
-        # Two measured runs (fresh manifest dirs so nothing is cached):
+        # Three measured runs (fresh manifest dirs so nothing is cached):
         # sampled note lengths gate wall time through the batch's slowest
-        # row, so single runs swing ~±15%; report the better steady-state
-        # pass and carry both in extras.
+        # row, so single runs swing ~±15%. The OFFICIAL number is the
+        # median pass (best-of-N biases upward; cross-round comparisons
+        # need an unbiased statistic); all walls ride in extras.
         runs = []
-        for label in ("measured", "measured2"):
+        for label in ("measured", "measured2", "measured3"):
             engine.stats.__init__()
             result, elapsed = run_once(engine, work_dir, label)
             runs.append((elapsed, result, engine.stats.as_dict()))
@@ -184,7 +208,13 @@ def main() -> int:
                   file=sys.stderr)
             return 1
         all_walls = [round(e, 2) for e, _, _ in runs]
-        elapsed, result, stats_dict = min(runs, key=lambda r: r[0])
+        elapsed, result, stats_dict = sorted(runs, key=lambda r: r[0])[len(runs) // 2]
+
+        # Fixed decode microbench: one steady-state serving-path decode
+        # sweep (batch 16, grammar on, shared prompt) timed median-of-3 —
+        # a low-variance tokens/s line for cross-round perf tracking that
+        # the slowest-note gating above cannot distort.
+        decode_fixed = _decode_microbench(engine)
 
         analyzed_minutes = float(result.metadata.get("duration", VIDEO_SECONDS)) / 60.0
         wall_minutes = elapsed / 60.0
@@ -220,7 +250,9 @@ def main() -> int:
                         "n_chips": n_chips,
                         "video_seconds": VIDEO_SECONDS,
                         "wall_seconds": round(elapsed, 2),
+                        "wall_seconds_median": round(elapsed, 2),
                         "wall_seconds_all_runs": all_walls,
+                        **decode_fixed,
                         "segments": result.metadata.get("segments"),
                         "decode_tokens_per_s": stats["tokens_per_second"],
                         "preproc_frames_per_s": round(preproc_fps, 1),

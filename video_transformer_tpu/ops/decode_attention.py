@@ -227,9 +227,13 @@ def decode_attention(
     force_reference: bool = False,
 ) -> jax.Array:
     """Dispatch: paged Pallas kernel on TPU, XLA reference elsewhere or for
-    cache lengths not divisible by a supported block size."""
+    cache lengths not divisible by a supported block size.
+    VTX_FORCE_REF_ATTN=1 forces the XLA path (perf-ablation harness)."""
+    import os
+
     if (
         force_reference
+        or os.environ.get("VTX_FORCE_REF_ATTN")
         or jax.default_backend() != "tpu"
         or _pick_cache_block(k_cache.shape[2]) is None
     ):
