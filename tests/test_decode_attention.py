@@ -64,3 +64,59 @@ class TestPagedDecodeAttention:
         expected = decode_attention_reference(q, k, v, lengths)
         got = _decode_attention_pallas(q, k, v, lengths, interpret=True)
         np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+
+class TestFusedUpdateAttention:
+    """decode_attention_update: in-kernel cache row write + attention."""
+
+    def _run(self, b=2, hq=4, hkv=2, w=8, d=32, s=1024, idx=(99, 800)):
+        from video_transformer_tpu.ops.decode_attention import (
+            _decode_attention_update_pallas,
+            update_cache_rows,
+        )
+
+        keys = jax.random.split(jax.random.PRNGKey(3), 5)
+        q = jax.random.normal(keys[0], (b, hq, w, d), jnp.float32)
+        k_cache = jax.random.normal(keys[1], (b, hkv, s, d), jnp.float32)
+        v_cache = jax.random.normal(keys[2], (b, hkv, s, d), jnp.float32)
+        k_new = jax.random.normal(keys[3], (b, hkv, w, d), jnp.float32)
+        v_new = jax.random.normal(keys[4], (b, hkv, w, d), jnp.float32)
+        index = jnp.asarray(idx, jnp.int32)
+
+        k_ref = update_cache_rows(k_cache, k_new, index)
+        v_ref = update_cache_rows(v_cache, v_new, index)
+        expected = decode_attention_reference(q, k_ref, v_ref, index + 1)
+
+        out, k_out, v_out = _decode_attention_update_pallas(
+            q, k_cache, v_cache, k_new, v_new, index, interpret=True
+        )
+        return expected, out, k_ref, v_ref, k_out, v_out, index
+
+    def test_matches_write_then_attend(self):
+        expected, out, *_ = self._run()
+        np.testing.assert_allclose(out, expected, atol=2e-5, rtol=2e-5)
+
+    def test_cache_rows_written(self):
+        """Valid region of the returned cache equals the scatter path's."""
+        _, _, k_ref, v_ref, k_out, v_out, index = self._run()
+        w = 8
+        for row, base in enumerate(np.asarray(index)):
+            hi = base + w
+            np.testing.assert_allclose(
+                np.asarray(k_out)[row, :, :hi], np.asarray(k_ref)[row, :, :hi]
+            )
+            np.testing.assert_allclose(
+                np.asarray(v_out)[row, :, :hi], np.asarray(v_ref)[row, :, :hi]
+            )
+
+    def test_unaligned_width_13(self):
+        """Grammar fast-forward block width (13) pads to 16 on write; the
+        attended output must still match the scatter oracle."""
+        expected, out, *_ = self._run(w=13, idx=(5, 1000))
+        np.testing.assert_allclose(out, expected, atol=2e-5, rtol=2e-5)
+
+    def test_width1_near_tail(self):
+        """Width-1 write with index near the cache end stays in bounds
+        (callers reserve >= 8 rows of slack)."""
+        expected, out, *_ = self._run(w=1, idx=(1016 - 8, 3), s=1024)
+        np.testing.assert_allclose(out, expected, atol=2e-5, rtol=2e-5)

@@ -96,16 +96,12 @@ def main() -> int:
     results["step_w1_ref"] = timeit(lambda: f_ref(params_q, block1, cache, pick0))
     del os.environ["VTX_FORCE_REF_ATTN"]
 
-    # cache update alone: 24 layers x 2 tensors of per-row DUS + layer set
-    from video_transformer_tpu.models.lm import _update_cache_rows
+    # cache update alone: 24 layers x 2 tensors of per-row DUS
+    from video_transformer_tpu.ops.decode_attention import update_cache_rows
 
     def cache_update(c, new):
-        k = c["k"]
-        for layer in range(cfg.num_layers):
-            k = k.at[layer].set(_update_cache_rows(k[layer], new, c["index"]))
-        v = c["v"]
-        for layer in range(cfg.num_layers):
-            v = v.at[layer].set(_update_cache_rows(v[layer], new, c["index"]))
+        k = [update_cache_rows(layer, new, c["index"]) for layer in c["k"]]
+        v = [update_cache_rows(layer, new, c["index"]) for layer in c["v"]]
         return dict(c, k=k, v=v)
 
     new_kv = jnp.zeros((BATCH, cfg.num_kv_heads, 1, cfg.head_dim), jnp.bfloat16)
@@ -121,11 +117,11 @@ def main() -> int:
     def attn_layers(q, kc, vc, n):
         out = q
         for _ in range(cfg.num_layers):
-            out = decode_attention(out, kc[0], vc[0], n)
+            out = decode_attention(out, kc, vc, n)
         return out
 
     f_at = jax.jit(attn_layers)
-    results["attn_only_24L"] = timeit(lambda: f_at(q1, cache["k"], cache["v"], lengths))
+    results["attn_only_24L"] = timeit(lambda: f_at(q1, cache["k"][0], cache["v"][0], lengths))
 
     # pure weight-stream proxy: every decoder dense as one matmul chain
     h, m = cfg.hidden_dim, cfg.mlp_dim

@@ -28,15 +28,21 @@ Cache = dict[str, Any]
 def init_kv_cache(
     config: DecoderConfig, batch: int, max_len: int, dtype: jnp.dtype
 ) -> Cache:
-    """Allocate an empty KV cache: per-layer k/v of [B, Hkv, max_len, D].
+    """Allocate an empty KV cache: per-layer k/v LISTS of [B, Hkv, max_len, D].
+
+    Per-layer leaves (not one stacked [L, ...] tensor) so each decode step
+    touches only its own layer's buffer: the stacked layout's
+    slice-out/scatter/slice-in chain defeated XLA's in-place analysis inside
+    the decode while_loop and cost a full-cache copy per step (measured
+    ~19 MB/row/step at base geometry — the dominant decode cost).
 
     ``index`` is PER ROW ([B]) so batch rows can advance asynchronously —
     grammar fast-forward appends different run lengths per row.
     """
     shape = (batch, config.num_kv_heads, max_len, config.head_dim)
     return {
-        "k": jnp.zeros((config.num_layers,) + shape, dtype),
-        "v": jnp.zeros((config.num_layers,) + shape, dtype),
+        "k": [jnp.zeros(shape, dtype) for _ in range(config.num_layers)],
+        "v": [jnp.zeros(shape, dtype) for _ in range(config.num_layers)],
         "index": jnp.zeros((batch,), jnp.int32),
     }
 
@@ -126,46 +132,41 @@ class Attention(nn.Module):
             # Prefill / training: full self-attention over the sequence.
             out = flash_attention(q, k, v, causal=True)
         else:
-            # Incremental decode: write new k/v at each row's cache index,
-            # attend to the full cache with a per-row causal length mask.
+            from ..ops.decode_attention import (
+                decode_attention_update,
+                update_cache_rows,
+            )
+
             index = cache["index"]  # [B]
-            k_cache = _update_cache_rows(
-                cache["k"][self.layer_idx], k.astype(cache["k"].dtype), index
-            )
-            v_cache = _update_cache_rows(
-                cache["v"][self.layer_idx], v.astype(cache["v"].dtype), index
-            )
-            cache = dict(
-                cache,
-                k=cache["k"].at[self.layer_idx].set(k_cache),
-                v=cache["v"].at[self.layer_idx].set(v_cache),
-            )
+            k_layer = cache["k"][self.layer_idx]
+            v_layer = cache["v"][self.layer_idx]
             if prefill:
-                # Cache-filling prefill starts at index 0: in-block causal
-                # flash attention is exact and avoids attending the padded
-                # cache tail (S_block^2 instead of S_block * cache_len).
+                # Cache-filling prefill: write the block, then in-block
+                # causal flash attention (exact, and avoids attending the
+                # padded cache tail: S_block^2 instead of S_block * S).
+                k_layer = update_cache_rows(
+                    k_layer, k.astype(k_layer.dtype), index
+                )
+                v_layer = update_cache_rows(
+                    v_layer, v.astype(v_layer.dtype), index
+                )
                 out = flash_attention(q, k, v, causal=True)
             else:
-                # Paged decode attention: stream only the valid cache prefix
-                # (row 0 sees index+1 positions; later block rows +1 each).
-                from ..ops.decode_attention import decode_attention
-
-                out = decode_attention(q, k_cache, v_cache, index + 1)
+                # Fused row-write + length-aware paged attention: the new
+                # k/v rows land in the cache INSIDE the kernel (in place on
+                # TPU), and only the valid prefix streams from HBM.
+                out, k_layer, v_layer = decode_attention_update(
+                    q, k_layer, v_layer, k, v, index
+                )
+            new_k = list(cache["k"])
+            new_v = list(cache["v"])
+            new_k[self.layer_idx] = k_layer
+            new_v[self.layer_idx] = v_layer
+            cache = dict(cache, k=new_k, v=new_v)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, s, q_dim)
         out = QDense(cfg.hidden_dim, dtype=dtype, name="out")(out)
         return out, cache
-
-
-def _update_cache_rows(
-    cache_layer: jax.Array, new: jax.Array, index: jax.Array
-) -> jax.Array:
-    """Write new [B, H, s, D] into cache [B, H, S, D] at per-row offsets."""
-
-    def write_row(row_cache: jax.Array, row_new: jax.Array, row_index: jax.Array):
-        return jax.lax.dynamic_update_slice(row_cache, row_new, (0, row_index, 0))
-
-    return jax.vmap(write_row)(cache_layer, new, index)
 
 
 class SwiGLU(nn.Module):

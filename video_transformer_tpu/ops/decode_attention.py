@@ -25,7 +25,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["decode_attention", "decode_attention_reference"]
+__all__ = [
+    "decode_attention",
+    "decode_attention_reference",
+    "decode_attention_update",
+    "update_cache_rows",
+]
 
 _NEG_INF = -1e30
 _BLOCK = 512
@@ -217,6 +222,317 @@ def _pick_cache_block(s: int) -> int | None:
         if s % block == 0:
             return block
     return None
+
+
+def update_cache_rows(
+    cache_layer: jax.Array, new: jax.Array, index: jax.Array
+) -> jax.Array:
+    """Write new [B, H, s, D] into cache [B, H, S, D] at per-row offsets
+    (XLA path; the fused Pallas kernel below writes in place instead)."""
+
+    def write_row(row_cache, row_new, row_index):
+        return jax.lax.dynamic_update_slice(row_cache, row_new, (0, row_index, 0))
+
+    return jax.vmap(write_row)(cache_layer, new, index)
+
+
+def _fused_kernel(
+    len_ref,  # scalar prefetch [B]: valid positions for query row 0
+    q_ref,  # [1, 1, GW, D] VMEM
+    k_new_ref,  # [1, 1, Wpad, D] VMEM (rows [0, width) are real)
+    v_new_ref,
+    k_hbm,  # [B, Hkv, S, D] ANY (aliased with k_out)
+    v_hbm,
+    o_ref,  # [1, 1, GW, D] VMEM
+    k_out,  # ANY, aliased with k_hbm — never touched directly
+    v_out,
+    k_scratch,  # [2, BLK, D]
+    v_scratch,
+    sems,  # DMA sems (2, 2)
+    w_sems,  # row-write DMA sems (4,)
+    rmw_k,  # [w_pad + 8, D] row-write staging
+    rmw_v,
+    *,
+    block: int,
+    width: int,
+    group: int,
+    scale: float,
+    w_pad: int,
+):
+    """decode_attention with the K/V cache row-write FUSED into the kernel.
+
+    The XLA scatter path (update_cache_rows + .at[layer].set) costs a full
+    cache copy per decode step when the compiler cannot prove in-place
+    aliasing through the loop carry — measured ~19 MB/row/step at base
+    geometry, the dominant decode cost. Here each (row, head) program DMAs
+    its ``width`` new rows straight into the HBM cache (aliased in place via
+    input_output_aliases), waits, then streams the valid prefix exactly as
+    the plain kernel does. Extra traffic: width*D writes per program — KBs,
+    not MBs.
+    """
+    row = pl.program_id(0)
+    head = pl.program_id(1)
+    length = len_ref[row]
+    base = length - 1  # write offset: new rows occupy [base, base + width)
+
+    # Write the new K/V rows into the cache, in place. DMA sublane offsets
+    # must be 8-aligned (Mosaic tiling), and ``base`` is arbitrary, so this
+    # is a read-modify-write of the 8-aligned region containing the block:
+    # stream the old region in, rotate the new rows to their in-region
+    # offset, keep old rows below the offset, and DMA the merged region
+    # back. Region = w_pad + 8 rows — KBs, not MBs.
+    region = w_pad + 8
+    region_start = (base // 8) * 8
+    offset = base - region_start
+
+    rmw_reads = [
+        pltpu.make_async_copy(
+            k_hbm.at[row, head, pl.ds(region_start, region), :],
+            rmw_k, w_sems.at[0],
+        ),
+        pltpu.make_async_copy(
+            v_hbm.at[row, head, pl.ds(region_start, region), :],
+            rmw_v, w_sems.at[1],
+        ),
+    ]
+    for dma in rmw_reads:
+        dma.start()
+    for dma in rmw_reads:
+        dma.wait()
+
+    d = q_ref.shape[3]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (region, d), 0)
+    for new_ref, rmw in ((k_new_ref, rmw_k), (v_new_ref, rmw_v)):
+        # Rotate in f32 (Mosaic's dynamic rotate is 32-bit only) and cast
+        # back to the cache dtype for the write.
+        padded = jnp.concatenate(
+            [new_ref[0, 0].astype(jnp.float32), jnp.zeros((8, d), jnp.float32)],
+            axis=0,
+        )
+        rolled = pltpu.roll(padded, offset, axis=0)
+        # Rows < offset keep old cache data; rows >= offset + width land in
+        # the reserved tail slack (never attended, rewritten by later steps).
+        rmw[...] = jnp.where(
+            row_ids >= offset, rolled, rmw[...].astype(jnp.float32)
+        ).astype(rmw.dtype)
+
+    # Compiled, k_out/v_out ARE k_hbm/v_hbm (input_output_aliases) and the
+    # second DMA pair is a duplicate write of identical bytes; in interpret
+    # mode the alias is a copy, so both views must be written for streaming
+    # reads AND outputs to agree.
+    rmw_writes = [
+        pltpu.make_async_copy(
+            rmw_k, k_hbm.at[row, head, pl.ds(region_start, region), :],
+            w_sems.at[0],
+        ),
+        pltpu.make_async_copy(
+            rmw_v, v_hbm.at[row, head, pl.ds(region_start, region), :],
+            w_sems.at[1],
+        ),
+        pltpu.make_async_copy(
+            rmw_k, k_out.at[row, head, pl.ds(region_start, region), :],
+            w_sems.at[2],
+        ),
+        pltpu.make_async_copy(
+            rmw_v, v_out.at[row, head, pl.ds(region_start, region), :],
+            w_sems.at[3],
+        ),
+    ]
+    for dma in rmw_writes:
+        dma.start()
+    for dma in rmw_writes:
+        dma.wait()
+
+    max_len = length + width - 1
+    num_blocks = (max_len + block - 1) // block
+
+    gw, d = q_ref.shape[2], q_ref.shape[3]
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [GW, D]
+
+    def get_dma_pair(slot, blk_idx):
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[row, head, pl.ds(blk_idx * block, block), :],
+                k_scratch.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[row, head, pl.ds(blk_idx * block, block), :],
+                v_scratch.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    k0, v0 = get_dma_pair(0, 0)
+    k0.start()
+    v0.start()
+
+    q_extra = jax.lax.broadcasted_iota(jnp.int32, (gw, block), 0) % width
+
+    def body(blk_idx, carry):
+        acc, m_prev, l_prev = carry
+        slot = blk_idx % 2
+
+        @pl.when(blk_idx + 1 < num_blocks)
+        def _():
+            kn, vn = get_dma_pair((blk_idx + 1) % 2, blk_idx + 1)
+            kn.start()
+            vn.start()
+
+        kc, vc = get_dma_pair(slot, blk_idx)
+        kc.wait()
+        vc.wait()
+
+        k_blk = k_scratch[slot].astype(jnp.float32)
+        v_blk = v_scratch[slot].astype(jnp.float32)
+
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_pos = blk_idx * block + jax.lax.broadcasted_iota(
+            jnp.int32, (gw, block), 1
+        )
+        logits = jnp.where(k_pos < length + q_extra, logits, _NEG_INF)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    acc = jnp.zeros((gw, d), jnp.float32)
+    m0 = jnp.full((gw, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((gw, 1), jnp.float32)
+    acc, _, l_final = jax.lax.fori_loop(0, num_blocks, body, (acc, m0, l0))
+
+    o_ref[0, 0] = (acc / jnp.maximum(l_final, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attention_update_pallas(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [B, Hkv, W, D]
+    v_new: jax.Array,
+    index: jax.Array,  # [B] current per-row cache fill (pre-block)
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    b, hq, w, d = q.shape
+    hkv, s = k_cache.shape[1], k_cache.shape[2]
+    group = hq // hkv
+    scale = 1.0 / math.sqrt(d)
+    block = _pick_cache_block(s)
+    assert block is not None  # dispatcher guarantees divisibility
+
+    gw = group * w
+    gw_pad = ((gw + 7) // 8) * 8
+    qg = q.reshape(b, hkv, group, w, d).reshape(b, hkv, gw, d)
+    if gw_pad != gw:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gw_pad - gw), (0, 0)))
+    # New rows padded to the sublane multiple; the pad rows are written past
+    # the block into the 2*block_width cache slack the engine reserves, then
+    # overwritten by the next step (never attended: mask stops at length).
+    w_pad = ((w + 7) // 8) * 8
+    kn = k_new.astype(k_cache.dtype)
+    vn = v_new.astype(v_cache.dtype)
+    if w_pad != w:
+        kn = jnp.pad(kn, ((0, 0), (0, 0), (0, w_pad - w), (0, 0)))
+        vn = jnp.pad(vn, ((0, 0), (0, 0), (0, w_pad - w), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, gw_pad, d), lambda i, j, *_: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, w_pad, d), lambda i, j, *_: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, w_pad, d), lambda i, j, *_: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, gw_pad, d), lambda i, j, *_: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block, d), k_cache.dtype),
+            pltpu.VMEM((2, block, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((w_pad + 8, d), k_cache.dtype),
+            pltpu.VMEM((w_pad + 8, d), v_cache.dtype),
+        ],
+    )
+
+    lengths = (index + 1).astype(jnp.int32)
+    out, k_out, v_out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, block=block, width=w, group=group, scale=scale,
+            w_pad=w_pad,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(qg.shape, q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        grid_spec=grid_spec,
+        # Operand indices count the scalar-prefetch arg first: lengths=0,
+        # q=1, k_new=2, v_new=3, k_cache=4, v_cache=5.
+        input_output_aliases={4: 1, 5: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lengths, qg, kn, vn, k_cache, v_cache)
+    out = out[:, :, :gw, :]
+    return out.reshape(b, hkv, group, w, d).reshape(b, hq, w, d), k_out, v_out
+
+
+def decode_attention_update(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    index: jax.Array,
+    force_reference: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused cache-row write + length-aware decode attention.
+
+    Returns (attn_out, k_cache, v_cache) with the new rows written at each
+    row's ``index`` offset — in place on TPU (pallas input_output_aliases),
+    via the XLA scatter fallback elsewhere. The aligned read-modify-write
+    can touch up to round_up(width, 8) + 8 rows past ``index``; callers
+    must reserve that much tail slack past the maximum index (the engine
+    and batcher size their caches accordingly)."""
+    import os
+
+    s = k_cache.shape[2]
+    w_pad = ((q.shape[2] + 7) // 8) * 8
+    if (
+        force_reference
+        or os.environ.get("VTX_FORCE_REF_ATTN")
+        or jax.default_backend() != "tpu"
+        or _pick_cache_block(s) is None
+    ):
+        k_cache = update_cache_rows(k_cache, k_new.astype(k_cache.dtype), index)
+        v_cache = update_cache_rows(v_cache, v_new.astype(v_cache.dtype), index)
+        out = decode_attention_reference(q, k_cache, v_cache, index + 1)
+        return out, k_cache, v_cache
+    return _decode_attention_update_pallas(q, k_cache, v_cache, k_new, v_new, index)
 
 
 def decode_attention(

@@ -315,15 +315,15 @@ class InferenceEngine:
         return (1 + self.max_forced_run) if dfa is not None else 1
 
     def _kv_spec(self) -> P:
-        # Cache layout [L, B, Hkv, S, D]: batch over "data"; kv heads over
-        # "model" too when they divide the axis (k/v are produced
+        # Per-layer cache leaves [B, Hkv, S, D]: batch over "data"; kv heads
+        # over "model" too when they divide the axis (k/v are produced
         # head-sharded by the column-parallel projections, so this keeps
         # them resident without an all-gather).
         cfg = self.config
         model_axis = self.mesh.shape[MODEL_AXIS]
         if model_axis > 1 and cfg.decoder.num_kv_heads % model_axis == 0:
-            return P(None, DATA_AXIS, MODEL_AXIS)
-        return P(None, DATA_AXIS)
+            return P(DATA_AXIS, MODEL_AXIS)
+        return P(DATA_AXIS)
 
     def _decode_loop_fn(self, dfa: JsonDfa | None):
         """Build ``run_decode(params, logits, cache, state, done, rng)``.
@@ -481,11 +481,17 @@ class InferenceEngine:
         block_width = self._block_width(dfa)
 
         video_tokens = cfg.video_tokens if with_video else 0
+        # + block_width + 16: the fused decode kernel's aligned in-place
+        # row write can touch round_up(block_width, 8) + 8 rows past a
+        # row's final index, so the cache keeps that much tail slack past
+        # the last live position.
         cache_len = _round_up(
             video_tokens
             + prompt_len
             + (1 + extra_rounds) * (max_new + block_width)
-            + 1,
+            + 1
+            + block_width
+            + 16,
             128,
         )
         if cache_len > cfg.decoder.max_seq_len:
@@ -771,7 +777,7 @@ class InferenceEngine:
             video_tokens = self.config.video_tokens if with_video else 0
             cache_len = _round_up(
                 video_tokens + total + self.max_new_tokens
-                + self.max_forced_run + 2,
+                + 2 * (self.max_forced_run + 1) + 17,
                 128,
             )
             if cache_len > self.config.decoder.max_seq_len:

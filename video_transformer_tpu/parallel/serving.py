@@ -119,9 +119,11 @@ class ContinuousBatcher:
             self._forced = None
             self.block_width = 1
 
+        # + block_width + 16: tail slack for the fused decode kernel's
+        # aligned in-place row writes (see engine._build_generate).
         self.cache_len = _round_up(
             cfg.video_tokens + self.prompt_len + self.max_new
-            + self.block_width + 1,
+            + 2 * self.block_width + 17,
             128,
         )
         if self.cache_len > cfg.decoder.max_seq_len:
@@ -144,12 +146,13 @@ class ContinuousBatcher:
         cache = init_kv_cache(cfg.decoder, self.slots, self.cache_len, dtype)
         model_axis = mesh.shape[MODEL_AXIS]
         if model_axis > 1 and cfg.decoder.num_kv_heads % model_axis == 0:
-            kv_spec = P(None, DATA_AXIS, MODEL_AXIS)
+            kv_spec = P(DATA_AXIS, MODEL_AXIS)
         else:
-            kv_spec = P(None, DATA_AXIS)
+            kv_spec = P(DATA_AXIS)
+        kv_sharding = NamedSharding(mesh, kv_spec)
         self.cache = {
-            "k": jax.device_put(cache["k"], NamedSharding(mesh, kv_spec)),
-            "v": jax.device_put(cache["v"], NamedSharding(mesh, kv_spec)),
+            "k": [jax.device_put(layer, kv_sharding) for layer in cache["k"]],
+            "v": [jax.device_put(layer, kv_sharding) for layer in cache["v"]],
             "index": jax.device_put(cache["index"], data_sharding),
         }
         start = self.dfa.start if self.dfa else 0
@@ -197,12 +200,18 @@ class ContinuousBatcher:
                 method=VideoLM.prefill,
             )
             cache = {
-                "k": jax.lax.dynamic_update_slice(
-                    cache["k"], scratch["k"], (0, slot, 0, 0, 0)
-                ),
-                "v": jax.lax.dynamic_update_slice(
-                    cache["v"], scratch["v"], (0, slot, 0, 0, 0)
-                ),
+                "k": [
+                    jax.lax.dynamic_update_slice(
+                        pool, filled, (slot, 0, 0, 0)
+                    )
+                    for pool, filled in zip(cache["k"], scratch["k"])
+                ],
+                "v": [
+                    jax.lax.dynamic_update_slice(
+                        pool, filled, (slot, 0, 0, 0)
+                    )
+                    for pool, filled in zip(cache["v"], scratch["v"])
+                ],
                 "index": cache["index"].at[slot].set(scratch["index"][0]),
             }
             state = state.at[slot].set(dfa.start if dfa else 0)
