@@ -404,3 +404,77 @@ class TestSchemas:
     def test_validator_and_audit_dfas_build(self):
         assert validator_dfa(512).num_states > 10
         assert audit_dfa(512).num_states > 10
+
+
+class TestBehavioralPromptSpec:
+    """The analysis prompt must carry the reference's behavioral spec
+    (config/prompts.yaml:22-55,204-245 — re-expressed): 18 content
+    principles, the textbook writing-style module, 5 layout archetypes,
+    and a golden schema example. The DFA enforces STRUCTURE; these
+    prompts encode the content-quality bar that matters once real
+    weights load."""
+
+    @pytest.fixture(scope="class")
+    def analysis(self):
+        from video_transformer_tpu.analyzer.prompts import render_prompt
+
+        return render_prompt("analysis", {"duration_label": "12分30秒"})
+
+    def test_all_principle_categories_present(self, analysis):
+        markers = {
+            "chinese_only": "简体中文",
+            "full_coverage": "覆盖无死角",
+            "plain_language": "平实的专业语言",
+            "knowledge_network": "connections",
+            "chaptering": "2-6 章",
+            "self_contained_examples": "输入、关键步骤、输出",
+            "code_extraction": "演示过的代码必须提取",
+            "challenges": "challenge",
+            "code_first": "code-first",
+            "no_video_deixis": "讲者说",
+            "question_quality": "是/否",
+            "dedup": "去冗余",
+            "tables": "表格",
+            "latex": "LaTeX",
+            "blacklist": "黑名单",
+            "example_is_string": "不能是字典",
+            "chapter_self_check": "chapter_self_check",
+            "markdown_pdf": "HTML",
+        }
+        missing = [k for k, nee in markers.items() if nee not in analysis]
+        assert not missing, f"principle categories missing: {missing}"
+
+    def test_writing_style_module(self, analysis):
+        assert "承上启下" in analysis or "承接上一章" in analysis
+        assert "独特贡献" in analysis
+
+    def test_five_layout_archetypes(self, analysis):
+        for archetype in ("流水线", "循环迭代", "层级堆叠", "双流并行", "中心辐射"):
+            assert archetype in analysis, archetype
+
+    def test_golden_example_and_schema_markers(self, analysis):
+        assert "---BEGIN PROMPT---" in analysis
+        assert "---END PROMPT---" in analysis
+        assert '"deep_dive"' in analysis  # golden example shows the fields
+        assert '"visual_schemas"' in analysis
+
+    def test_segment_prompt_carries_context_rules(self):
+        from video_transformer_tpu.analyzer.prompts import render_prompt
+
+        segment = render_prompt(
+            "segment_analysis",
+            {"segment_index": 2, "segment_total": 5,
+             "start_label": "05:00", "end_label": "10:00"},
+        )
+        assert "本段之外" in segment  # no speculation past the boundary
+        assert "承接上文" in segment  # truncated-opening handling
+        assert "合并" in segment  # downstream consolidation exists
+
+    def test_consolidate_prompt_carries_dedup_rules(self):
+        from video_transformer_tpu.analyzer.prompts import render_prompt
+
+        consolidate = render_prompt(
+            "consolidate", {"segment_count": 3, "merged_json": "{}"}
+        )
+        assert "恰好出现一次" in consolidate
+        assert "chapter_self_check" in consolidate
