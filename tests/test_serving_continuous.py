@@ -168,6 +168,53 @@ class TestContinuousBatching:
         results = {c.request_id: c for c in batcher.run()}
         assert results[0].complete and results[1].complete
 
+    def test_host_driven_mode_still_works(self):
+        """device_refill=False preserves the original host-loop scheduler
+        (the parity oracle and the local-attached fast path)."""
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 4, "model": 2}),
+            dfa=tiny_dfa(),
+            max_new_tokens=96,
+            temperature=1.0,
+            seed=0,
+            compilation_cache_dir=None,
+        )
+        batcher = ContinuousBatcher(
+            engine, slots=4, prompt_len=16, chunk_steps=8, device_refill=False
+        )
+        for request in make_requests(6, seed=11):
+            batcher.submit(request)
+        results = batcher.run()
+        assert sorted(c.request_id for c in results) == list(range(6))
+        assert all(json.loads(c.text).get("title") for c in results)
+
+    def test_device_ring_overflow_stages_in_rounds(self):
+        """More requests than the device ring holds: the host restages
+        between chunks and every request still completes exactly once.
+        (Single-device mesh: the slot pool's batch axis must divide the
+        data axis, and this test wants a 2-slot pool.)"""
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1]),
+            dfa=tiny_dfa(),
+            max_new_tokens=96,
+            temperature=1.0,
+            seed=0,
+            compilation_cache_dir=None,
+        )
+        batcher = ContinuousBatcher(
+            engine, slots=2, prompt_len=16, chunk_steps=8, queue_depth=3
+        )
+        for request in make_requests(9, seed=5):
+            batcher.submit(request)
+        results = batcher.run()
+        ids = sorted(c.request_id for c in results)
+        assert ids == list(range(9))
+        for completion in results:
+            assert completion.complete
+            assert "title" in json.loads(completion.text)
+
     def test_completion_reports_token_budget_exhaustion(self):
         """A grammar that cannot finish within max_new yields complete=False
         (the scheduler's signal to continue or re-ask upstream)."""

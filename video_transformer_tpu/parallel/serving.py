@@ -4,23 +4,29 @@ The batch-mode engine (parallel/engine.py) runs one compiled while_loop
 until EVERY row finishes — fine for segment batches of one video, wasteful
 for a serving runtime where requests arrive continuously and finish at
 different lengths. This scheduler keeps a fixed pool of SLOTS resident on
-device (KV cache, grammar state, output buffer) and interleaves two
-compiled programs:
+device (KV cache, grammar state, output buffer) and refills finished slots
+with queued requests mid-flight, so the decode matmuls always run at full
+pool width regardless of individual request lengths.
 
-  prefill_slot(request) -> writes one request's video+prompt KV into its
-                           slot rows (dynamic batch-index update)
-  decode_chunk(carry)   -> K grammar-constrained decode iterations over ALL
-                           slots at once (done slots frozen per row)
+Two refill modes:
 
-Between chunks the host harvests finished slots, emits their notes, and
-refills them with queued requests — arrival-to-first-token latency is
-bounded by one chunk, and the decode matmuls always run at full pool width
-regardless of individual request lengths. Device buffers are donated across
-calls, so the pool never copies.
+- **On-device refill** (``device_refill=True``, the default): requests are
+  staged into a device-resident ring (preprocessed patches + prompt tokens
+  + request ids), and ONE compiled chunk program both decodes and refills —
+  each loop iteration pops at most one queued request into a finished slot
+  via ``lax.cond`` (eviction record into a device completion buffer, then
+  the full video+prompt prefill, all inside the traced loop). The host's
+  only work per chunk is one batched enqueue dispatch and one completion
+  harvest — crucial behind remote-dispatch links (the axon tunnel charges
+  ~1 s per host round-trip, which made the host-driven loop lose 32 s vs
+  4 s against the plain engine on the same sweep).
+- **Host-driven refill** (``device_refill=False``): the original loop —
+  per-request prefill dispatches between fixed decode chunks. Kept for
+  local-attached topologies and as the parity oracle in tests.
 
 This is the TPU analog of vLLM-style continuous batching with the grammar
-as the stopping criterion; all shapes are static (slot count, cache bucket,
-prompt bucket) so everything compiles once.
+as the stopping criterion; all shapes are static (slot count, queue depth,
+cache bucket, prompt bucket) so everything compiles once.
 """
 
 from __future__ import annotations
@@ -97,6 +103,11 @@ class ContinuousBatcher:
     chunk_steps: int = 64
     latency_steps: int = 8
     max_new_tokens: int | None = None
+    device_refill: bool = True
+    """Refill finished slots from a device-resident request ring inside the
+    compiled decode loop (see module docstring). False = host-driven loop."""
+    queue_depth: int = 0
+    """Device ring capacity (device_refill mode); 0 = 2 * slots."""
 
     _slots: list[_Slot] = field(default_factory=list)
     _queue: list[tuple[int, int, Request]] = field(default_factory=list)
@@ -130,9 +141,15 @@ class ContinuousBatcher:
             raise ValueError("slot cache exceeds max_seq_len")
         self.out_width = self.max_new + 2 * self.block_width
         self._slots = [_Slot() for _ in range(self.slots)]
+        if self.queue_depth <= 0:
+            self.queue_depth = 2 * self.slots
         self._init_device_state()
         self._prefill = self._build_prefill()
         self._decode = self._build_decode()
+        if self.device_refill:
+            self._init_ring_state()
+            self._enqueue = self._build_enqueue()
+            self._decode_refill = self._build_decode_refill()
         self._rng = jax.random.PRNGKey(7)
 
     # -- device state -----------------------------------------------------------
@@ -178,52 +195,59 @@ class ContinuousBatcher:
 
     # -- compiled programs --------------------------------------------------------
 
-    def _build_prefill(self):
+    def _prefill_body(self, params, cache, state, logits, tokens_out,
+                      out_pos, done, patches, prompt, length, slot):
+        """Prefill one request into slot ``slot`` of the pool (traceable;
+        shared by the host-driven prefill program and the on-device refill).
+
+        Single-request prefill into a scratch cache, then splice the slot's
+        rows into the pool (per-layer batch-index update). ``length`` is the
+        request's OWN 128-multiple prompt bucket — generation must start
+        right after it (train/serve prompt-block alignment,
+        train/run.py::_pack_row == engine._assemble_inputs); a shared fixed
+        width would shift positions for rows whose prompt lands in a
+        smaller bucket.
+        """
         engine = self.engine
-        model = engine.model
         cfg = engine.config
         dfa = self.dfa
+        scratch = init_kv_cache(cfg.decoder, 1, self.cache_len,
+                                jnp.dtype(cfg.dtype))
+        first_logits, scratch = engine.model.apply(
+            params, patches, prompt, scratch, length,
+            method=VideoLM.prefill,
+        )
+        cache = {
+            "k": [
+                jax.lax.dynamic_update_slice(pool, filled, (slot, 0, 0, 0))
+                for pool, filled in zip(cache["k"], scratch["k"])
+            ],
+            "v": [
+                jax.lax.dynamic_update_slice(pool, filled, (slot, 0, 0, 0))
+                for pool, filled in zip(cache["v"], scratch["v"])
+            ],
+            "index": cache["index"].at[slot].set(scratch["index"][0]),
+        }
+        state = state.at[slot].set(dfa.start if dfa else 0)
+        logits = logits.at[slot].set(first_logits[0].astype(jnp.float32))
+        tokens_out = tokens_out.at[slot].set(engine.tokenizer.EOS)
+        out_pos = out_pos.at[slot].set(0)
+        done = done.at[slot].set(False)
+        return cache, state, logits, tokens_out, out_pos, done
 
+    def _build_prefill(self):
         def prefill(params, cache, state, logits, tokens_out, out_pos, done,
                     patches, prompt, length, slot):
-            # Single-request prefill into a scratch cache, then splice the
-            # slot's rows into the pool (per-layer batch-index update).
-            # ``length`` is the request's OWN 128-multiple prompt bucket —
-            # generation must start right after it (train/serve prompt-block
-            # alignment, train/run.py::_pack_row == engine._assemble_inputs);
-            # a shared fixed width would shift positions for rows whose
-            # prompt lands in a smaller bucket.
-            scratch = init_kv_cache(cfg.decoder, 1, self.cache_len,
-                                    jnp.dtype(cfg.dtype))
-            first_logits, scratch = model.apply(
-                params, patches, prompt, scratch, length,
-                method=VideoLM.prefill,
+            return self._prefill_body(
+                params, cache, state, logits, tokens_out, out_pos, done,
+                patches, prompt, length, slot,
             )
-            cache = {
-                "k": [
-                    jax.lax.dynamic_update_slice(
-                        pool, filled, (slot, 0, 0, 0)
-                    )
-                    for pool, filled in zip(cache["k"], scratch["k"])
-                ],
-                "v": [
-                    jax.lax.dynamic_update_slice(
-                        pool, filled, (slot, 0, 0, 0)
-                    )
-                    for pool, filled in zip(cache["v"], scratch["v"])
-                ],
-                "index": cache["index"].at[slot].set(scratch["index"][0]),
-            }
-            state = state.at[slot].set(dfa.start if dfa else 0)
-            logits = logits.at[slot].set(first_logits[0].astype(jnp.float32))
-            tokens_out = tokens_out.at[slot].set(engine.tokenizer.EOS)
-            out_pos = out_pos.at[slot].set(0)
-            done = done.at[slot].set(False)
-            return cache, state, logits, tokens_out, out_pos, done
 
         return jax.jit(prefill, donate_argnums=(1, 2, 3, 4, 5, 6))
 
-    def _build_decode(self):
+    def _make_step(self, params):
+        """One grammar-constrained decode iteration over all slots
+        (traceable; shared by both chunk programs)."""
         engine = self.engine
         model = engine.model
         dfa = self.dfa
@@ -234,8 +258,7 @@ class ContinuousBatcher:
         block_width = self.block_width
         forced = self._forced
 
-        def make_step(params):
-          def step(carry, key):
+        def step(carry, key):
             cache, state, logits, tokens, out_pos, done = carry
             if table is not None:
                 masked = dfa.constrain(logits, state, table)
@@ -284,8 +307,9 @@ class ContinuousBatcher:
             logits = picked.astype(jnp.float32)
             return (cache, state, logits, tokens, out_pos, done), None
 
-          return step
+        return step
 
+    def _build_decode(self):
         def decode_chunk(params, cache, state, logits, tokens, out_pos, done,
                          rng, n_steps):
             # ``n_steps`` is a TRACED scalar: one compiled program serves
@@ -293,7 +317,7 @@ class ContinuousBatcher:
             # loop exits early once every slot is done instead of burning
             # the rest of the chunk on frozen rows.
             keys = jax.random.split(rng, self.chunk_steps)
-            step = make_step(params)
+            step = self._make_step(params)
 
             def cond(carry):
                 i, (_, _, _, _, _, done) = carry
@@ -318,6 +342,355 @@ class ContinuousBatcher:
             return carry + (status,)
 
         return jax.jit(decode_chunk, donate_argnums=(1, 2, 3, 4, 5, 6))
+
+    # -- on-device refill ---------------------------------------------------------
+
+    def _init_ring_state(self):
+        """Device-resident request ring + completion buffer.
+
+        The ring holds ``queue_depth`` staged requests (preprocessed patches,
+        prompt tokens, per-request prompt bucket, request id); ``q_head`` /
+        ``q_tail`` are monotonically increasing counts (slot = count %
+        depth). The completion buffer receives evicted finished requests —
+        ``comp_meta`` rows are (request_id, out_pos, complete); at most one
+        eviction happens per decode iteration, and the host harvests +
+        resets the buffer every chunk, so slots + queue_depth rows bound one
+        chunk's completions.
+        """
+        engine = self.engine
+        cfg = engine.config
+        depth = self.queue_depth
+        mesh = engine.mesh
+        replicated = NamedSharding(mesh, P())
+        data_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        # Ring patches are stored POST-preprocess in the compute dtype: the
+        # refill prefill consumes them directly, and staging batches the
+        # preprocess of several requests into one dispatch. Ring entries are
+        # replicated (each refill reads ONE entry on every shard); per-slot
+        # arrays shard with the pool's batch axis.
+        patch_dim = cfg.encoder.patch_dim
+        raw_tokens = cfg.encoder.tokens_per_clip
+        self._q_patches = jax.device_put(
+            jnp.zeros((depth, raw_tokens, patch_dim), jnp.dtype(cfg.dtype)),
+            replicated,
+        )
+        self._q_prompt = jax.device_put(
+            jnp.zeros((depth, self.prompt_len), jnp.int32), replicated
+        )
+        self._q_bucket = jax.device_put(
+            jnp.full((depth,), self.prompt_len, jnp.int32), replicated
+        )
+        self._q_req = jax.device_put(
+            jnp.full((depth,), -1, jnp.int32), replicated
+        )
+        self._q_head = jnp.int32(0)
+        self._q_tail = jnp.int32(0)
+        self._slot_req = jax.device_put(
+            jnp.full((self.slots,), -1, jnp.int32), data_sharding
+        )
+        comp_rows = self.slots + depth
+        self._comp_tokens = jax.device_put(
+            jnp.full((comp_rows, self.out_width), engine.tokenizer.EOS,
+                     jnp.int32),
+            replicated,
+        )
+        self._comp_meta = jax.device_put(
+            jnp.full((comp_rows, 3), -1, jnp.int32), replicated
+        )
+        self._q_head_host = 0
+        self._staged_total = 0
+        self._emitted_total = 0
+
+    def _build_enqueue(self):
+        """One dispatch stages up to ``queue_depth`` requests into the ring.
+
+        ``count`` is traced (any stage size reuses the one compiled
+        program); invalid lanes write their existing ring values back, and
+        because the stage width equals the ring depth, the modular positions
+        are distinct — no scatter aliasing.
+        """
+        depth = self.queue_depth
+
+        def enqueue(q_patches, q_prompt, q_bucket, q_req, q_tail,
+                    new_patches, new_prompt, new_bucket, new_req, count):
+            pos = (q_tail + jnp.arange(depth, dtype=jnp.int32)) % depth
+            valid = jnp.arange(depth) < count
+            q_patches = q_patches.at[pos].set(
+                jnp.where(valid[:, None, None], new_patches, q_patches[pos])
+            )
+            q_prompt = q_prompt.at[pos].set(
+                jnp.where(valid[:, None], new_prompt, q_prompt[pos])
+            )
+            q_bucket = q_bucket.at[pos].set(
+                jnp.where(valid, new_bucket, q_bucket[pos])
+            )
+            q_req = q_req.at[pos].set(jnp.where(valid, new_req, q_req[pos]))
+            return q_patches, q_prompt, q_bucket, q_req, q_tail + count
+
+        return jax.jit(enqueue, donate_argnums=(0, 1, 2, 3))
+
+    def _build_decode_refill(self):
+        """The combined chunk program: decode all slots, refilling finished
+        ones from the device ring inside the loop.
+
+        Each iteration: (1) if any slot is done and the ring is non-empty,
+        evict that slot — record its request into the completion buffer
+        (skipped for never-occupied slots, request id -1) — and prefill the
+        ring head into it; (2) one decode step over all slots. The loop
+        runs ``n_steps`` iterations or until every slot is done AND the
+        ring is empty, whichever first. Everything (eviction, prefill,
+        decode) happens on device — zero host round-trips mid-chunk.
+        """
+        dfa = self.dfa
+        depth = self.queue_depth
+
+        def chunk(params, cache, state, logits, tokens, out_pos, done,
+                  slot_req, q_patches, q_prompt, q_bucket, q_req,
+                  q_head, q_tail, comp_tokens, comp_meta, rng, n_steps):
+            keys = jax.random.split(rng, self.chunk_steps)
+            step = self._make_step(params)
+
+            def refill_one(st):
+                (cache, state, logits, tokens, out_pos, done, slot_req,
+                 q_head, comp_tokens, comp_meta, comp_count) = st
+                slot = jnp.argmax(done).astype(jnp.int32)
+                live = slot_req[slot] >= 0
+                # Eviction record (masked: never-occupied slots write their
+                # own buffer row back).
+                row = jax.lax.dynamic_index_in_dim(
+                    tokens, slot, 0, keepdims=True
+                )
+                old_row = jax.lax.dynamic_slice_in_dim(
+                    comp_tokens, comp_count, 1, 0
+                )
+                comp_tokens = jax.lax.dynamic_update_slice_in_dim(
+                    comp_tokens, jnp.where(live, row, old_row), comp_count, 0
+                )
+                if dfa is not None:
+                    complete = state[slot] == dfa.accept
+                else:
+                    complete = done[slot]
+                meta_row = jnp.stack(
+                    [slot_req[slot], out_pos[slot], complete.astype(jnp.int32)]
+                )[None, :]
+                old_meta = jax.lax.dynamic_slice_in_dim(
+                    comp_meta, comp_count, 1, 0
+                )
+                comp_meta = jax.lax.dynamic_update_slice_in_dim(
+                    comp_meta, jnp.where(live, meta_row, old_meta),
+                    comp_count, 0,
+                )
+                comp_count = comp_count + live.astype(jnp.int32)
+                # Pop the ring head and prefill it into the slot.
+                qi = q_head % depth
+                patches = jax.lax.dynamic_index_in_dim(
+                    q_patches, qi, 0, keepdims=True
+                )
+                prompt = jax.lax.dynamic_index_in_dim(
+                    q_prompt, qi, 0, keepdims=True
+                )
+                bucket = jax.lax.dynamic_index_in_dim(
+                    q_bucket, qi, 0, keepdims=True
+                )
+                cache, state, logits, tokens, out_pos, done = (
+                    self._prefill_body(
+                        params, cache, state, logits, tokens, out_pos, done,
+                        patches, prompt, bucket, slot,
+                    )
+                )
+                slot_req = slot_req.at[slot].set(q_req[qi])
+                return (cache, state, logits, tokens, out_pos, done,
+                        slot_req, q_head + 1, comp_tokens, comp_meta,
+                        comp_count)
+
+            def cond(carry):
+                i, st = carry
+                done_now = st[5]
+                q_head_now = st[7]
+                return (i < n_steps) & ~(
+                    jnp.all(done_now) & (q_head_now >= q_tail)
+                )
+
+            def body(carry):
+                i, st = carry
+                can = jnp.any(st[5]) & (st[7] < q_tail)
+                st = jax.lax.cond(can, refill_one, lambda s: s, st)
+                (cache, state, logits, tokens, out_pos, done, slot_req,
+                 q_head, comp_tokens, comp_meta, comp_count) = st
+                inner = (cache, state, logits, tokens, out_pos, done)
+                inner, _ = step(
+                    inner, keys[jnp.minimum(i, self.chunk_steps - 1)]
+                )
+                cache, state, logits, tokens, out_pos, done = inner
+                return i + 1, (cache, state, logits, tokens, out_pos, done,
+                               slot_req, q_head, comp_tokens, comp_meta,
+                               comp_count)
+
+            st = (cache, state, logits, tokens, out_pos, done, slot_req,
+                  q_head, comp_tokens, comp_meta, jnp.int32(0))
+            _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+            (cache, state, logits, tokens, out_pos, done, slot_req,
+             q_head, comp_tokens, comp_meta, comp_count) = st
+            # Packed status: one device->host transfer tells the scheduler
+            # everything (per-slot done/out_pos/state/request id).
+            status = jnp.stack(
+                [done.astype(jnp.int32), out_pos, state.astype(jnp.int32),
+                 slot_req]
+            )
+            return (cache, state, logits, tokens, out_pos, done, slot_req,
+                    q_head, comp_tokens, comp_meta, comp_count, status)
+
+        # Donate only buffers the program returns (pool state + completion
+        # buffers); the ring arrays are read-only inside the chunk and stay
+        # resident across calls.
+        return jax.jit(chunk, donate_argnums=(1, 2, 3, 4, 5, 6, 7, 14, 15))
+
+    def _stage(self) -> None:
+        """Move queued requests from the host heap into the device ring
+        (one batched preprocess + one enqueue dispatch for the whole stage)."""
+        import heapq
+
+        space = self.queue_depth - self._ring_occupancy()
+        take = min(space, len(self._queue), self.queue_depth)
+        if take <= 0:
+            return
+        engine = self.engine
+        requests = [heapq.heappop(self._queue)[2] for _ in range(take)]
+        frames = np.stack([r.frames for r in requests])
+        # Pad the preprocess batch to the ring depth so every stage size
+        # reuses one compiled preprocess program.
+        if take < self.queue_depth:
+            pad = np.zeros(
+                (self.queue_depth - take,) + frames.shape[1:], frames.dtype
+            )
+            frames = np.concatenate([frames, pad], axis=0)
+        patches = engine.preprocess(frames)
+        prompts = np.zeros((self.queue_depth, self.prompt_len), np.int32)
+        buckets = np.full((self.queue_depth,), self.prompt_len, np.int32)
+        reqs = np.full((self.queue_depth,), -1, np.int32)
+        for i, request in enumerate(requests):
+            prompts[i] = engine.tokenizer.encode_array(
+                request.prompt, self.prompt_len, add_bos=True
+            )
+            n_tokens = len(engine.tokenizer.encode(request.prompt)) + 1
+            buckets[i] = min(_round_up(n_tokens, 128), self.prompt_len)
+            reqs[i] = request.request_id
+        (self._q_patches, self._q_prompt, self._q_bucket, self._q_req,
+         self._q_tail) = self._enqueue(
+            self._q_patches, self._q_prompt, self._q_bucket, self._q_req,
+            self._q_tail, patches, jnp.asarray(prompts),
+            jnp.asarray(buckets), jnp.asarray(reqs), jnp.int32(take),
+        )
+        self._staged_total += take
+
+    def _ring_occupancy(self) -> int:
+        return int(self._q_tail) - self._q_head_host
+
+    def _emit(self, req_id: int, ids: list[int], complete: bool) -> Completion:
+        text = self.engine.tokenizer.decode(ids)
+        now = time.perf_counter()
+        submitted = self._submit_time.pop(req_id, now)
+        self._emitted_total += 1
+        return Completion(
+            req_id, text, len(ids), bool(complete),
+            # On-device refill: the host cannot observe the true first-token
+            # instant mid-chunk; harvest time is an honest upper bound.
+            first_token_s=round(now - submitted, 4),
+            token_ids=ids,
+        )
+
+    def _run_device(
+        self,
+        on_complete: Callable[[Completion], None] | None,
+        drain: bool,
+    ) -> list[Completion]:
+        """Drive the on-device scheduler: stage -> chunk -> harvest."""
+        results: list[Completion] = []
+        self._q_head_host = int(self._q_head)
+        # Adopt slots prefilled through the host-path API (_fill_slots) so
+        # both entry points compose; device refills bypass self._slots.
+        host_filled = [
+            (i, s.request_id) for i, s in enumerate(self._slots)
+            if s.request_id is not None
+        ]
+        if host_filled:
+            slot_req = np.asarray(self._slot_req).copy()
+            for i, req_id in host_filled:
+                if slot_req[i] < 0:
+                    slot_req[i] = req_id
+                self._slots[i].request_id = None
+            self._slot_req = jax.device_put(
+                jnp.asarray(slot_req), self._slot_req.sharding
+            )
+        if (
+            not self._queue
+            and self._ring_occupancy() == 0
+            and not int((np.asarray(self._slot_req) >= 0).sum())
+        ):
+            return []
+
+        def harvest_ring(comp_meta, comp_tokens, comp_count) -> None:
+            meta = np.asarray(comp_meta)[:comp_count]
+            toks = np.asarray(comp_tokens)[:comp_count]
+            for row, tok_row in zip(meta, toks):
+                req_id, out_pos, complete = int(row[0]), int(row[1]), row[2]
+                completion = self._emit(
+                    req_id, tok_row[:out_pos].tolist(), bool(complete)
+                )
+                results.append(completion)
+                if on_complete is not None:
+                    on_complete(completion)
+
+        while True:
+            self._stage()
+            self._rng, key = jax.random.split(self._rng)
+            (self.cache, self.state, self.logits, self.tokens_out,
+             self.out_pos, self.done, self._slot_req, self._q_head,
+             self._comp_tokens, self._comp_meta, comp_count, status) = (
+                self._decode_refill(
+                    self.engine.params, self.cache, self.state, self.logits,
+                    self.tokens_out, self.out_pos, self.done, self._slot_req,
+                    self._q_patches, self._q_prompt, self._q_bucket,
+                    self._q_req, self._q_head, self._q_tail,
+                    self._comp_tokens, self._comp_meta, key,
+                    jnp.int32(self.chunk_steps),
+                )
+            )
+            status_np = np.asarray(status)
+            comp_n = int(comp_count)
+            self._q_head_host = int(self._q_head)
+            if comp_n:
+                harvest_ring(self._comp_meta, self._comp_tokens, comp_n)
+            done_np, out_pos_np, state_np, slot_req_np = status_np
+            live = int((slot_req_np >= 0).sum())
+            unfinished = int(((slot_req_np >= 0) & (done_np == 0)).sum())
+            queued = self._ring_occupancy() > 0 or bool(self._queue)
+            if not queued and unfinished == 0:
+                # Final harvest: finished slots never evicted (ring empty).
+                if live:
+                    tokens = np.asarray(self.tokens_out)
+                    for i in range(self.slots):
+                        if slot_req_np[i] < 0:
+                            continue
+                        complete = True
+                        if self.dfa is not None:
+                            complete = int(state_np[i]) == self.dfa.accept
+                        completion = self._emit(
+                            int(slot_req_np[i]),
+                            tokens[i, : out_pos_np[i]].tolist(),
+                            complete,
+                        )
+                        results.append(completion)
+                        if on_complete is not None:
+                            on_complete(completion)
+                    self._slot_req = jax.device_put(
+                        jnp.full((self.slots,), -1, jnp.int32),
+                        self._slot_req.sharding,
+                    )
+                break
+            if not drain and not queued:
+                break
+        return results
 
     # -- scheduler ----------------------------------------------------------------
 
@@ -399,6 +772,8 @@ class ContinuousBatcher:
         drain: bool = True,
     ) -> list[Completion]:
         """Drive the scheduler until the queue and all slots drain."""
+        if self.device_refill:
+            return self._run_device(on_complete, drain)
         all_results: list[Completion] = []
         while self._queue or any(s.request_id is not None for s in self._slots):
             self._fill_slots()
