@@ -46,6 +46,9 @@ FPS = 2.0
 # shorter segments mean more rows per sharded batch (weight reads amortize
 # over more rows) but more prefills. 60 is the measured sweet spot default.
 SEGMENT_SECONDS = int(os.environ.get("VTX_BENCH_SEGMENT_SECONDS", "60"))
+# Continuous batching (parallel/serving.py on-device refill) vs the plain
+# run-to-completion sharded sweep for the segment batch.
+CONTINUOUS = os.environ.get("VTX_BENCH_CONTINUOUS", "") not in ("", "0", "false")
 
 # Peak dense bf16 throughput per chip, for the MFU estimate.
 _PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e12}
@@ -101,6 +104,7 @@ def make_analyzer(engine, temp_dir: Path):
                 "min_segment_seconds": 16,
                 "hard_max_api_calls": 200,
                 "consolidate": False,
+                "continuous_batching": CONTINUOUS,
             },
         },
         "engine": {},
@@ -271,6 +275,7 @@ def main() -> int:
                         ),
                         "model_preset": PRESET,
                         "quantize": QUANTIZE,
+                        "continuous_batching": CONTINUOUS,
                         "segment_seconds": SEGMENT_SECONDS,
                         "model_params": n_params,
                         "mfu_decode": round(mfu_decode, 5),

@@ -281,13 +281,24 @@ def render_composite_clip(
     title AND surface the secondary in takeaways/connections, so the model
     has to read both regions — single-signature shortcuts (global color
     statistics) stop working.
+
+    The bottom band holds the secondary's FULL frame vertically squeezed
+    into the band (nearest-neighbor rows, stripes and shapes stay crisp) —
+    not a crop of its bottom rows. Round-2 composites cropped, which
+    discarded the shape-count channel entirely (the moving squares live at
+    0.2-0.8 of frame height, mostly above the crop) and left the band
+    carrying only hue + stripes; two-signature grounding sat at 0/8
+    (ROADMAP round-2 diagnosis: the secondary's band signal "dies in
+    pooling" — it was never fully there). Squeezing preserves all three
+    signature channels at band scale.
     """
     rng = rng or np.random.default_rng(primary_idx * 97 + secondary_idx)
     top = render_topic_clip(primary_idx, num_frames, size, rng)
     bottom = render_topic_clip(secondary_idx, num_frames, size, rng)
     split = int(size * 0.6)
+    band_rows = np.linspace(0, size - 1, size - split).round().astype(int)
     frames = top.copy()
-    frames[:, split:] = bottom[:, split:]
+    frames[:, split:] = bottom[:, band_rows]
     return frames
 
 

@@ -160,6 +160,15 @@ def _grounded_batches(config, batch, text_len, logger, prompt=None,
         out += rng.normal(0.0, rng.uniform(0.0, 6.0), out.shape)  # sensor noise
         shift = int(rng.integers(0, frames.shape[0]))  # temporal phase
         out = np.roll(out, shift, axis=0)
+        # Spatial translation (wrap-around): shifts every sample off the
+        # patch grid so the model cannot memorize per-position pixels
+        # (round-2 collapse driver); signatures survive — stripes only
+        # phase-shift, shapes move, hue is global. The vertical range stays
+        # small so composite band boundaries barely smear.
+        size = frames.shape[1]
+        dy = int(rng.integers(-(size // 32), size // 32 + 1))
+        dx = int(rng.integers(-(size // 8), size // 8 + 1))
+        out = np.roll(out, (dy, dx), axis=(1, 2))
         return np.clip(out, 0.0, 255.0).astype(np.uint8)
 
     import jax.numpy as jnp
