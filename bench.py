@@ -52,6 +52,11 @@ CONTINUOUS = os.environ.get("VTX_BENCH_CONTINUOUS", "") not in ("", "0", "false"
 
 # Peak dense bf16 throughput per chip, for the MFU estimate.
 _PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e12}
+# MEASURED HBM copy bandwidth of the attached chip (tools/roofline.py; the
+# axon-tunneled part measures ~139 GB/s, far below the v5e paper 819 GB/s —
+# see docs/roofline.md). Override with VTX_HBM_PEAK_GBPS when benching on a
+# different part.
+_HBM_PEAK = float(os.environ.get("VTX_HBM_PEAK_GBPS", "139")) * 1e9
 
 
 def _param_count(tree) -> int:
@@ -138,12 +143,32 @@ def synth_video(path: Path, seconds: float, fps: float, size: int = 128) -> None
     write_y4m(path, frames, fps=fps)
 
 
+def _decoder_stream_bytes(engine) -> int:
+    """HBM bytes one decode step streams: the decoder subtree as placed
+    (int8 kernels + scales + bf16 norms/embeds; the embedding gather and
+    B-bounded head reads are within noise of the full-subtree figure)."""
+    import jax
+
+    total = 0
+    for collection in engine.params.values():
+        decoder = collection.get("decoder") if isinstance(collection, dict) else None
+        if decoder is None:
+            continue
+        total += sum(
+            leaf.nbytes for leaf in jax.tree_util.tree_leaves(decoder)
+        )
+    return total
+
+
 def _decode_microbench(engine, batch: int = 16, repeats: int = 3) -> dict:
     """Median tokens/s of the constrained decode at a fixed prompt/batch.
 
     Reuses the bench engine (grammar + sampling + forced fast-forward — the
     real serving path). Token counts vary slightly with sampling; tok/s =
-    tokens/wall is the stable statistic.
+    tokens/wall is the stable statistic. ``hbm_bw_util`` = decoder bytes x
+    decode steps / wall, against the MEASURED chip copy bandwidth
+    (docs/roofline.md): decode is weight-stream bound, so this is the
+    utilization that matters.
     """
     prompts = ["请根据视频内容生成结构化要点笔记，覆盖全部章节。"] * batch
     engine.generate_text(prompts)  # compile + warm the bucket
@@ -153,12 +178,18 @@ def _decode_microbench(engine, batch: int = 16, repeats: int = 3) -> dict:
         start = time.perf_counter()
         engine.generate_text(prompts)
         wall = time.perf_counter() - start
-        samples.append((engine.stats.tokens_generated / wall, wall))
+        samples.append(
+            (engine.stats.tokens_generated / wall, wall,
+             engine.stats.decode_steps)
+        )
     samples.sort()
-    tok_s, wall = samples[len(samples) // 2]
+    tok_s, wall, steps = samples[len(samples) // 2]
+    bw_util = _decoder_stream_bytes(engine) * (steps / wall) / _HBM_PEAK
     return {"decode_fixed_tok_s": round(tok_s, 1),
             "decode_fixed_wall_s": round(wall, 3),
-            "decode_fixed_batch": batch}
+            "decode_fixed_batch": batch,
+            "decode_fixed_steps": int(steps),
+            "hbm_bw_util": round(bw_util, 4)}
 
 
 def run_once(engine, work_dir: Path, label: str):

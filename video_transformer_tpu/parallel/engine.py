@@ -74,6 +74,10 @@ class EngineStats:
     preprocess_seconds: float = 0.0
     session_resumes: int = 0
     """Decode-only continuation rounds (each one saved a full re-prefill)."""
+    decode_steps: int = 0
+    """While-loop iterations (decoder forwards). Each streams the decoder
+    weights once — decode_steps / generate_seconds x weight bytes is the
+    HBM-bandwidth utilization numerator (bench.py hbm_bw_util)."""
 
     @property
     def tokens_per_second(self) -> float:
@@ -89,6 +93,7 @@ class EngineStats:
             "frames_preprocessed": self.frames_preprocessed,
             "preprocess_seconds": round(self.preprocess_seconds, 3),
             "session_resumes": self.session_resumes,
+            "decode_steps": self.decode_steps,
         }
 
 
@@ -449,13 +454,13 @@ class InferenceEngine:
             carry = (
                 jnp.int32(0), logits, cache, state, tokens, out_pos, finished, rng
             )
-            _, logits, cache, state, tokens, out_pos, finished, _ = (
+            steps, logits, cache, state, tokens, out_pos, finished, _ = (
                 jax.lax.while_loop(cond, body, carry)
             )
             # complete = the grammar accepted (or EOS without a grammar) —
             # a False row ran out of token budget and can be continued.
             complete = (state == dfa.accept) if dfa else finished
-            return tokens, out_pos, complete, logits, cache, state, finished
+            return tokens, out_pos, complete, logits, cache, state, finished, steps
 
         return run_decode
 
@@ -534,12 +539,13 @@ class InferenceEngine:
             done = ~active
             if dfa:
                 done = done | (state == dfa.accept)
-            tokens, out_pos, complete, logits, cache, state, done = run_decode(
-                params, logits, cache, state, done, rng
+            tokens, out_pos, complete, logits, cache, state, done, steps = (
+                run_decode(params, logits, cache, state, done, rng)
             )
             if with_session:
-                return tokens, out_pos, complete, logits, cache, state, done
-            return tokens, out_pos, complete
+                return (tokens, out_pos, complete, steps,
+                        logits, cache, state, done)
+            return tokens, out_pos, complete, steps
 
         replicated = NamedSharding(self.mesh, P())
         if with_video:
@@ -565,6 +571,7 @@ class InferenceEngine:
                 data_sharding,
                 replicated,
             )
+        replicated_out = NamedSharding(self.mesh, P())
         if with_session:
             cache_shardings = {
                 "k": NamedSharding(self.mesh, kv_spec),
@@ -572,11 +579,13 @@ class InferenceEngine:
                 "index": data_sharding,
             }
             out_shardings = (
-                data_sharding, data_sharding, data_sharding, data_sharding,
-                cache_shardings, data_sharding, data_sharding,
+                data_sharding, data_sharding, data_sharding, replicated_out,
+                data_sharding, cache_shardings, data_sharding, data_sharding,
             )
         else:
-            out_shardings = (data_sharding, data_sharding, data_sharding)
+            out_shardings = (
+                data_sharding, data_sharding, data_sharding, replicated_out
+            )
         return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_shardings)
 
     def _get_generate(
@@ -625,7 +634,7 @@ class InferenceEngine:
                 ),
                 out_shardings=(
                     data_sharding, data_sharding, data_sharding, data_sharding,
-                    cache_shardings, data_sharding, data_sharding,
+                    cache_shardings, data_sharding, data_sharding, replicated,
                 ),
                 donate_argnums=(2,),
             )
@@ -957,7 +966,7 @@ class InferenceEngine:
         self._rng, key = jax.random.split(self._rng)
         start = time.perf_counter()
         with tracer.span("engine.continue_session", batch=session.b_real):
-            tokens, out_pos, complete, logits, cache, state, done = fn(
+            tokens, out_pos, complete, logits, cache, state, done, steps = fn(
                 self.params, session.logits, session.cache, session.state,
                 session.done, key,
             )
@@ -977,6 +986,7 @@ class InferenceEngine:
         self.stats.session_resumes += 1
         self.stats.tokens_generated += int(out_pos[:b_real].sum())
         self.stats.generate_seconds += elapsed
+        self.stats.decode_steps += int(steps)
 
         ids = [tokens[i, : out_pos[i]].tolist() for i in range(b_real)]
         texts = [self.tokenizer.decode(row) for row in ids]
@@ -997,9 +1007,10 @@ class InferenceEngine:
                 jnp.asarray(states), key,
             )
             if with_session:
-                tokens, out_pos, complete, logits, cache, state, done = outs
+                (tokens, out_pos, complete, steps,
+                 logits, cache, state, done) = outs
             else:
-                tokens, out_pos, complete = outs
+                tokens, out_pos, complete, steps = outs
             tokens = np.asarray(tokens)
         out_pos = np.asarray(out_pos)
         complete_np = np.asarray(complete)
@@ -1008,6 +1019,7 @@ class InferenceEngine:
         self.stats.generate_calls += 1
         self.stats.tokens_generated += int(out_pos[:b_real].sum())
         self.stats.generate_seconds += elapsed
+        self.stats.decode_steps += int(steps)
         video_tokens = self.config.video_tokens if with_video else 0
         self.stats.prefill_tokens += b_real * (video_tokens + prompt_width)
 

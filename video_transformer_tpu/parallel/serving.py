@@ -444,10 +444,20 @@ class ContinuousBatcher:
         dfa = self.dfa
         depth = self.queue_depth
 
+        # On-device refill removes the reason for short chunks: one dispatch
+        # can drain an entire staged wave (refills included) and the loop
+        # early-exits the moment everything is done — so the key array (and
+        # the iteration budget _run_device passes) covers a full generation
+        # plus one refill iteration per staged request. Short chunks only
+        # bound streaming-harvest latency; behind a remote-dispatch tunnel
+        # every extra chunk is a ~1 s round-trip (measured: chunk_steps=64
+        # cost 44 s of host_other on the 10-segment bench sweep).
+        self._device_steps = self.max_new + self.slots + self.queue_depth
+
         def chunk(params, cache, state, logits, tokens, out_pos, done,
                   slot_req, q_patches, q_prompt, q_bucket, q_req,
                   q_head, q_tail, comp_tokens, comp_meta, rng, n_steps):
-            keys = jax.random.split(rng, self.chunk_steps)
+            keys = jax.random.split(rng, self._device_steps)
             step = self._make_step(params)
 
             def refill_one(st):
@@ -519,7 +529,7 @@ class ContinuousBatcher:
                  q_head, comp_tokens, comp_meta, comp_count) = st
                 inner = (cache, state, logits, tokens, out_pos, done)
                 inner, _ = step(
-                    inner, keys[jnp.minimum(i, self.chunk_steps - 1)]
+                    inner, keys[jnp.minimum(i, self._device_steps - 1)]
                 )
                 cache, state, logits, tokens, out_pos, done = inner
                 return i + 1, (cache, state, logits, tokens, out_pos, done,
@@ -591,6 +601,7 @@ class ContinuousBatcher:
         now = time.perf_counter()
         submitted = self._submit_time.pop(req_id, now)
         self._emitted_total += 1
+        self.engine.stats.tokens_generated += len(ids)
         return Completion(
             req_id, text, len(ids), bool(complete),
             # On-device refill: the host cannot observe the true first-token
@@ -641,9 +652,11 @@ class ContinuousBatcher:
                 if on_complete is not None:
                     on_complete(completion)
 
+        stats = self.engine.stats
         while True:
             self._stage()
             self._rng, key = jax.random.split(self._rng)
+            chunk_start = time.perf_counter()
             (self.cache, self.state, self.logits, self.tokens_out,
              self.out_pos, self.done, self._slot_req, self._q_head,
              self._comp_tokens, self._comp_meta, comp_count, status) = (
@@ -653,10 +666,12 @@ class ContinuousBatcher:
                     self._q_patches, self._q_prompt, self._q_bucket,
                     self._q_req, self._q_head, self._q_tail,
                     self._comp_tokens, self._comp_meta, key,
-                    jnp.int32(self.chunk_steps),
+                    jnp.int32(self._device_steps),
                 )
             )
             status_np = np.asarray(status)
+            stats.generate_calls += 1
+            stats.generate_seconds += time.perf_counter() - chunk_start
             comp_n = int(comp_count)
             self._q_head_host = int(self._q_head)
             if comp_n:
