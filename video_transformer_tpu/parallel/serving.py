@@ -348,14 +348,20 @@ class ContinuousBatcher:
     def _init_ring_state(self):
         """Device-resident request ring + completion buffer.
 
-        The ring holds ``queue_depth`` staged requests (preprocessed patches,
-        prompt tokens, per-request prompt bucket, request id); ``q_head`` /
-        ``q_tail`` are monotonically increasing counts (slot = count %
-        depth). The completion buffer receives evicted finished requests —
-        ``comp_meta`` rows are (request_id, out_pos, complete); at most one
-        eviction happens per decode iteration, and the host harvests +
-        resets the buffer every chunk, so slots + queue_depth rows bound one
-        chunk's completions.
+        The ring holds ``queue_depth`` staged requests PRE-PREFILLED: parked
+        per-layer K/V over the video+prompt region, the first-token logits,
+        the per-request cache index (video + own prompt bucket), and the
+        request id. Staging runs ONE batched prefill dispatch for the whole
+        stage; the in-loop refill is then pure memory movement (parked rows
+        copied into the slot pool) — keeping the model forward OUT of the
+        decode loop's cond branch, which XLA could not compile in
+        reasonable time at base scale (>40 min observed).
+
+        ``q_head`` / ``q_tail`` are monotonically increasing counts (ring
+        slot = count % depth). The completion buffer receives evicted
+        finished requests — ``comp_meta`` rows are (request_id, out_pos,
+        complete); the host harvests + resets it every chunk, so slots +
+        queue_depth rows bound one chunk's completions.
         """
         engine = self.engine
         cfg = engine.config
@@ -363,22 +369,30 @@ class ContinuousBatcher:
         mesh = engine.mesh
         replicated = NamedSharding(mesh, P())
         data_sharding = NamedSharding(mesh, P(DATA_AXIS))
-        # Ring patches are stored POST-preprocess in the compute dtype: the
-        # refill prefill consumes them directly, and staging batches the
-        # preprocess of several requests into one dispatch. Ring entries are
-        # replicated (each refill reads ONE entry on every shard); per-slot
-        # arrays shard with the pool's batch axis.
-        patch_dim = cfg.encoder.patch_dim
-        raw_tokens = cfg.encoder.tokens_per_clip
-        self._q_patches = jax.device_put(
-            jnp.zeros((depth, raw_tokens, patch_dim), jnp.dtype(cfg.dtype)),
-            replicated,
+        dtype = jnp.dtype(cfg.dtype)
+        dec = cfg.decoder
+        self.park_len = cfg.video_tokens + self.prompt_len
+        # Parked K/V heads shard over the model axis exactly like the pool's
+        # (column-parallel projections produce them head-sharded).
+        model_axis = mesh.shape[MODEL_AXIS]
+        if model_axis > 1 and dec.num_kv_heads % model_axis == 0:
+            park_spec = NamedSharding(mesh, P(None, MODEL_AXIS))
+        else:
+            park_spec = replicated
+        shape = (depth, dec.num_kv_heads, self.park_len, dec.head_dim)
+        self._q_k = [
+            jax.device_put(jnp.zeros(shape, dtype), park_spec)
+            for _ in range(dec.num_layers)
+        ]
+        self._q_v = [
+            jax.device_put(jnp.zeros(shape, dtype), park_spec)
+            for _ in range(dec.num_layers)
+        ]
+        self._q_index = jax.device_put(
+            jnp.zeros((depth,), jnp.int32), replicated
         )
-        self._q_prompt = jax.device_put(
-            jnp.zeros((depth, self.prompt_len), jnp.int32), replicated
-        )
-        self._q_bucket = jax.device_put(
-            jnp.full((depth,), self.prompt_len, jnp.int32), replicated
+        self._q_logits = jax.device_put(
+            jnp.zeros((depth, dec.vocab_size), jnp.float32), replicated
         )
         self._q_req = jax.device_put(
             jnp.full((depth,), -1, jnp.int32), replicated
@@ -402,32 +416,56 @@ class ContinuousBatcher:
         self._emitted_total = 0
 
     def _build_enqueue(self):
-        """One dispatch stages up to ``queue_depth`` requests into the ring.
+        """One dispatch stages up to ``queue_depth`` requests into the ring:
+        a BATCHED video+prompt prefill over the whole stage, scattered into
+        the parked-KV ring at positions (q_tail + i) % depth.
 
         ``count`` is traced (any stage size reuses the one compiled
         program); invalid lanes write their existing ring values back, and
         because the stage width equals the ring depth, the modular positions
         are distinct — no scatter aliasing.
         """
+        engine = self.engine
+        cfg = engine.config
+        model = engine.model
         depth = self.queue_depth
 
-        def enqueue(q_patches, q_prompt, q_bucket, q_req, q_tail,
-                    new_patches, new_prompt, new_bucket, new_req, count):
+        def enqueue(params, q_k, q_v, q_index, q_logits, q_req, q_tail,
+                    patches, prompt, lengths, new_req, count):
+            scratch = init_kv_cache(
+                cfg.decoder, depth, self.park_len, jnp.dtype(cfg.dtype)
+            )
+            first_logits, scratch = model.apply(
+                params, patches, prompt, scratch, lengths,
+                method=VideoLM.prefill,
+            )
             pos = (q_tail + jnp.arange(depth, dtype=jnp.int32)) % depth
             valid = jnp.arange(depth) < count
-            q_patches = q_patches.at[pos].set(
-                jnp.where(valid[:, None, None], new_patches, q_patches[pos])
+            q_k = [
+                ring.at[pos].set(
+                    jnp.where(valid[:, None, None, None], filled, ring[pos])
+                )
+                for ring, filled in zip(q_k, scratch["k"])
+            ]
+            q_v = [
+                ring.at[pos].set(
+                    jnp.where(valid[:, None, None, None], filled, ring[pos])
+                )
+                for ring, filled in zip(q_v, scratch["v"])
+            ]
+            q_index = q_index.at[pos].set(
+                jnp.where(valid, scratch["index"], q_index[pos])
             )
-            q_prompt = q_prompt.at[pos].set(
-                jnp.where(valid[:, None], new_prompt, q_prompt[pos])
-            )
-            q_bucket = q_bucket.at[pos].set(
-                jnp.where(valid, new_bucket, q_bucket[pos])
+            q_logits = q_logits.at[pos].set(
+                jnp.where(
+                    valid[:, None], first_logits.astype(jnp.float32),
+                    q_logits[pos],
+                )
             )
             q_req = q_req.at[pos].set(jnp.where(valid, new_req, q_req[pos]))
-            return q_patches, q_prompt, q_bucket, q_req, q_tail + count
+            return q_k, q_v, q_index, q_logits, q_req, q_tail + count
 
-        return jax.jit(enqueue, donate_argnums=(0, 1, 2, 3))
+        return jax.jit(enqueue, donate_argnums=(1, 2, 3, 4, 5))
 
     def _build_decode_refill(self):
         """The combined chunk program: decode all slots, refilling finished
@@ -435,11 +473,13 @@ class ContinuousBatcher:
 
         Each iteration: (1) if any slot is done and the ring is non-empty,
         evict that slot — record its request into the completion buffer
-        (skipped for never-occupied slots, request id -1) — and prefill the
-        ring head into it; (2) one decode step over all slots. The loop
-        runs ``n_steps`` iterations or until every slot is done AND the
-        ring is empty, whichever first. Everything (eviction, prefill,
-        decode) happens on device — zero host round-trips mid-chunk.
+        (skipped for never-occupied slots, request id -1) — and adopt the
+        ring head's PARKED prefill (K/V rows, index, first logits) into it;
+        (2) one decode step over all slots. The loop runs ``n_steps``
+        iterations or until every slot is done AND the ring is empty,
+        whichever first. The refill branch is pure memory movement — the
+        model forward stays out of the loop's cond (staging prefills), so
+        this compiles like a plain decode program.
         """
         dfa = self.dfa
         depth = self.queue_depth
@@ -455,7 +495,7 @@ class ContinuousBatcher:
         self._device_steps = self.max_new + self.slots + self.queue_depth
 
         def chunk(params, cache, state, logits, tokens, out_pos, done,
-                  slot_req, q_patches, q_prompt, q_bucket, q_req,
+                  slot_req, q_k, q_v, q_index, q_logits, q_req,
                   q_head, q_tail, comp_tokens, comp_meta, rng, n_steps):
             keys = jax.random.split(rng, self._device_steps)
             step = self._make_step(params)
@@ -491,23 +531,37 @@ class ContinuousBatcher:
                     comp_count, 0,
                 )
                 comp_count = comp_count + live.astype(jnp.int32)
-                # Pop the ring head and prefill it into the slot.
+                # Pop the ring head: adopt its parked prefill into the slot
+                # (per-layer K/V row copy + index/logits/state resets).
                 qi = q_head % depth
-                patches = jax.lax.dynamic_index_in_dim(
-                    q_patches, qi, 0, keepdims=True
-                )
-                prompt = jax.lax.dynamic_index_in_dim(
-                    q_prompt, qi, 0, keepdims=True
-                )
-                bucket = jax.lax.dynamic_index_in_dim(
-                    q_bucket, qi, 0, keepdims=True
-                )
-                cache, state, logits, tokens, out_pos, done = (
-                    self._prefill_body(
-                        params, cache, state, logits, tokens, out_pos, done,
-                        patches, prompt, bucket, slot,
-                    )
-                )
+                cache = {
+                    "k": [
+                        jax.lax.dynamic_update_slice(
+                            pool,
+                            jax.lax.dynamic_index_in_dim(
+                                park, qi, 0, keepdims=True
+                            ),
+                            (slot, 0, 0, 0),
+                        )
+                        for pool, park in zip(cache["k"], q_k)
+                    ],
+                    "v": [
+                        jax.lax.dynamic_update_slice(
+                            pool,
+                            jax.lax.dynamic_index_in_dim(
+                                park, qi, 0, keepdims=True
+                            ),
+                            (slot, 0, 0, 0),
+                        )
+                        for pool, park in zip(cache["v"], q_v)
+                    ],
+                    "index": cache["index"].at[slot].set(q_index[qi]),
+                }
+                state = state.at[slot].set(dfa.start if dfa else 0)
+                logits = logits.at[slot].set(q_logits[qi])
+                tokens = tokens.at[slot].set(self.engine.tokenizer.EOS)
+                out_pos = out_pos.at[slot].set(0)
+                done = done.at[slot].set(False)
                 slot_req = slot_req.at[slot].set(q_req[qi])
                 return (cache, state, logits, tokens, out_pos, done,
                         slot_req, q_head + 1, comp_tokens, comp_meta,
@@ -552,12 +606,17 @@ class ContinuousBatcher:
 
         # Donate only buffers the program returns (pool state + completion
         # buffers); the ring arrays are read-only inside the chunk and stay
-        # resident across calls.
-        return jax.jit(chunk, donate_argnums=(1, 2, 3, 4, 5, 6, 7, 14, 15))
+        # resident across calls. Arg order: params(0), cache..slot_req(1-7),
+        # q_k/q_v/q_index/q_logits/q_req(8-12), q_head/q_tail(13-14),
+        # comp_tokens/comp_meta(15-16), rng(17), n_steps(18).
+        return jax.jit(chunk, donate_argnums=(1, 2, 3, 4, 5, 6, 7, 15, 16))
 
     def _stage(self) -> None:
-        """Move queued requests from the host heap into the device ring
-        (one batched preprocess + one enqueue dispatch for the whole stage)."""
+        """Move queued requests from the host heap into the device ring:
+        one batched preprocess + ONE batched prefill/enqueue dispatch for
+        the whole stage. Per-request prompt buckets are preserved
+        (train/serve prompt-block alignment) — ``lengths`` marks each row's
+        own round_up(tokens+1, 128) bucket inside the shared prompt block."""
         import heapq
 
         space = self.queue_depth - self._ring_occupancy()
@@ -576,7 +635,7 @@ class ContinuousBatcher:
             frames = np.concatenate([frames, pad], axis=0)
         patches = engine.preprocess(frames)
         prompts = np.zeros((self.queue_depth, self.prompt_len), np.int32)
-        buckets = np.full((self.queue_depth,), self.prompt_len, np.int32)
+        buckets = np.full((self.queue_depth,), 128, np.int32)
         reqs = np.full((self.queue_depth,), -1, np.int32)
         for i, request in enumerate(requests):
             prompts[i] = engine.tokenizer.encode_array(
@@ -585,11 +644,12 @@ class ContinuousBatcher:
             n_tokens = len(engine.tokenizer.encode(request.prompt)) + 1
             buckets[i] = min(_round_up(n_tokens, 128), self.prompt_len)
             reqs[i] = request.request_id
-        (self._q_patches, self._q_prompt, self._q_bucket, self._q_req,
+        (self._q_k, self._q_v, self._q_index, self._q_logits, self._q_req,
          self._q_tail) = self._enqueue(
-            self._q_patches, self._q_prompt, self._q_bucket, self._q_req,
-            self._q_tail, patches, jnp.asarray(prompts),
-            jnp.asarray(buckets), jnp.asarray(reqs), jnp.int32(take),
+            engine.params, self._q_k, self._q_v, self._q_index,
+            self._q_logits, self._q_req, self._q_tail, patches,
+            jnp.asarray(prompts), jnp.asarray(buckets), jnp.asarray(reqs),
+            jnp.int32(take),
         )
         self._staged_total += take
 
@@ -663,7 +723,7 @@ class ContinuousBatcher:
                 self._decode_refill(
                     self.engine.params, self.cache, self.state, self.logits,
                     self.tokens_out, self.out_pos, self.done, self._slot_req,
-                    self._q_patches, self._q_prompt, self._q_bucket,
+                    self._q_k, self._q_v, self._q_index, self._q_logits,
                     self._q_req, self._q_head, self._q_tail,
                     self._comp_tokens, self._comp_meta, key,
                     jnp.int32(self._device_steps),
