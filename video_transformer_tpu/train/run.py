@@ -276,6 +276,14 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     logger = setup_logging(args.log_dir, log_name="train.log")
+    from ..parallel.mesh import maybe_initialize_distributed
+
+    if maybe_initialize_distributed():
+        import jax as _jax
+
+        logger.info(
+            f"joined pod: process {_jax.process_index()}/{_jax.process_count()}"
+        )
     if args.prompt_len >= args.text_len:
         args.prompt_len = args.text_len // 2
         logger.info(
