@@ -74,7 +74,8 @@ def test_notes_mention_the_topic_in_the_frames(engine):
         ]
     )
     prompt = render_prompt(
-        "analysis", {"duration_label": format_seconds(120)}
+        "analysis", {"duration_label": format_seconds(120)},
+        profile="compact",
     )
     texts = engine.generate(frames, [prompt] * len(topic_ids))
 
@@ -108,6 +109,8 @@ def test_different_frames_same_prompt_different_notes(engine):
             render_topic_clip(11, config.encoder.num_frames, config.encoder.image_size, rng),
         ]
     )
-    prompt = render_prompt("analysis", {"duration_label": format_seconds(60)})
+    prompt = render_prompt(
+        "analysis", {"duration_label": format_seconds(60)}, profile="compact"
+    )
     a, b = engine.generate(frames, [prompt, prompt])
     assert json.loads(a)["title"] != json.loads(b)["title"]

@@ -276,6 +276,50 @@ class TestPrompts:
         with pytest.raises(KeyError):
             render_prompt("analysis", {})
 
+    def test_compact_profile_selects_training_templates(self):
+        """Distilled checkpoints must serve the exact templates they were
+        trained on (round-2 originals): the compact profile maps analysis/
+        segment_analysis to their _compact variants and leaves everything
+        else (and the spec profile) untouched."""
+        spec = render_prompt("analysis", {"duration_label": "00:10:00"})
+        compact = render_prompt(
+            "analysis", {"duration_label": "00:10:00"}, profile="compact"
+        )
+        assert compact != spec
+        assert "knowledge-distillation assistant" in compact
+        assert len(compact) < len(spec) / 5
+        # Templates without a compact variant are shared across profiles.
+        shared = render_prompt(
+            "rewrite", {"schema": "s", "feedback": "f"}, profile="compact"
+        )
+        assert shared == render_prompt(
+            "rewrite", {"schema": "s", "feedback": "f"}
+        )
+
+    def test_unknown_profile_rejected(self):
+        with pytest.raises(ValueError):
+            render_prompt(
+                "analysis", {"duration_label": "x"}, profile="mystery"
+            )
+
+    def test_analyzer_config_profile_reaches_prompts(self):
+        """analyzer.prompt_profile: compact flows into the rendered prompt
+        (the out-of-box config serves the shipped distilled checkpoint)."""
+        from video_transformer_tpu.analyzer.content_analyzer import (
+            ContentAnalyzer,
+        )
+        from video_transformer_tpu.utils.counter import APICounter
+
+        analyzer = ContentAnalyzer(
+            {"analyzer": {"prompt_profile": "compact"}},
+            APICounter(max_calls=1),
+            engine=object(),
+        )
+        assert analyzer.prompt_profile == "compact"
+        from video_transformer_tpu.utils.config import load_config
+
+        assert load_config()["analyzer"]["prompt_profile"] == "compact"
+
 
 class TestCLI:
     def test_parser_requires_source(self, capsys):

@@ -128,7 +128,8 @@ class TestTPUEndToEnd:
             ]
         )
         prompt = render_prompt(
-            "analysis", {"duration_label": format_seconds(120)}
+            "analysis", {"duration_label": format_seconds(120)},
+            profile="compact",
         )
         texts = engine.generate(frames, [prompt] * len(ids))
         hits = 0

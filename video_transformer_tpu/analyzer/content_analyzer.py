@@ -75,6 +75,13 @@ class ContentAnalyzer:
         self.analyzer_config = config.get("analyzer", {})
         self.engine_config = config.get("engine", {})
         self.model_name = self.analyzer_config.get("model", "vtx-local")
+        # Prompt profile: "spec" (reference-parity behavioral spec, for
+        # real instruction-following weights) or "compact" (the short
+        # templates the distilled checkpoints were trained on — their
+        # serving prompts must match the training distribution).
+        self.prompt_profile = str(
+            self.analyzer_config.get("prompt_profile", "spec")
+        )
         self._engine = engine
         self._extra_llm_calls_used = 0
 
@@ -229,6 +236,7 @@ class ContentAnalyzer:
                 render_prompt(
                     "analysis",
                     {"duration_label": format_seconds(durations[i] or 0.0)},
+                    profile=self.prompt_profile,
                 )
                 for i in chunk
             ]
@@ -293,7 +301,8 @@ class ContentAnalyzer:
             )
         frames = self._decode_clip(video_path, 0.0, duration or None)
         prompt = render_prompt(
-            "analysis", {"duration_label": format_seconds(duration or 0.0)}
+            "analysis", {"duration_label": format_seconds(duration or 0.0)},
+            profile=self.prompt_profile,
         )
         data = self._generate_note(frames[None], [prompt])[0]
         if data is None:
@@ -663,6 +672,7 @@ class ContentAnalyzer:
                     "start_label": format_seconds(s["start"]),
                     "end_label": format_seconds(s["end"]),
                 },
+                profile=self.prompt_profile,
             )
 
         def record(segment: SegmentEntry, data: dict[str, Any] | None) -> None:

@@ -61,9 +61,12 @@ def run_eval(
 
     rng = np.random.default_rng(seed)
     config = engine.config
+    # Compact profile: distilled checkpoints serve the training-time
+    # templates (the spec profile is out of their prompt distribution).
     prompt = render_prompt(
         "analysis",
         {"duration_label": format_seconds(temperature_prompt_seconds)},
+        profile="compact",
     )
     t_frames = config.encoder.num_frames
     size = config.encoder.image_size

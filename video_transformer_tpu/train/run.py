@@ -266,6 +266,13 @@ def main(argv: list[str] | None = None) -> int:
              "(masked from the loss; 0 disables)",
     )
     parser.add_argument(
+        "--prompt-profile", default="compact", choices=["compact", "spec"],
+        help="prompt templates to train against: compact (short templates — "
+             "what distilled checkpoints serve with) or spec (the full "
+             "reference behavioral spec, ~3.7k tokens; requires a matching "
+             "--prompt-len)",
+    )
+    parser.add_argument(
         "--init-from",
         help="orbax checkpoint (params_N dir or its parent) to initialize "
              "from — continued distillation / fine-tuning",
@@ -361,6 +368,7 @@ def main(argv: list[str] | None = None) -> int:
             return render_prompt(
                 "analysis",
                 {"duration_label": format_seconds(float(rng.integers(30, 7200)))},
+                profile=args.prompt_profile,
             )
         start = float(rng.integers(0, 3600))
         return render_prompt(
@@ -371,6 +379,7 @@ def main(argv: list[str] | None = None) -> int:
                 "start_label": format_seconds(start),
                 "end_label": format_seconds(start + float(rng.integers(60, 600))),
             },
+            profile=args.prompt_profile,
         )
 
     prompt = sample_prompt if args.prompt_len > 0 else None
