@@ -215,6 +215,36 @@ class TestContinuousBatching:
             assert completion.complete
             assert "title" in json.loads(completion.text)
 
+    def test_greedy_batcher_matches_engine_token_for_token(self):
+        """At temperature 0 the batcher's decode (parked prefill + slot
+        pool + chunked loop) must reproduce the engine's run-to-completion
+        output EXACTLY — pins prompt-block alignment, parked-KV adoption,
+        and step semantics in one assertion."""
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1]),
+            dfa=tiny_dfa(),
+            max_new_tokens=96,
+            temperature=0.0,
+            seed=0,
+            compilation_cache_dir=None,
+        )
+        rng = np.random.default_rng(21)
+        frames = rng.integers(0, 255, (2, 4, 32, 32, 3), dtype=np.uint8)
+        prompts = ["分析第一段", "analyze the second clip in detail"]
+        _, _, engine_ids = engine.generate(
+            frames, prompts, return_status=True, return_tokens=True
+        )
+
+        batcher = ContinuousBatcher(
+            engine, slots=2, prompt_len=256, chunk_steps=8
+        )
+        batcher.submit(Request(0, frames[0], prompts[0]))
+        batcher.submit(Request(1, frames[1], prompts[1]))
+        by_id = {c.request_id: c for c in batcher.run()}
+        assert by_id[0].token_ids == engine_ids[0]
+        assert by_id[1].token_ids == engine_ids[1]
+
     def test_completion_reports_token_budget_exhaustion(self):
         """A grammar that cannot finish within max_new yields complete=False
         (the scheduler's signal to continue or re-ask upstream)."""
