@@ -149,13 +149,22 @@ def _decoder_stream_bytes(engine) -> int:
     B-bounded head reads are within noise of the full-subtree figure)."""
     import jax
 
+    import jax.numpy as jnp
+
+    def leaf_bytes(leaf) -> int:
+        # jnp reports int4 nbytes UNPACKED (1 byte/elem); TPU HBM stores s4
+        # packed two-per-byte — count the streamed bytes, not the logical.
+        if leaf.dtype == jnp.int4:
+            return (leaf.size + 1) // 2
+        return leaf.nbytes
+
     total = 0
     for collection in engine.params.values():
         decoder = collection.get("decoder") if isinstance(collection, dict) else None
         if decoder is None:
             continue
         total += sum(
-            leaf.nbytes for leaf in jax.tree_util.tree_leaves(decoder)
+            leaf_bytes(leaf) for leaf in jax.tree_util.tree_leaves(decoder)
         )
     return total
 

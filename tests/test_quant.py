@@ -201,3 +201,85 @@ class TestTrainingUntouched:
         logits = model.apply(variables, patches, tokens)
         assert logits.dtype == jnp.float32
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestInt4:
+    def test_kernels_become_int4_with_scales(self):
+        config = __graft_entry__._tiny_config()
+        from video_transformer_tpu.models.quant import quantize_decoder_int4
+        from video_transformer_tpu.models.vlm import VideoLM
+
+        model = VideoLM(config)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        quantized = quantize_decoder_int4(variables)
+        layer = quantized["params"]["decoder"]["layer_0"]
+        assert layer["mlp"]["down"]["kernel"].dtype == jnp.int4
+        scale = quantized["quant"]["decoder"]["layer_0"]["mlp"]["down"]["scale"]
+        assert scale.shape == (layer["mlp"]["down"]["kernel"].shape[1],)
+
+    def test_int4_dequant_error_bounded(self):
+        rng = np.random.default_rng(3)
+        w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+        from video_transformer_tpu.models.quant import _quantize_kernel
+
+        q, scale = _quantize_kernel(w, jnp.int4, 7)
+        dequant = q.astype(jnp.float32) * scale[None, :]
+        err = jnp.max(jnp.abs(dequant - w) / scale[None, :])
+        assert float(err) <= 0.5 + 1e-3
+
+    def test_int4_engine_generates_valid_note_json(self):
+        """The full constrained decode holds under int4 weights: the grammar
+        carries structure regardless of weight resolution (the quality
+        trade is content, which the bench/evals measure on hardware)."""
+        config = __graft_entry__._tiny_config()
+        engine = InferenceEngine(
+            config,
+            dfa=note_dfa(config.decoder.vocab_size, scale=0.25),
+            max_new_tokens=512,
+            temperature=1.0,
+            structure_bias=2.0,
+            quantize="int4",
+            compilation_cache_dir=None,
+        )
+        frames = np.random.default_rng(0).integers(
+            0, 255, (1, 4, 32, 32, 3), dtype=np.uint8
+        )
+        text, status = engine.generate(
+            frames, ["分析"], prompt_len=32, return_status=True
+        )
+        if status[0]:
+            parsed = json.loads(text[0])
+            assert "title" in parsed
+
+    def test_int4_int8_logits_corridor(self):
+        """int4 logits stay within a bounded corridor of the f32 logits —
+        wider than int8's but finite (sanity against catastrophic scale
+        bugs; exact quality is measured by grounding evals)."""
+        config = __graft_entry__._tiny_config()
+        from video_transformer_tpu.models.quant import quantize_decoder
+        from video_transformer_tpu.models.vlm import VideoLM
+
+        model = VideoLM(config)
+        variables = model.init_variables(jax.random.PRNGKey(1))
+        tokens = jnp.asarray(
+            np.random.default_rng(2).integers(
+                0, config.decoder.vocab_size, (2, 16)
+            ),
+            jnp.int32,
+        )
+
+        # Use the decoder directly (text path) to compare quant levels.
+        from video_transformer_tpu.models.lm import Decoder
+
+        dec = Decoder(config.decoder)
+        dec_vars = {"params": variables["params"]["decoder"]}
+        f32, _ = dec.apply(dec_vars, tokens, dtype=jnp.float32)
+        q8 = quantize_decoder(dec_vars, "int8")
+        l8, _ = dec.apply(q8, tokens, dtype=jnp.float32)
+        q4 = quantize_decoder(dec_vars, "int4")
+        l4, _ = dec.apply(q4, tokens, dtype=jnp.float32)
+        err8 = float(jnp.mean(jnp.abs(l8 - f32)))
+        err4 = float(jnp.mean(jnp.abs(l4 - f32)))
+        spread = float(jnp.std(f32))
+        assert err8 < 0.2 * spread
+        assert err4 < 0.6 * spread

@@ -1,20 +1,27 @@
-"""Weight-only int8 quantization for serving.
+"""Weight-only int8/int4 quantization for serving.
 
 Small-batch decode is WEIGHT-BANDWIDTH bound: every decode step streams the
 full decoder from HBM while the matmuls are tiny, so halving the bytes per
-weight (~bf16 -> int8) approaches a 2x step-time win with zero change to the
-decode loop. This is per-output-channel symmetric weight-only quantization:
+weight (~bf16 -> int8, int8 -> int4) approaches a 2x step-time win each with
+zero change to the decode loop. This is per-output-channel symmetric
+weight-only quantization:
 
-    scale[j] = max_i |W[i, j]| / 127          (f32, one per output channel)
-    Q[i, j]  = round(W[i, j] / scale[j])      (int8, lives in HBM)
-    y        = (x @ Q.astype(bf16)) * scale   (dequant fused into the matmul
-                                               epilogue by XLA; Q converts
-                                               on-load in VMEM)
+    scale[j] = max_i |W[i, j]| / qmax          (f32, one per output channel)
+    Q[i, j]  = round(W[i, j] / scale[j])       (int8/int4, lives in HBM)
+    y        = (x @ Q.astype(bf16)) * scale    (dequant fused into the matmul
+                                                epilogue by XLA; Q converts
+                                                on-load in VMEM)
 
 Activations stay bf16 (weight-only, no calibration data needed). The
 ``quant`` flax collection mirrors the param tree — modules (lm.QDense) pick
 up scales when the collection is present and fall back to the plain dense
 path when it is not, so training and f32 serving are untouched.
+
+int4 (qmax 7) uses XLA's native s4 type: on TPU the kernel is stored PACKED
+(two weights per byte), halving HBM decode traffic again vs int8 at the
+cost of coarser per-channel resolution — measure note quality before
+shipping it as a default; it is the right trade when the grammar carries
+the structure (constrained decoding) and the chip is bandwidth-starved.
 
 The reference has no quantization story (pure cloud calls); this is a
 TPU-serving capability in its own right.
@@ -27,30 +34,43 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_decoder_int8", "QUANTIZED_DENSE_NAMES"]
+__all__ = [
+    "quantize_decoder_int8",
+    "quantize_decoder_int4",
+    "quantize_decoder",
+    "QUANTIZED_DENSE_NAMES",
+]
 
 # Dense sublayers inside each decoder block that carry the streamed weight
 # bulk. Embedding/logits and the vision tower run once per request (prefill)
 # and stay full precision.
 QUANTIZED_DENSE_NAMES = ("q", "k", "v", "out", "gate", "up", "down")
 
+_QUANT_DTYPES = {"int8": (jnp.int8, 127), "int4": (jnp.int4, 7)}
 
-def _quantize_kernel(kernel: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """[in, out] kernel -> (int8 kernel, f32 scale [out])."""
+
+def _quantize_kernel(
+    kernel: jax.Array, dtype=jnp.int8, qmax: int = 127
+) -> tuple[jax.Array, jax.Array]:
+    """[in, out] kernel -> (quantized kernel, f32 scale [out])."""
     w = kernel.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / qmax
+    q = jnp.clip(jnp.round(w / scale[None, :]), -qmax, qmax).astype(dtype)
     return q, scale
 
 
-def quantize_decoder_int8(variables: dict[str, Any]) -> dict[str, Any]:
+def quantize_decoder(
+    variables: dict[str, Any], mode: str = "int8"
+) -> dict[str, Any]:
     """Quantize the decoder blocks' dense kernels inside a variables dict.
 
-    Returns a NEW variables dict where each matched ``kernel`` leaf is int8
-    and a parallel ``quant`` collection holds the per-output-channel scales
-    (same nesting, leaf name ``scale``). Idempotent: int8 leaves are left
-    alone (their scales must already exist).
+    Returns a NEW variables dict where each matched ``kernel`` leaf is
+    int8/int4 and a parallel ``quant`` collection holds the per-output-
+    channel scales (same nesting, leaf name ``scale``). Idempotent:
+    already-quantized leaves are left alone (their scales must already
+    exist).
     """
+    dtype, qmax = _QUANT_DTYPES[mode]
     params = variables["params"]
     decoder = params.get("decoder", params)  # tolerate bare decoder trees
 
@@ -69,9 +89,9 @@ def quantize_decoder_int8(variables: dict[str, Any]) -> dict[str, Any]:
     new_decoder = jax.tree_util.tree_map(lambda x: x, decoder)  # shallow copy
     quant_decoder: dict[str, Any] = {}
     for path, kernel in walk(decoder, ()):
-        if kernel.dtype == jnp.int8:
+        if kernel.dtype in (jnp.int8, jnp.int4):
             continue
-        q, scale = _quantize_kernel(kernel)
+        q, scale = _quantize_kernel(kernel, dtype, qmax)
         node = new_decoder
         for key in path[:-1]:
             node = node[key]
@@ -97,3 +117,11 @@ def quantize_decoder_int8(variables: dict[str, Any]) -> dict[str, Any]:
         quant.update(quant_decoder)
     out["quant"] = quant
     return out
+
+
+def quantize_decoder_int8(variables: dict[str, Any]) -> dict[str, Any]:
+    return quantize_decoder(variables, "int8")
+
+
+def quantize_decoder_int4(variables: dict[str, Any]) -> dict[str, Any]:
+    return quantize_decoder(variables, "int4")

@@ -167,9 +167,11 @@ class InferenceEngine:
         # bound, so bf16 resident weights ~double decode throughput vs the
         # f32 training copies (matmuls already run bf16 either way).
         # ``quantize="int8"`` goes further: decoder dense kernels stored
-        # int8 + per-channel scales (models/quant.py) halve the bytes again.
+        # int8 + per-channel scales (models/quant.py) halve the bytes again;
+        # "int4" halves them once more (XLA s4 packs two weights per byte
+        # on TPU) at coarser per-channel resolution.
         self.param_dtype = jnp.dtype(param_dtype) if param_dtype else None
-        if quantize not in (None, "int8"):
+        if quantize not in (None, "int8", "int4"):
             raise ValueError(f"unsupported quantize mode: {quantize!r}")
         self.quantize = quantize
 
@@ -187,10 +189,10 @@ class InferenceEngine:
         """f32 checkpoint/init tree -> served variables on the mesh
         (dtype cast, optional int8 quantization, shardings applied)."""
         params = self._cast_params(params)
-        if self.quantize == "int8":
-            from ..models.quant import quantize_decoder_int8
+        if self.quantize:
+            from ..models.quant import quantize_decoder
 
-            params = quantize_decoder_int8(params)
+            params = quantize_decoder(params, self.quantize)
         return jax.device_put(params, param_shardings(self.mesh, params))
 
     def _cast_params(self, params: Any) -> Any:
