@@ -149,7 +149,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--temperature", type=float, default=0.7)
-    parser.add_argument("--quantize", default=None, choices=["int8"])
+    parser.add_argument("--quantize", default=None, choices=["int8", "int4"])
     args = parser.parse_args(argv)
 
     from dataclasses import replace
