@@ -126,3 +126,27 @@ class TestInt8SingleChip:
         assert layer["attn"]["q"]["kernel"].dtype == jnp.int8
         scale = quantized["quant"]["decoder"]["layer_0"]["attn"]["q"]["scale"]
         assert scale.shape == (layer["attn"]["q"]["kernel"].shape[1],)
+
+    def test_int4_weights_fit_single_chip_with_headroom(self, abstract_params):
+        """int4 decoder residency (packed 2/byte) + bf16 heads/vision leaves
+        >2x headroom for KV + activations on ONE chip — the quantization
+        ladder's endpoint for single-chip 7b serving."""
+        _, params = abstract_params
+        from video_transformer_tpu.models.quant import QUANTIZED_DENSE_NAMES
+
+        total = 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            names = tuple(
+                getattr(k, "key", getattr(k, "name", str(k))) for k in path
+            )
+            size = int(np.prod(leaf.shape))
+            in_decoder_dense = (
+                "decoder" in names
+                and names[-1] == "kernel"
+                and any(n in QUANTIZED_DENSE_NAMES for n in names)
+            )
+            if in_decoder_dense:
+                total += size // 2  # s4 packs two weights per byte
+            else:
+                total += size * 2  # bf16
+        assert total < 0.45 * V5E_HBM_BYTES, f"{total / 1e9:.1f} GB"
