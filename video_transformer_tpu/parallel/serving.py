@@ -87,7 +87,10 @@ class ContinuousBatcher:
 
     - **Priority queue**: requests drain highest ``Request.priority`` first
       (FIFO within a level) — latency-sensitive traffic overtakes batch
-      backfill at the next refill boundary.
+      backfill at the next refill boundary. In device-refill mode priority
+      applies at STAGING time (the device ring is FIFO once staged), so a
+      late high-priority request overtakes the un-staged backlog but not
+      requests already parked on device.
     - **Adaptive chunk sizing**: the decode program takes its step count as
       a TRACED argument (one compile covers every size). While requests
       wait in the queue the scheduler runs short chunks (``latency_steps``)
