@@ -35,6 +35,7 @@ __all__ = [
     "Topic",
     "render_topic_clip",
     "render_composite_clip",
+    "render_band_clip",
     "grounded_note",
     "composite_note",
     "grounded_records",
@@ -299,6 +300,37 @@ def render_composite_clip(
     band_rows = np.linspace(0, size - 1, size - split).round().astype(int)
     frames = top.copy()
     frames[:, split:] = bottom[:, band_rows]
+    return frames
+
+
+def render_band_clip(
+    topic_idx: int,
+    num_frames: int,
+    size: int,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """A clip whose signature occupies ONLY the composite's bottom band;
+    the top 60% is a neutral drifting gray gradient.
+
+    Curriculum decomposition for compositional grounding: pairing these
+    with the topic's ordinary single-topic note gives DIRECT supervision
+    for "read the band region -> name its topic", decoupled from the
+    composite note format — composites then combine two separately
+    learned skills instead of demanding both at once.
+    """
+    rng = rng or np.random.default_rng(topic_idx * 131)
+    sig = render_topic_clip(topic_idx, num_frames, size, rng)
+    split = int(size * 0.6)
+    band_rows = np.linspace(0, size - 1, size - split).round().astype(int)
+    yy = np.mgrid[0:size, 0:size][0].astype(np.float32) / size
+    frames = np.empty_like(sig)
+    for t in range(num_frames):
+        phase = t / max(num_frames, 1)
+        gray = 90 + 60 * ((yy + phase) % 1.0)
+        neutral = np.repeat(gray[:, :, None], 3, axis=2)
+        neutral += rng.normal(0.0, 6.0, neutral.shape)
+        frames[t] = np.clip(neutral, 0, 255).astype(np.uint8)
+    frames[:, split:] = sig[:, band_rows]
     return frames
 
 

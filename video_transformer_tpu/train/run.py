@@ -104,7 +104,7 @@ def _staged_batches(data_dir, config, batch, text_len, logger, prompt=None,
 
 def _grounded_batches(config, batch, text_len, logger, prompt=None,
                       prompt_len=0, tok=None, encode_note=None, seed=0,
-                      cache_size=384, composite_p=0.0):
+                      cache_size=384, composite_p=0.0, band_p=0.0):
     """Grounded pairs: frames carry the note's topic signature.
 
     Rendering + host preprocessing dominates training wall-clock at large
@@ -119,6 +119,7 @@ def _grounded_batches(config, batch, text_len, logger, prompt=None,
         TOPIC_BANK,
         composite_note,
         grounded_note,
+        render_band_clip,
         render_composite_clip,
         render_topic_clip,
     )
@@ -129,7 +130,8 @@ def _grounded_batches(config, batch, text_len, logger, prompt=None,
 
     def sample():
         idx = int(rng.integers(len(TOPIC_BANK)))
-        if composite_p > 0 and rng.random() < composite_p:
+        draw = rng.random()
+        if composite_p > 0 and draw < composite_p:
             # Compositional pair: two signatures in one clip, note covers both.
             other = int(rng.integers(len(TOPIC_BANK) - 1))
             other += other >= idx
@@ -138,6 +140,14 @@ def _grounded_batches(config, batch, text_len, logger, prompt=None,
                 config.encoder.image_size, rng,
             )
             note = composite_note(TOPIC_BANK[idx], TOPIC_BANK[other], rng)
+        elif band_p > 0 and draw < composite_p + band_p:
+            # Curriculum decomposition: the band region alone carries the
+            # signature, note is the ordinary single-topic note — direct
+            # supervision for "read the band -> name its topic".
+            frames = render_band_clip(
+                idx, config.encoder.num_frames, config.encoder.image_size, rng
+            )
+            note = grounded_note(TOPIC_BANK[idx], rng)
         else:
             frames = render_topic_clip(
                 idx, config.encoder.num_frames, config.encoder.image_size, rng
@@ -249,6 +259,11 @@ def main(argv: list[str] | None = None) -> int:
         "--grounded-composite", type=float, default=0.0,
         help="probability of compositional two-signature pairs (the note "
              "must cover BOTH topics in the frames)",
+    )
+    parser.add_argument(
+        "--grounded-band", type=float, default=0.0,
+        help="probability of band-only curriculum samples (signature only "
+             "in the composite band region, ordinary single-topic note)",
     )
     parser.add_argument(
         "--grounded-cache", type=int, default=384,
@@ -397,6 +412,7 @@ def main(argv: list[str] | None = None) -> int:
             tok=tok, encode_note=encode_note,
             cache_size=args.grounded_cache,
             composite_p=args.grounded_composite,
+            band_p=args.grounded_band,
         )
     else:
         logger.info("no --data given: training on schema-valid synthetic pairs")
