@@ -211,7 +211,39 @@ def run_once(engine, work_dir: Path, label: str):
     return result, elapsed
 
 
+def _probe_device(timeout_s: float = 150.0) -> bool:
+    """Bounded-time device liveness check in a subprocess.
+
+    A wedged accelerator tunnel hangs jax.devices() FOREVER (observed:
+    multi-hour axon outage) — better to fail the bench fast with a clear
+    message than to hang the caller's pipeline.
+    """
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((64, 64)); float((x @ x).sum());"
+        "print('DEVICE_OK', jax.default_backend())"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        return "DEVICE_OK" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
+    if not _probe_device():
+        print(
+            "FATAL: device backend unreachable (tunnel down?) — bench "
+            "aborted instead of hanging",
+            file=sys.stderr,
+        )
+        return 2
+
     import jax
 
     n_chips = len(jax.devices())
