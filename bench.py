@@ -100,6 +100,11 @@ def make_analyzer(engine, temp_dir: Path):
         },
         "analyzer": {
             "model": "vtx-local",
+            # Pin the round-2 prompt regime: the bench runs random weights,
+            # where the behavioral spec buys nothing but a 2.7x larger
+            # prompt bucket — and silent prompt swaps corrupt cross-round
+            # wall-clock comparisons.
+            "prompt_profile": "compact",
             "max_continuations": 0,
             "retry_times": 0,
             "long_video": {

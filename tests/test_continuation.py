@@ -159,6 +159,35 @@ class TestSessionContinuation:
         assert session is not None
         assert 0 < session.rounds_left <= ceiling
 
+    def test_prompt_bucket_ceiling_fits_cache_formula(self, capped_engine):
+        """A ceiling-bucket prompt must still satisfy the extra_rounds=0
+        cache formula at the engine's worst-case block width (the ceiling
+        once reserved a flat 128, which large max_forced_run overran)."""
+        eng = capped_engine
+        max_seq = eng.config.decoder.max_seq_len
+        bw_max = 1 + eng.max_forced_run
+        for with_video in (False, True):
+            bucket = eng._prompt_bucket(["长" * 3 * max_seq], with_video)
+            video = eng.config.video_tokens if with_video else 0
+            total = video + bucket + eng.max_new_tokens + 2 * bw_max + 17
+            cache_len = -(-total // 128) * 128
+            assert cache_len <= max_seq, (with_video, bucket, cache_len)
+
+    def test_granted_rounds_never_overflow_cache_formula(self, capped_engine):
+        """The closed-form grant must satisfy the _build_generate cache
+        formula (video + prompt + (1+r)*(max_new+bw) + 1 + bw + 16, rounded
+        to 128) for every prompt width — the grant once omitted the tail
+        slack and a maximal reserve overflowed max_seq_len at build time."""
+        eng = capped_engine
+        max_seq = eng.config.decoder.max_seq_len
+        bw = eng._block_width(eng.dfa)
+        per_round = eng.max_new_tokens + bw
+        for prompt_width in range(128, 2049, 128):
+            r = eng._max_session_rounds(prompt_width, False, 10_000, eng.dfa)
+            total = prompt_width + (1 + r) * per_round + 1 + bw + 16
+            cache_len = -(-total // 128) * 128
+            assert cache_len <= max_seq, (prompt_width, r, cache_len)
+
     def test_unfittable_session_returns_none(self):
         """max_new at the sequence ceiling leaves no reserve -> None."""
         config = __graft_entry__._tiny_config()

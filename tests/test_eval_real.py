@@ -117,7 +117,7 @@ def test_harness_end_to_end_on_shipped_checkpoint(tmp_path):
 
     stage_out_of_bank(
         tmp_path, 4, config.encoder.num_frames, config.encoder.image_size,
-        seed=24,  # seed 24 draws all four topics from the frozen 0-23 range
+        seed=36,  # seed 36 draws all four topics from the frozen 0-23 range
     )
     drawn = [
         json.loads(p.read_text("utf-8"))["topic"]

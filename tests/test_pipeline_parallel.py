@@ -152,10 +152,17 @@ class Test1F1BSchedule:
             np.asarray(staged), np.asarray(sequential), atol=2e-4, rtol=2e-4
         )
 
-    @pytest.mark.slow  # default-suite pin: trainer-level 1F1B loss parity
-    # (tests/test_train.py::test_pipeline_trainer_1f1b_matches_sequential)
-    @pytest.mark.parametrize("n_stages,n_micro", [(2, 2), (4, 4), (2, 4)])
+    def test_gradients_match_sequential_fast(self, request):
+        # Default-suite gradient-level 1F1B coverage at the cheap config;
+        # the wide (4,4)/(2,4) sweeps are slow-marked below.
+        self._check_gradients_match(request, 2, 2)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("n_stages,n_micro", [(4, 4), (2, 4)])
     def test_gradients_match_sequential(self, request, n_stages, n_micro):
+        self._check_gradients_match(request, n_stages, n_micro)
+
+    def _check_gradients_match(self, request, n_stages, n_micro):
         cfg = CFG if (n_stages, n_micro) == (2, 2) else CFG4
         variables, tokens, _ = request.getfixturevalue(
             "setup" if cfg is CFG else "setup4"

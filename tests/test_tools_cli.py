@@ -320,6 +320,21 @@ class TestPrompts:
 
         assert load_config()["analyzer"]["prompt_profile"] == "compact"
 
+    def test_absent_profile_key_defaults_compact(self):
+        """A config dict with no prompt_profile key (every pre-round-3
+        config file) must fall back to compact: the shipped default
+        checkpoint is distilled, and serving it the spec prompt collapses
+        grounding."""
+        from video_transformer_tpu.analyzer.content_analyzer import (
+            ContentAnalyzer,
+        )
+        from video_transformer_tpu.utils.counter import APICounter
+
+        analyzer = ContentAnalyzer(
+            {"analyzer": {}}, APICounter(max_calls=1), engine=object()
+        )
+        assert analyzer.prompt_profile == "compact"
+
 
 class TestCLI:
     def test_parser_requires_source(self, capsys):

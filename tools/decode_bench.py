@@ -7,8 +7,8 @@ sampling, grammar on), then ablates one ingredient at a time:
   full        : grammar + forced fast-forward + sampling (the serving path)
   nogrammar   : plain EOS-terminated sampling (table=None, block_width=1)
   noforce     : grammar but max_forced_run=0 (block_width=1)
-  ref_attn    : full path with the XLA reference decode attention
-                (VTX_FORCE_REF_ATTN=1 flips the dispatcher)
+  ref_attn    : full path with the XLA reference decode attention (the
+                tool sets VTX_FORCE_REF_ATTN for this variant only)
 
 Reports per-variant wall seconds, steps/s, tok/s, and a bytes/step roofline
 (weights + average valid KV prefix) so the HBM-bandwidth utilization is
@@ -37,7 +37,10 @@ VARIANTS = os.environ.get(
     "VTX_DB_VARIANTS", "full,nogrammar,noforce"
 ).split(",")
 
-_PEAK_HBM = {"tpu": 820e9, "cpu": 50e9}  # bytes/s (v5e ~819 GB/s)
+# Bandwidth denominator: the MEASURED chip copy peak (tools/roofline.py,
+# docs/roofline.md — 139 GB/s through the axon tunnel, far below the v5e
+# paper 820), overridable when benching on different hardware.
+PEAK_HBM = float(os.environ.get("VTX_HBM_PEAK_GBPS", "139")) * 1e9
 
 
 def build_engine(max_forced_run: int, use_dfa: bool):
@@ -88,6 +91,23 @@ def run_variant(name: str) -> dict:
 
     use_dfa = name != "nogrammar"
     forced = 0 if name in ("nogrammar", "noforce") else 12
+    # The ref_attn ablation flips the decode-attention dispatcher to the
+    # XLA reference path; the env var is read at TRACE time (the engine
+    # compiles lazily on the warmup call), so it must stay set for the
+    # whole variant and be cleared after, or it would leak into later
+    # variants.
+    if name == "ref_attn":
+        os.environ["VTX_FORCE_REF_ATTN"] = "1"
+    try:
+        return _run_variant_body(name, forced, use_dfa)
+    finally:
+        if name == "ref_attn":
+            os.environ.pop("VTX_FORCE_REF_ATTN", None)
+
+
+def _run_variant_body(name: str, forced: int, use_dfa: bool) -> dict:
+    import jax
+
     engine = build_engine(max_forced_run=forced, use_dfa=use_dfa)
 
     prompt = "请根据视频内容生成结构化笔记。" * 4
@@ -97,32 +117,36 @@ def run_variant(name: str) -> dict:
     engine.generate_text(prompts)
     jax.effects_barrier()
 
-    walls, tokens = [], []
+    walls, tokens, steps = [], [], []
     for _ in range(3):
         engine.stats.__init__()
         start = time.perf_counter()
         engine.generate_text(prompts)
         walls.append(time.perf_counter() - start)
         tokens.append(engine.stats.tokens_generated)
+        steps.append(engine.stats.decode_steps)
     wall = sorted(walls)[1]  # median of 3
     toks = tokens[walls.index(wall)]
+    nsteps = steps[walls.index(wall)]
 
-    # Steps/s: the while_loop iterates until every row caps; with argmax +
-    # grammar the loop runs ~max_new/(avg advance) iterations. Count steps
-    # via out_pos/advance telemetry: tokens per row / avg block advance is
-    # not observable host-side, so approximate steps by the slowest row's
-    # token count divided by 1 (no-force variants) — for forced variants we
-    # report tok/s only plus the analytic roofline.
+    # Each decode step streams the decoder weights once plus the valid KV
+    # prefix; steps/s x bytes/step over the MEASURED copy peak is the
+    # HBM-bandwidth utilization (docs/roofline.md).
     wb = weight_bytes(engine)
     kvb = kv_bytes_per_step(engine, 128, toks // BATCH // 2)
+    steps_per_s = nsteps / wall if wall else 0.0
     return {
         "variant": name,
         "wall_s_median": round(wall, 3),
         "wall_s_all": [round(w, 3) for w in walls],
         "tokens": toks,
         "tok_per_s": round(toks / wall, 1),
+        "decode_steps": nsteps,
+        "steps_per_s": round(steps_per_s, 1),
         "weight_bytes": wb,
         "kv_bytes_per_step_est": kvb,
+        "hbm_gb_per_s": round(steps_per_s * (wb + kvb) / 1e9, 1),
+        "hbm_bw_util": round(steps_per_s * (wb + kvb) / PEAK_HBM, 3),
     }
 
 
@@ -133,8 +157,6 @@ def main() -> int:
     out = {"backend": backend, "preset": PRESET, "quant": QUANT,
            "batch": BATCH, "tokens_budget": TOKENS, "variants": []}
     for name in VARIANTS:
-        if os.environ.get("VTX_FORCE_REF_ATTN") and name == "ref_attn":
-            pass
         result = run_variant(name.strip())
         out["variants"].append(result)
         print(json.dumps(result), flush=True)

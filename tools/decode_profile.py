@@ -85,8 +85,8 @@ def main() -> int:
         ("step_w1_bf16", 1, params),
     ):
         block = jnp.zeros((BATCH, width), jnp.int32)
-        f = jax.jit(step, donate_argnums=(2,))
-        # donate needs a fresh cache per call; time with non-donated instead
+        # A donated program would need a fresh cache per call; time the
+        # non-donated compile (same kernel sequence, one extra copy).
         f_nd = jax.jit(step)
         results[name] = timeit(lambda b=block, pp=p: f_nd(pp, b, cache, pick0))
 

@@ -64,14 +64,13 @@ def main() -> int:
     cache0 = dict(cache0, index=jnp.full((BATCH,), 200, jnp.int32))
     results = {}
 
-    def loop(p, c, tok0, n_sample):
+    def loop(p, c, tok0):
         def body(_, carry):
             tok, c = carry
             logits, c = model.apply(
                 p, tok[:, None], c, jnp.zeros((BATCH,), jnp.int32),
                 method=VideoLM.decode_block_pick,
             )
-            c = dict(c, index=c["index"] - 0)  # keep index advance from block
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return tok, c
 
@@ -79,8 +78,8 @@ def main() -> int:
         return tok, c["index"]
 
     tok0 = jnp.zeros((BATCH,), jnp.int32)
-    f = jax.jit(loop, static_argnums=(3,))
-    t = timeit(lambda: f(params, cache0, tok0, 0))
+    f = jax.jit(loop)
+    t = timeit(lambda: f(params, cache0, tok0))
     results["loop64_ms_per_iter"] = round(t / ITERS * 1e3, 3)
 
     def loop_rng(p, c, tok0, rng):

@@ -78,9 +78,13 @@ class ContentAnalyzer:
         # Prompt profile: "spec" (reference-parity behavioral spec, for
         # real instruction-following weights) or "compact" (the short
         # templates the distilled checkpoints were trained on — their
-        # serving prompts must match the training distribution).
+        # serving prompts must match the training distribution). The
+        # absent-key fallback is "compact" because the default
+        # engine.checkpoint_dir ships a distilled checkpoint, and serving
+        # it the spec prompt collapses grounding; configs for real weights
+        # opt into "spec" explicitly (config.yaml documents both).
         self.prompt_profile = str(
-            self.analyzer_config.get("prompt_profile", "spec")
+            self.analyzer_config.get("prompt_profile", "compact")
         )
         self._engine = engine
         self._extra_llm_calls_used = 0

@@ -676,14 +676,14 @@ class InferenceEngine:
         )
         bucket = _round_up(longest, 128)
         video_tokens = self.config.video_tokens if with_video else 0
-        # block_width slack (grammar fast-forward) is at most
-        # 1 + max_forced_run + 1; 128 covers it plus cache rounding.
-        ceiling = (
-            self.config.decoder.max_seq_len
-            - video_tokens
-            - self.max_new_tokens
-            - 128
-        )
+        # Mirror the cache formula in _build_generate (extra_rounds=0):
+        # round_up(video + prompt + max_new + 2*block_width + 17, 128) must
+        # fit max_seq_len. Reserve the worst-case block width (grammar on:
+        # 1 + max_forced_run) so a full-length prompt never pushes the
+        # cache past the ceiling for ANY dfa this engine serves.
+        bw_max = 1 + self.max_forced_run
+        fit = (self.config.decoder.max_seq_len // 128) * 128
+        ceiling = fit - video_tokens - self.max_new_tokens - 2 * bw_max - 17
         ceiling = max((ceiling // 128) * 128, 128)
         return min(bucket, ceiling)
 
@@ -837,11 +837,15 @@ class InferenceEngine:
         no session — the caller falls back to re-prefill continuation).
         """
         video_tokens = self.config.video_tokens if with_video else 0
-        per_round = self.max_new_tokens + self._block_width(dfa)
+        block_width = self._block_width(dfa)
+        per_round = self.max_new_tokens + block_width
         # Closed form: round_up(total, 128) <= max_seq_len iff total <= the
-        # largest 128-multiple under the cap, so the grant is a division.
+        # largest 128-multiple under the cap. The cache formula in
+        # _build_generate is video + prompt + (1+rounds)*per_round + 1 +
+        # block_width + 16, so the tail slack must come out of the budget
+        # too or a maximal grant overflows max_seq_len at build time.
         cap = (self.config.decoder.max_seq_len // 128) * 128
-        budget = cap - video_tokens - prompt_width - 1
+        budget = cap - video_tokens - prompt_width - block_width - 17
         rounds = budget // per_round - 1
         return max(0, min(requested, rounds))
 

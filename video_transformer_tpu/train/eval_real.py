@@ -161,20 +161,22 @@ def stage_out_of_bank(
     check. Real-footage sets replace these files one-for-one.
     """
     from ..video.containers import write_npzv
-    from .grounded import TOPIC_BANK, grounded_note, render_topic_clip
+    from .grounded import TOPIC_BANK, render_topic_clip
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
+    # Topic draws come first, in one block, so which topics a seed selects
+    # depends only on (seed, count) — not on how much rng the renderer
+    # consumes per clip (tests pin seeds to the frozen topic range).
+    indices = [int(i) for i in rng.integers(len(TOPIC_BANK), size=count)]
     paths = []
-    for i in range(count):
-        idx = int(rng.integers(len(TOPIC_BANK)))
+    for i, idx in enumerate(indices):
         topic = TOPIC_BANK[idx]
         clip = out_dir / f"oob_{i:03d}.npzv"
         write_npzv(
             clip, render_topic_clip(idx, num_frames, size, rng), fps=fps
         )
-        note = grounded_note(topic, rng)
         truth = {
             "topic": topic.name,
             "must_mention": [topic.name],
@@ -184,7 +186,6 @@ def stage_out_of_bank(
         (out_dir / f"oob_{i:03d}.truth.json").write_text(
             json.dumps(truth, ensure_ascii=False), encoding="utf-8"
         )
-        _ = note  # truths are keyword-based; the note text is not needed
         paths.append(clip)
     return paths
 
