@@ -26,7 +26,8 @@ mkdir -p "$OUT"
 log() { echo "[hwq $(date +%H:%M:%S)] $*" | tee -a "$OUT/queue.log"; }
 
 # --- liveness gate (jax.devices() hangs when the tunnel is down) ---------
-if ! timeout 90 python - <<'EOF' >"$OUT/devices.txt" 2>&1
+# 240 s: a HEALTHY tunnel's cold backend init is 80-150 s per process.
+if ! timeout 240 python - <<'EOF' >"$OUT/devices.txt" 2>&1
 import jax
 ds = jax.devices()
 assert ds and ds[0].platform != "cpu", ds
@@ -49,6 +50,7 @@ stage() { # stage NAME TIMEOUT_S CMD...
   fi
 }
 
+stage roofline 1800 python tools/roofline.py
 stage bench_off 6000 python bench.py
 cp -f /tmp/bench_extras.json "$OUT/bench_off_extras.json" 2>/dev/null || true
 stage bench_on 6000 env VTX_BENCH_CONTINUOUS=1 python bench.py

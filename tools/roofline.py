@@ -49,6 +49,21 @@ def main() -> int:
     t = timeit(f_copy, x)
     results["copy_bw_gbps"] = round(2 * x.nbytes / t / 1e9, 1)
 
+    # One pass per dispatch under-measures badly through the axon tunnel
+    # (per-call latency ~ the pass itself: round 3 saw 139 GB/s here while
+    # the real decode step sustained 278). Chain R passes inside ONE
+    # program, with optimization_barrier between them so XLA cannot fuse
+    # the chain into a single read+write loop.
+    R = 8
+
+    def chain_copy(x):
+        for _ in range(R):
+            x = jax.lax.optimization_barrier(x * 1.0001)
+        return x
+
+    t = timeit(jax.jit(chain_copy), x)
+    results["copy_bw_fused_gbps"] = round(2 * R * x.nbytes / t / 1e9, 1)
+
     f_red = jax.jit(lambda x: jnp.sum(x))
     t = timeit(f_red, x)
     results["reduce_bw_gbps"] = round(x.nbytes / t / 1e9, 1)
@@ -72,6 +87,24 @@ def main() -> int:
     f_skq = jax.jit(lambda x, w: x @ w.astype(jnp.bfloat16))
     t = timeit(f_skq, xa, wq)
     results["matmul16_int8_gbps"] = round(wq.nbytes / t / 1e9, 1)
+
+    # Weight-streaming with dispatch amortized: R distinct weights consumed
+    # by one program (each matmul must read its own 64 MB int8 kernel; the
+    # barrier keeps XLA from batching them into one pass).
+    ws = [jnp.full((k, k), i + 1, jnp.int8) for i in range(R)]
+
+    def chain_mm(x, ws):
+        acc = jnp.zeros((x.shape[0], k), jnp.float32)
+        for w in ws:
+            acc = jax.lax.optimization_barrier(
+                acc + x @ w.astype(jnp.bfloat16)
+            )
+        return acc
+
+    t = timeit(jax.jit(chain_mm), xa, ws)
+    results["matmul16_int8_fused_gbps"] = round(
+        R * wq.nbytes / t / 1e9, 1
+    )
 
     y = jnp.ones((16, 1024), jnp.float32)
 
