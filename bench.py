@@ -52,11 +52,12 @@ CONTINUOUS = os.environ.get("VTX_BENCH_CONTINUOUS", "") not in ("", "0", "false"
 
 # Peak dense bf16 throughput per chip, for the MFU estimate.
 _PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e12}
-# MEASURED HBM copy bandwidth of the attached chip (tools/roofline.py; the
-# axon-tunneled part measures ~139 GB/s, far below the v5e paper 819 GB/s —
-# see docs/roofline.md). Override with VTX_HBM_PEAK_GBPS when benching on a
-# different part.
-_HBM_PEAK = float(os.environ.get("VTX_HBM_PEAK_GBPS", "139")) * 1e9
+# MEASURED HBM copy bandwidth of the attached chip (tools/roofline.py
+# copy_bw_fused_gbps: 8 barrier-separated passes in ONE program, so tunnel
+# dispatch latency is amortized — the single-dispatch number reads ~139
+# GB/s and is an artifact; see docs/roofline.md). Override with
+# VTX_HBM_PEAK_GBPS when benching on a different part.
+_HBM_PEAK = float(os.environ.get("VTX_HBM_PEAK_GBPS", "478")) * 1e9
 
 
 def _param_count(tree) -> int:
@@ -157,10 +158,8 @@ def _decoder_stream_bytes(engine) -> int:
     import jax.numpy as jnp
 
     def leaf_bytes(leaf) -> int:
-        # jnp reports int4 nbytes UNPACKED (1 byte/elem); TPU HBM stores s4
-        # packed two-per-byte — count the streamed bytes, not the logical.
-        if leaf.dtype == jnp.int4:
-            return (leaf.size + 1) // 2
+        # int4 kernels are nibble-packed uint8 [in//2, out] (models/quant.py)
+        # so nbytes already reports the true streamed bytes.
         return leaf.nbytes
 
     total = 0

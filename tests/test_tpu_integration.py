@@ -237,16 +237,20 @@ class TestTPUEndToEnd:
         struct = _jax.eval_shape(
             lambda: model.init_variables(_jax.random.PRNGKey(0))
         )
-        cpu = _jax.devices("cpu")[0]
-        with _jax.default_device(cpu):
-            params = _jax.tree_util.tree_map(
-                lambda s: jnp.full(
-                    s.shape,
-                    0.01,
-                    jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype,
-                ),
-                struct,
-            )
+        # Materialize constant host params with numpy (the axon plugin
+        # exposes NO cpu backend, so jax.devices("cpu") raises here); the
+        # engine device_puts them onto the mesh itself.
+        import ml_dtypes
+        import numpy as np
+
+        params = _jax.tree_util.tree_map(
+            lambda s: np.full(
+                s.shape,
+                0.01,
+                ml_dtypes.bfloat16 if s.dtype == jnp.float32 else s.dtype,
+            ),
+            struct,
+        )
         engine = InferenceEngine(
             config,
             mesh=build_mesh({"model": 1}),
@@ -257,6 +261,15 @@ class TestTPUEndToEnd:
             seed=0,
             params=params,
             quantize="int8",
+            # Constant weights make the sampler uniform over the allowed
+            # set; at V=152,064 the 4 JSON-closing tokens then carry
+            # ~4/152k probability per step and the note statistically
+            # never closes within 1,400 tokens (morning queue: 19.5 min,
+            # accept never reached). e^9.5 ~ 13k rebalances the close mass
+            # to ~25%/step so the structural chain under test — bitset
+            # gather, constrain, forced runs, accept — completes. Trained
+            # weights don't need this (bench uses 2.5 for length control).
+            structure_bias=9.5,
         )
         texts, status = engine.generate_text(
             ["生成本讲的结构化笔记"], prompt_len=128, return_status=True

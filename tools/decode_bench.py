@@ -37,10 +37,10 @@ VARIANTS = os.environ.get(
     "VTX_DB_VARIANTS", "full,nogrammar,noforce"
 ).split(",")
 
-# Bandwidth denominator: the MEASURED chip copy peak (tools/roofline.py,
-# docs/roofline.md — 139 GB/s through the axon tunnel, far below the v5e
-# paper 820), overridable when benching on different hardware.
-PEAK_HBM = float(os.environ.get("VTX_HBM_PEAK_GBPS", "139")) * 1e9
+# Bandwidth denominator: the MEASURED chip copy peak (tools/roofline.py
+# copy_bw_fused_gbps — dispatch-amortized; 478 GB/s on this part, below the
+# v5e paper 820), overridable when benching on different hardware.
+PEAK_HBM = float(os.environ.get("VTX_HBM_PEAK_GBPS", "478")) * 1e9
 
 
 def build_engine(max_forced_run: int, use_dfa: bool):

@@ -168,8 +168,8 @@ class InferenceEngine:
         # f32 training copies (matmuls already run bf16 either way).
         # ``quantize="int8"`` goes further: decoder dense kernels stored
         # int8 + per-channel scales (models/quant.py) halve the bytes again;
-        # "int4" halves them once more (XLA s4 packs two weights per byte
-        # on TPU) at coarser per-channel resolution.
+        # "int4" halves them once more (nibble pairs packed into a uint8
+        # carrier, models/quant.py) at coarser per-channel resolution.
         self.param_dtype = jnp.dtype(param_dtype) if param_dtype else None
         if quantize not in (None, "int8", "int4"):
             raise ValueError(f"unsupported quantize mode: {quantize!r}")
@@ -187,13 +187,44 @@ class InferenceEngine:
 
     def _place(self, params: Any) -> Any:
         """f32 checkpoint/init tree -> served variables on the mesh
-        (dtype cast, optional int8 quantization, shardings applied)."""
-        params = self._cast_params(params)
-        if self.quantize:
-            from ..models.quant import quantize_decoder
+        (dtype cast, optional int8/int4 quantization, shardings applied).
 
-            params = quantize_decoder(params, self.quantize)
-        return jax.device_put(params, param_shardings(self.mesh, params))
+        Quantization runs INSIDE one jit with explicit out_shardings rather
+        than eagerly: the tree is 0.6-7 GB and the eager path would
+        dispatch a per-leaf op chain through the tunnel; one fused program
+        quantizes and places everything device-side. (int4 avoids XLA's
+        sub-byte s4 dtype entirely — the axon backend cannot relayout s4
+        at any executable boundary; see models/quant.py.)
+        """
+        params = self._cast_params(params)
+        if not self.quantize:
+            return jax.device_put(params, param_shardings(self.mesh, params))
+        from ..models.quant import quantize_decoder
+
+        struct = jax.eval_shape(
+            lambda p: quantize_decoder(p, self.quantize), params
+        )
+        shardings = param_shardings(self.mesh, struct)
+        return jax.jit(
+            lambda p: quantize_decoder(p, self.quantize),
+            out_shardings=shardings,
+        )(params)
+
+    def close_bias_array(self) -> jax.Array | None:
+        """Length-control logit bias toward JSON closing tokens (or None).
+
+        Every decode path over this engine's model (the generate program,
+        session resumes, the ContinuousBatcher's chunk program) must apply
+        the SAME bias, or their samplers diverge: round 3's bench caught
+        the batcher decoding to the max_new ceiling (2054-step chunks vs
+        the engine's ~700) because it skipped this bias.
+        """
+        if self.structure_bias == 0.0:
+            return None
+        bias = np.zeros((self.config.decoder.vocab_size,), np.float32)
+        for token in (0x22, 0x5D, 0x7D, self.tokenizer.EOS):  # " ] } EOS
+            bias[token] = self.structure_bias
+        return jnp.asarray(bias)
 
     def _cast_params(self, params: Any) -> Any:
         if self.param_dtype is None:
@@ -364,13 +395,7 @@ class InferenceEngine:
         # dynamic_update_slice never clamps into valid tokens.
         out_width = max_new + 2 * block_width
 
-        if self.structure_bias != 0.0:
-            bias = np.zeros((cfg.decoder.vocab_size,), np.float32)
-            for token in (0x22, 0x5D, 0x7D, self.tokenizer.EOS):  # " ] } EOS
-                bias[token] = self.structure_bias
-            close_bias = jnp.asarray(bias)
-        else:
-            close_bias = None
+        close_bias = self.close_bias_array()
 
         def sample(logits, state, done, key):
             if table is not None:
