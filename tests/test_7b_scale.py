@@ -146,7 +146,7 @@ class TestInt8SingleChip:
                 and any(n in QUANTIZED_DENSE_NAMES for n in names)
             )
             if in_decoder_dense:
-                total += size // 2  # s4 packs two weights per byte
+                total += size // 2  # uint8 carrier packs two nibbles/byte
             else:
                 total += size * 2  # bf16
         assert total < 0.45 * V5E_HBM_BYTES, f"{total / 1e9:.1f} GB"

@@ -213,16 +213,29 @@ class TestInt4:
         variables = model.init_variables(jax.random.PRNGKey(0))
         quantized = quantize_decoder_int4(variables)
         layer = quantized["params"]["decoder"]["layer_0"]
-        assert layer["mlp"]["down"]["kernel"].dtype == jnp.int4
+        packed = layer["mlp"]["down"]["kernel"]
+        full = variables["params"]["decoder"]["layer_0"]["mlp"]["down"]["kernel"]
+        # Nibble-packed uint8 carrier: two input rows per byte.
+        assert packed.dtype == jnp.uint8
+        assert packed.shape == (full.shape[0] // 2, full.shape[1])
         scale = quantized["quant"]["decoder"]["layer_0"]["mlp"]["down"]["scale"]
-        assert scale.shape == (layer["mlp"]["down"]["kernel"].shape[1],)
+        assert scale.shape == (packed.shape[1],)
+
+    def test_int4_pack_unpack_roundtrip(self):
+        from video_transformer_tpu.models.quant import pack_int4, unpack_int4
+
+        rng = np.random.default_rng(11)
+        q = jnp.asarray(rng.integers(-7, 8, (64, 24)), jnp.int8)
+        even, odd = unpack_int4(pack_int4(q))
+        np.testing.assert_array_equal(np.asarray(even), np.asarray(q[0::2]))
+        np.testing.assert_array_equal(np.asarray(odd), np.asarray(q[1::2]))
 
     def test_int4_dequant_error_bounded(self):
         rng = np.random.default_rng(3)
         w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
         from video_transformer_tpu.models.quant import _quantize_kernel
 
-        q, scale = _quantize_kernel(w, jnp.int4, 7)
+        q, scale = _quantize_kernel(w, jnp.int8, 7)
         dequant = q.astype(jnp.float32) * scale[None, :]
         err = jnp.max(jnp.abs(dequant - w) / scale[None, :])
         assert float(err) <= 0.5 + 1e-3

@@ -57,16 +57,21 @@ class RMSNorm(nn.Module):
 
 
 class QDense(nn.Module):
-    """Dense (bias optional) that transparently serves int8 weight-only quant.
+    """Dense (bias optional) that transparently serves int8/int4 weight-only
+    quant.
 
     Parameter layout matches nn.Dense (one ``kernel`` [in, out], optional
     ``bias`` [out]), so checkpoints interchange. When the caller's variables
     carry a ``quant`` collection (models/quant.py), the kernel leaf is int8
-    and the matching per-output-channel ``scale`` multiplies the matmul
-    output — XLA streams the int8 kernel from HBM (half the bytes of bf16)
-    and fuses both the on-load convert and the scale epilogue. The bias (used
-    for Qwen2-family q/k/v, which carry projection biases) is added after the
-    scale epilogue, matching the float semantics W@x + b.
+    — or nibble-packed uint8 [in//2, out] for int4 — and the matching
+    per-output-channel ``scale`` multiplies the matmul output. XLA streams
+    the quantized kernel from HBM (half / quarter the bytes of bf16) and
+    fuses the on-load convert and the scale epilogue. The int4 path runs
+    TWO half-dots over the even/odd input features so the nibble extract is
+    a pure elementwise producer of each dot operand (no reshape between —
+    reshapes break XLA's fusion into the dot's operand load). The bias
+    (used for Qwen2-family q/k/v, which carry projection biases) is added
+    after the scale epilogue, matching the float semantics W@x + b.
     """
 
     features: int
@@ -75,13 +80,32 @@ class QDense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (x.shape[-1], self.features),
-            jnp.float32,
-        )
-        y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        # Packed-int4 kernels are [in//2, out] uint8 — read them directly:
+        # self.param would reject the halved shape (flax checks init-shape
+        # equality; the packed carrier is a serving-only transform).
+        if (
+            self.has_variable("params", "kernel")
+            and self.get_variable("params", "kernel").dtype == jnp.uint8
+        ):
+            kernel = self.get_variable("params", "kernel")
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (x.shape[-1], self.features),
+                jnp.float32,
+            )
+        if kernel.dtype == jnp.uint8:  # packed int4 (models/quant.py)
+            from .quant import unpack_int4
+
+            w_even, w_odd = unpack_int4(kernel)
+            xq = x.astype(self.dtype)
+            y = (
+                xq[..., 0::2] @ w_even.astype(self.dtype)
+                + xq[..., 1::2] @ w_odd.astype(self.dtype)
+            )
+        else:
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
         if self.has_variable("quant", "scale"):
             scale = self.get_variable("quant", "scale")
             y = y * scale.astype(self.dtype)

@@ -17,11 +17,21 @@ Activations stay bf16 (weight-only, no calibration data needed). The
 up scales when the collection is present and fall back to the plain dense
 path when it is not, so training and f32 serving are untouched.
 
-int4 (qmax 7) uses XLA's native s4 type: on TPU the kernel is stored PACKED
-(two weights per byte), halving HBM decode traffic again vs int8 at the
-cost of coarser per-channel resolution — measure note quality before
-shipping it as a default; it is the right trade when the grammar carries
-the structure (constrained decoding) and the chip is bandwidth-starved.
+int4 (qmax 7) stores MANUALLY PACKED nibbles in a uint8 carrier — two
+adjacent input rows per byte (row 2k in the low nibble, 2k+1 in the high)
+— halving HBM decode traffic again vs int8 at the cost of coarser
+per-channel resolution. XLA's native s4 dtype is deliberately NOT used:
+the axon TPU plugin mis-reports s4 layouts (Format prints
+sub_byte_element_size_in_bits=0), so every executable boundary tries to
+relayout s4 arrays and the host relayout path recurses forever
+(shard_arg -> device_put(Format) -> jit -> shard_arg, RecursionError) —
+even with in_shardings pinned to the array's own Format. Byte-carrier
+packing sidesteps sub-byte dtypes at every JAX boundary while streaming
+identical HBM bytes; lm.QDense unpacks in-program (two half-dots over the
+even/odd input rows, no reshape, so the nibble extract fuses into the
+dot's operand load). Measure note quality before shipping int4 as a
+default; it is the right trade when the grammar carries the structure
+(constrained decoding) and the chip is bandwidth-starved.
 
 The reference has no quantization story (pure cloud calls); this is a
 TPU-serving capability in its own right.
@@ -38,6 +48,8 @@ __all__ = [
     "quantize_decoder_int8",
     "quantize_decoder_int4",
     "quantize_decoder",
+    "pack_int4",
+    "unpack_int4",
     "QUANTIZED_DENSE_NAMES",
 ]
 
@@ -46,7 +58,7 @@ __all__ = [
 # and stay full precision.
 QUANTIZED_DENSE_NAMES = ("q", "k", "v", "out", "gate", "up", "down")
 
-_QUANT_DTYPES = {"int8": (jnp.int8, 127), "int4": (jnp.int4, 7)}
+_QUANT_QMAX = {"int8": 127, "int4": 7}
 
 
 def _quantize_kernel(
@@ -59,18 +71,40 @@ def _quantize_kernel(
     return q, scale
 
 
+def pack_int4(q: jax.Array) -> jax.Array:
+    """int8 values in [-8, 7], [in, out] -> uint8 nibble pairs [in//2, out].
+
+    Row 2k lands in the LOW nibble, row 2k+1 in the HIGH nibble (two's
+    complement). ``in`` must be even (every decoder dim is a multiple of
+    128)."""
+    assert q.shape[0] % 2 == 0, q.shape
+    u = q.astype(jnp.uint8) & 0xF
+    return u[0::2] | (u[1::2] << 4)
+
+
+def unpack_int4(packed: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """uint8 nibble pairs [in//2, out] -> (even rows, odd rows) int8.
+
+    ``(v ^ 8) - 8`` sign-extends a two's-complement nibble held in the low
+    4 bits of an int8."""
+    lo = (packed & jnp.uint8(0xF)).astype(jnp.int8)
+    hi = (packed >> jnp.uint8(4)).astype(jnp.int8)
+    return (lo ^ jnp.int8(8)) - jnp.int8(8), (hi ^ jnp.int8(8)) - jnp.int8(8)
+
+
 def quantize_decoder(
     variables: dict[str, Any], mode: str = "int8"
 ) -> dict[str, Any]:
     """Quantize the decoder blocks' dense kernels inside a variables dict.
 
     Returns a NEW variables dict where each matched ``kernel`` leaf is
-    int8/int4 and a parallel ``quant`` collection holds the per-output-
-    channel scales (same nesting, leaf name ``scale``). Idempotent:
-    already-quantized leaves are left alone (their scales must already
-    exist).
+    int8 (mode "int8") or nibble-packed uint8 (mode "int4", two weights
+    per byte — see pack_int4) and a parallel ``quant`` collection holds
+    the per-output-channel scales (same nesting, leaf name ``scale``).
+    Idempotent: already-quantized leaves are left alone (their scales must
+    already exist).
     """
-    dtype, qmax = _QUANT_DTYPES[mode]
+    qmax = _QUANT_QMAX[mode]
     params = variables["params"]
     decoder = params.get("decoder", params)  # tolerate bare decoder trees
 
@@ -89,9 +123,11 @@ def quantize_decoder(
     new_decoder = jax.tree_util.tree_map(lambda x: x, decoder)  # shallow copy
     quant_decoder: dict[str, Any] = {}
     for path, kernel in walk(decoder, ()):
-        if kernel.dtype in (jnp.int8, jnp.int4):
+        if kernel.dtype in (jnp.int8, jnp.uint8):
             continue
-        q, scale = _quantize_kernel(kernel, dtype, qmax)
+        q, scale = _quantize_kernel(kernel, jnp.int8, qmax)
+        if mode == "int4":
+            q = pack_int4(q)
         node = new_decoder
         for key in path[:-1]:
             node = node[key]
