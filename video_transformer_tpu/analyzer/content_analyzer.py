@@ -476,25 +476,30 @@ class ContentAnalyzer:
         """One cached ContinuousBatcher, rebuilt when its shape/grammar
         changes.
 
-        Size-1 on purpose: each batcher owns a device-resident slot pool
-        (hundreds of MB of KV at base scale), so accumulating one per
-        (slots, prompt bucket) would leak HBM in a long-lived service.
-        The grammar is compared by IDENTITY with a strong reference held —
-        an id() key alone could silently alias a recycled object.
+        The cache lives on the ENGINE, not this analyzer: the pipeline
+        builds a fresh ContentAnalyzer per video while the engine is
+        long-lived, and an analyzer-held cache made every video re-trace
+        and re-compile the batcher's chunk programs (measured as ~10 s of
+        host_other per bench run through the axon tunnel). Size-1 on
+        purpose: each batcher owns a device-resident slot pool (hundreds
+        of MB of KV at base scale), so accumulating one per (slots, prompt
+        bucket) would leak HBM in a long-lived service. The grammar is
+        compared by IDENTITY with a strong reference held — an id() key
+        alone could silently alias a recycled object.
         """
         from ..parallel.serving import ContinuousBatcher
 
-        cached = getattr(self, "_batcher", None)
+        cached = getattr(self.engine, "_batcher_cache", None)
         if (
             cached is None
             or cached.slots != slots
             or cached.prompt_len != prompt_len
             or cached.dfa is not self.engine.dfa
         ):
-            self._batcher = ContinuousBatcher(
+            self.engine._batcher_cache = ContinuousBatcher(
                 self.engine, slots=slots, prompt_len=prompt_len
             )
-        return self._batcher
+        return self.engine._batcher_cache
 
     def _serve_segments(
         self, segments, slots, segment_prompt, decode_chunk, record,
@@ -543,7 +548,13 @@ class ContentAnalyzer:
 
         incomplete: list[tuple[SegmentEntry, list[int]]] = []
         reparse: list[SegmentEntry] = []
-        chunks = [segments[i : i + slots] for i in range(0, len(segments), slots)]
+        # Submit in ring-depth waves, not slot-width waves: the chunk
+        # program drains the whole staged ring in ONE dispatch (refilling
+        # finished slots mid-flight), so a queue_depth wave halves the
+        # tunnel round-trips and keeps the pool at full width across what
+        # would otherwise be a wave boundary.
+        wave = max(batcher.queue_depth, slots)
+        chunks = [segments[i : i + wave] for i in range(0, len(segments), wave)]
         for chunk, frames in zip(chunks, prefetch_map(decode_chunk, chunks)):
             for segment, clip in zip(chunk, frames):
                 update_segment_status(

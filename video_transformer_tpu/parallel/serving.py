@@ -261,12 +261,16 @@ class ContinuousBatcher:
         block_width = self.block_width
         forced = self._forced
 
+        close_bias = engine.close_bias_array()
+
         def step(carry, key):
             cache, state, logits, tokens, out_pos, done = carry
             if table is not None:
                 masked = dfa.constrain(logits, state, table)
             else:
                 masked = logits
+            if close_bias is not None:
+                masked = masked + close_bias
             if temperature > 0:
                 tok = jax.random.categorical(key, masked / temperature, axis=-1)
             else:
@@ -331,7 +335,7 @@ class ContinuousBatcher:
                 inner, _ = step(inner, keys[jnp.minimum(i, self.chunk_steps - 1)])
                 return i + 1, inner
 
-            _, carry = jax.lax.while_loop(
+            steps, carry = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), (cache, state, logits, tokens,
                                             out_pos, done))
             )
@@ -339,8 +343,10 @@ class ContinuousBatcher:
             # One small packed array carries everything the host scheduler
             # needs per chunk — a single device->host transfer (the axon
             # tunnel charges high latency per transfer, not per byte).
+            # Row 3 broadcasts the executed step count (decode_steps stat).
             status = jnp.stack(
-                [done.astype(jnp.int32), out_pos, state.astype(jnp.int32)]
+                [done.astype(jnp.int32), out_pos, state.astype(jnp.int32),
+                 jnp.full_like(out_pos, steps)]
             )
             return carry + (status,)
 
@@ -474,15 +480,20 @@ class ContinuousBatcher:
         """The combined chunk program: decode all slots, refilling finished
         ones from the device ring inside the loop.
 
-        Each iteration: (1) if any slot is done and the ring is non-empty,
-        evict that slot — record its request into the completion buffer
-        (skipped for never-occupied slots, request id -1) — and adopt the
-        ring head's PARKED prefill (K/V rows, index, first logits) into it;
-        (2) one decode step over all slots. The loop runs ``n_steps``
-        iterations or until every slot is done AND the ring is empty,
-        whichever first. The refill branch is pure memory movement — the
-        model forward stays out of the loop's cond (staging prefills), so
-        this compiles like a plain decode program.
+        Structured as NESTED while loops: the outer body first drains every
+        eligible refill (evict the finished slot — completion record into
+        the device buffer, skipped for never-occupied slots — then adopt
+        the ring head's PARKED prefill: K/V rows, index, first logits),
+        then an inner decode-only loop runs until a slot finishes while
+        ring work remains, everything is done, or the step budget is spent.
+        The inner body is EXACTLY the engine's decode step — no lax.cond in
+        it: a per-iteration conditional carrying the KV pool made XLA copy
+        the pool's live-out buffers every step (measured ~4x the plain
+        ablation loop's step time through the axon tunnel), while the
+        refill loop here executes only ~once per completed request. The
+        refill is pure memory movement — the model forward stays out of
+        conditional control flow entirely (staging prefills), so this
+        compiles like a plain decode program.
         """
         dfa = self.dfa
         depth = self.queue_depth
@@ -582,27 +593,30 @@ class ContinuousBatcher:
                 i, st = carry
                 can = jnp.any(st[5]) & (st[7] < q_tail)
                 st = jax.lax.cond(can, refill_one, lambda s: s, st)
-                (cache, state, logits, tokens, out_pos, done, slot_req,
-                 q_head, comp_tokens, comp_meta, comp_count) = st
-                inner = (cache, state, logits, tokens, out_pos, done)
                 inner, _ = step(
-                    inner, keys[jnp.minimum(i, self._device_steps - 1)]
+                    st[:6], keys[jnp.minimum(i, self._device_steps - 1)]
                 )
-                cache, state, logits, tokens, out_pos, done = inner
-                return i + 1, (cache, state, logits, tokens, out_pos, done,
-                               slot_req, q_head, comp_tokens, comp_meta,
-                               comp_count)
+                return i + 1, inner + st[6:]
 
+            # Structure note (measured on the axon chip, round 3): a
+            # nested-while form (refill loop + decode-only inner loop) made
+            # XLA copy the pool carry across the loop boundary every step —
+            # 30 ms/step vs this flat cond's ~4.7 ms and the plain ablation
+            # loop's 1.74 ms at width 8. The per-step cond tax is the KV
+            # pool riding through the conditional; the row-indirection
+            # redesign (rows table, ops/decode_attention.py) removes the
+            # big arrays from the refill entirely.
             st = (cache, state, logits, tokens, out_pos, done, slot_req,
                   q_head, comp_tokens, comp_meta, jnp.int32(0))
-            _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+            steps, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
             (cache, state, logits, tokens, out_pos, done, slot_req,
              q_head, comp_tokens, comp_meta, comp_count) = st
             # Packed status: one device->host transfer tells the scheduler
-            # everything (per-slot done/out_pos/state/request id).
+            # everything (per-slot done/out_pos/state/request id; row 4
+            # broadcasts the executed step count for decode_steps stats).
             status = jnp.stack(
                 [done.astype(jnp.int32), out_pos, state.astype(jnp.int32),
-                 slot_req]
+                 slot_req, jnp.full_like(out_pos, steps)]
             )
             return (cache, state, logits, tokens, out_pos, done, slot_req,
                     q_head, comp_tokens, comp_meta, comp_count, status)
@@ -739,7 +753,8 @@ class ContinuousBatcher:
             self._q_head_host = int(self._q_head)
             if comp_n:
                 harvest_ring(self._comp_meta, self._comp_tokens, comp_n)
-            done_np, out_pos_np, state_np, slot_req_np = status_np
+            done_np, out_pos_np, state_np, slot_req_np, steps_np = status_np
+            stats.decode_steps += int(steps_np[0])
             live = int((slot_req_np >= 0).sum())
             unfinished = int(((slot_req_np >= 0) & (done_np == 0)).sum())
             queued = self._ring_occupancy() > 0 or bool(self._queue)
@@ -815,7 +830,8 @@ class ContinuousBatcher:
         return self.chunk_steps
 
     def _harvest(self, status: np.ndarray) -> list[Completion]:
-        done, out_pos, state = status
+        done, out_pos, state, steps = status
+        self.engine.stats.decode_steps += int(steps[0])
         now = time.perf_counter()
         tokens = None
         results: list[Completion] = []
