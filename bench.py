@@ -116,6 +116,9 @@ def make_analyzer(engine, temp_dir: Path):
                 "hard_max_api_calls": 200,
                 "consolidate": False,
                 "continuous_batching": CONTINUOUS,
+                "serving_slots_per_chip": int(
+                    os.environ.get("VTX_BENCH_SLOTS", "8")
+                ),
             },
         },
         "engine": {},

@@ -120,3 +120,76 @@ class TestFusedUpdateAttention:
         (callers reserve >= 8 rows of slack)."""
         expected, out, *_ = self._run(w=1, idx=(1016 - 8, 3), s=1024)
         np.testing.assert_allclose(out, expected, atol=2e-5, rtol=2e-5)
+
+
+class TestRowTable:
+    """Paged row indirection: logical decode lanes address physical cache
+    rows through an int32 table (serving.py's refill is a table update)."""
+
+    def test_reference_rows_gather(self):
+        q, k, v = setup(b=2, s=512)
+        big_k = jnp.concatenate([jnp.zeros_like(k), k], axis=0)  # rows 2,3
+        big_v = jnp.concatenate([jnp.zeros_like(v), v], axis=0)
+        lengths = jnp.asarray([100, 400], jnp.int32)
+        rows = jnp.asarray([2, 3], jnp.int32)
+        got = decode_attention_reference(q, big_k, big_v, lengths, rows)
+        want = decode_attention_reference(q, k, v, lengths)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_pallas_rows_matches_reference(self):
+        q, k, v = setup(b=2, s=512)
+        perm = jnp.asarray([3, 1], jnp.int32)
+        big_k = jnp.concatenate([k, k[::-1]], axis=0)  # rows: k0 k1 k1 k0
+        big_v = jnp.concatenate([v, v[::-1]], axis=0)
+        lengths = jnp.asarray([256, 257], jnp.int32)
+        got = _decode_attention_pallas(
+            q, big_k, big_v, lengths, perm, interpret=True
+        )
+        want = decode_attention_reference(q, big_k, big_v, lengths, perm)
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+    def test_update_cache_rows_physical(self):
+        from video_transformer_tpu.ops.decode_attention import (
+            update_cache_rows,
+        )
+
+        k = jnp.zeros((4, 2, 64, 8), jnp.float32)
+        new = jnp.ones((2, 2, 8, 8), jnp.float32)
+        index = jnp.asarray([0, 16], jnp.int32)
+        rows = jnp.asarray([3, 1], jnp.int32)
+        out = np.asarray(update_cache_rows(k, new, index, rows))
+        assert out[3, :, 0:8].sum() == 2 * 8 * 8
+        assert out[1, :, 16:24].sum() == 2 * 8 * 8
+        assert out[0].sum() == 0 and out[2].sum() == 0
+
+    def test_adopt_rows_fallback_masks_pad_lanes(self):
+        """Padded stage lanes (i >= count) must be no-ops even when their
+        pad target index collides with a valid lane's row."""
+        from video_transformer_tpu.ops.decode_attention import adopt_rows
+
+        dst = jnp.zeros((5, 2, 32, 8), jnp.float32)
+        src = jnp.stack(
+            [jnp.full((2, 16, 8), i + 1.0) for i in range(3)]
+        )  # 3 lanes, park_len 16
+        rows = jnp.asarray([4, 2, 4], jnp.int32)  # lane 2 is a pad (count=2)
+        out = np.asarray(adopt_rows(dst, src, rows, jnp.int32(2), 16))
+        assert (out[4, :, :16] == 1.0).all()  # lane 0 landed
+        assert (out[2, :, :16] == 2.0).all()  # lane 1 landed
+        assert (out[4, :, 16:] == 0).all()  # past park region untouched
+        assert out[0].sum() == 0 and out[1].sum() == 0 and out[3].sum() == 0
+
+    def test_adopt_rows_pallas_interpret(self):
+        from video_transformer_tpu.ops.decode_attention import (
+            _adopt_rows_pallas,
+        )
+
+        dst = jnp.zeros((4, 2, 32, 8), jnp.float32)
+        src = jnp.stack(
+            [jnp.full((2, 32, 8), i + 1.0) for i in range(2)]
+        )
+        rows = jnp.asarray([1, 3], jnp.int32)
+        out = np.asarray(
+            _adopt_rows_pallas(dst, src, rows, jnp.int32(2), 32, interpret=True)
+        )
+        assert (out[1] == 1.0).all() and (out[3] == 2.0).all()
+        assert out[0].sum() == 0 and out[2].sum() == 0

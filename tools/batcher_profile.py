@@ -31,6 +31,12 @@ PRESET = os.environ.get("VTX_BP_PRESET", "base")
 QUANT = os.environ.get("VTX_BP_QUANT", "int8") or None
 N_REQ = int(os.environ.get("VTX_BP_REQUESTS", "10"))
 SLOTS = int(os.environ.get("VTX_BP_SLOTS", "8"))
+# Diagnostics: VTX_BP_DEVICE_REFILL=0 drives the host-refill loop (its
+# chunk program has NO lax.cond — isolates the refill-cond tax);
+# VTX_BP_CHUNK_STEPS sizes host-mode chunks (set >= max_new so ONE chunk
+# decodes the wave and ms_per_step is clean of dispatch latency).
+DEVICE_REFILL = os.environ.get("VTX_BP_DEVICE_REFILL", "1") not in ("0", "")
+CHUNK_STEPS = int(os.environ.get("VTX_BP_CHUNK_STEPS", "64"))
 PROMPT = "请分析这段讲座视频，生成结构化笔记。"
 
 
@@ -70,7 +76,12 @@ def main() -> int:
         0, 255, (N_REQ, enc.num_frames, enc.image_size, enc.image_size, 3),
         dtype=np.uint8,
     )
-    batcher = ContinuousBatcher(engine, slots=SLOTS, prompt_len=256)
+    batcher = ContinuousBatcher(
+        engine, slots=SLOTS, prompt_len=256,
+        device_refill=DEVICE_REFILL, chunk_steps=CHUNK_STEPS,
+    )
+    out["device_refill"] = DEVICE_REFILL
+    out["chunk_steps_cfg"] = CHUNK_STEPS
     out["build_s"] = round(time.perf_counter() - t0, 2)
 
     cfg = config
@@ -100,9 +111,9 @@ def main() -> int:
     chunk_walls: list[float] = []
     chunk_steps: list[int] = []
     orig_stage = batcher._stage
-    orig_chunk = batcher._decode_refill
+    orig_chunk = batcher._decode_refill if DEVICE_REFILL else batcher._decode
     orig_pre = engine.preprocess
-    orig_enq = batcher._enqueue
+    orig_enq = batcher._enqueue if DEVICE_REFILL else None
 
     def timed_pre(frames):
         t = time.perf_counter()
@@ -119,7 +130,8 @@ def main() -> int:
         return outs
 
     engine.preprocess = timed_pre
-    batcher._enqueue = timed_enq
+    if DEVICE_REFILL:
+        batcher._enqueue = timed_enq
 
     def timed_stage():
         t = time.perf_counter()
@@ -132,11 +144,14 @@ def main() -> int:
         outs = orig_chunk(*args)
         jax.block_until_ready(outs[-1])
         chunk_walls.append(time.perf_counter() - t)
-        chunk_steps.append(int(np.asarray(outs[-1])[4, 0]))
+        chunk_steps.append(int(np.asarray(outs[-1])[4 if DEVICE_REFILL else 3, 0]))
         return outs
 
     batcher._stage = timed_stage
-    batcher._decode_refill = timed_chunk
+    if DEVICE_REFILL:
+        batcher._decode_refill = timed_chunk
+    else:
+        batcher._decode = timed_chunk
 
     # Warmup: compile every program once (one request through the pool).
     t0 = time.perf_counter()

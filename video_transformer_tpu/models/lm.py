@@ -96,14 +96,9 @@ class QDense(nn.Module):
                 jnp.float32,
             )
         if kernel.dtype == jnp.uint8:  # packed int4 (models/quant.py)
-            from .quant import unpack_int4
+            from ..ops.int4_matmul import int4_matmul
 
-            w_even, w_odd = unpack_int4(kernel)
-            xq = x.astype(self.dtype)
-            y = (
-                xq[..., 0::2] @ w_even.astype(self.dtype)
-                + xq[..., 1::2] @ w_odd.astype(self.dtype)
-            )
+            y = int4_matmul(x.astype(self.dtype), kernel).astype(self.dtype)
         else:
             y = x.astype(self.dtype) @ kernel.astype(self.dtype)
         if self.has_variable("quant", "scale"):
@@ -162,6 +157,10 @@ class Attention(nn.Module):
             )
 
             index = cache["index"]  # [B]
+            # Paged serving: cache["rows"] [B] maps logical decode rows to
+            # physical cache rows (the batcher's refill is then an int32
+            # table update instead of a KV copy); absent = identity.
+            rows = cache.get("rows")
             k_layer = cache["k"][self.layer_idx]
             v_layer = cache["v"][self.layer_idx]
             if prefill:
@@ -169,10 +168,10 @@ class Attention(nn.Module):
                 # causal flash attention (exact, and avoids attending the
                 # padded cache tail: S_block^2 instead of S_block * S).
                 k_layer = update_cache_rows(
-                    k_layer, k.astype(k_layer.dtype), index
+                    k_layer, k.astype(k_layer.dtype), index, rows
                 )
                 v_layer = update_cache_rows(
-                    v_layer, v.astype(v_layer.dtype), index
+                    v_layer, v.astype(v_layer.dtype), index, rows
                 )
                 out = flash_attention(q, k, v, causal=True)
             else:
@@ -180,7 +179,7 @@ class Attention(nn.Module):
                 # k/v rows land in the cache INSIDE the kernel (in place on
                 # TPU), and only the valid prefix streams from HBM.
                 out, k_layer, v_layer = decode_attention_update(
-                    q, k_layer, v_layer, k, v, index
+                    q, k_layer, v_layer, k, v, index, rows
                 )
             new_k = list(cache["k"])
             new_v = list(cache["v"])

@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
+    "adopt_rows",
     "decode_attention",
     "decode_attention_reference",
     "decode_attention_update",
@@ -37,14 +38,24 @@ _BLOCK = 512
 
 
 def decode_attention_reference(
-    q: jax.Array, k_cache: jax.Array, v_cache: jax.Array, lengths: jax.Array
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    lengths: jax.Array,
+    rows: jax.Array | None = None,
 ) -> jax.Array:
     """XLA oracle: full-cache masked attention (per-row causal lengths).
 
     q [B, Hq, W, D]; lengths[b] is the count of valid cache positions for
     the FIRST query row; query row j may additionally see positions up to
-    lengths[b] + j (in-block causality).
+    lengths[b] + j (in-block causality). ``rows`` [B] (optional) maps each
+    logical query row to its PHYSICAL cache row (paged serving: the cache
+    may hold more rows than the decode batch; gathers here, zero-copy
+    indexing in the Pallas kernels).
     """
+    if rows is not None:
+        k_cache = k_cache[rows]
+        v_cache = v_cache[rows]
     b, hq, w, d = q.shape
     hkv = k_cache.shape[1]
     group = hq // hkv
@@ -64,8 +75,9 @@ def decode_attention_reference(
 
 def _kernel(
     len_ref,  # scalar prefetch [B]
+    rows_ref,  # scalar prefetch [B]: logical row -> physical cache row
     q_ref,  # [1, 1, GW, D] VMEM
-    k_hbm,  # [B, Hkv, S, D] ANY
+    k_hbm,  # [R, Hkv, S, D] ANY (R >= B under paged serving)
     v_hbm,
     o_ref,  # [1, 1, GW, D] VMEM
     k_scratch,  # [2, BLK, D]
@@ -78,6 +90,7 @@ def _kernel(
     scale: float,
 ):
     row = pl.program_id(0)
+    phys = rows_ref[row]  # physical cache row (paged row table)
     head = pl.program_id(1)
     length = len_ref[row]  # valid positions for query row 0
     # Query row j (within width) may see length + j positions; the maximum
@@ -91,12 +104,12 @@ def _kernel(
     def get_dma_pair(slot, blk_idx):
         return (
             pltpu.make_async_copy(
-                k_hbm.at[row, head, pl.ds(blk_idx * block, block), :],
+                k_hbm.at[phys, head, pl.ds(blk_idx * block, block), :],
                 k_scratch.at[slot],
                 sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                v_hbm.at[row, head, pl.ds(blk_idx * block, block), :],
+                v_hbm.at[phys, head, pl.ds(blk_idx * block, block), :],
                 v_scratch.at[slot],
                 sems.at[slot, 1],
             ),
@@ -154,6 +167,7 @@ def _decode_attention_pallas(
     k_cache: jax.Array,
     v_cache: jax.Array,
     lengths: jax.Array,
+    rows: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     b, hq, w, d = q.shape
@@ -162,6 +176,8 @@ def _decode_attention_pallas(
     scale = 1.0 / math.sqrt(d)
     block = _pick_cache_block(s)
     assert block is not None  # dispatcher guarantees divisibility
+    if rows is None:
+        rows = jnp.arange(b, dtype=jnp.int32)
 
     # Queries for one kv head, flattened: [B, Hkv, G*W, D], with the row
     # count padded to the fp32 sublane multiple (8) for clean VMEM tiling.
@@ -172,7 +188,7 @@ def _decode_attention_pallas(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gw_pad - gw), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b, hkv),
         in_specs=[
             pl.BlockSpec(
@@ -207,7 +223,7 @@ def _decode_attention_pallas(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), qg, k_cache, v_cache)
+    )(lengths.astype(jnp.int32), rows.astype(jnp.int32), qg, k_cache, v_cache)
     out = out[:, :, :gw, :]
     return out.reshape(b, hkv, group, w, d).reshape(b, hq, w, d)
 
@@ -225,23 +241,32 @@ def _pick_cache_block(s: int) -> int | None:
 
 
 def update_cache_rows(
-    cache_layer: jax.Array, new: jax.Array, index: jax.Array
+    cache_layer: jax.Array,
+    new: jax.Array,
+    index: jax.Array,
+    rows: jax.Array | None = None,
 ) -> jax.Array:
-    """Write new [B, H, s, D] into cache [B, H, S, D] at per-row offsets
-    (XLA path; the fused Pallas kernel below writes in place instead)."""
+    """Write new [B, H, s, D] into cache [R, H, S, D] at per-row offsets
+    (XLA path; the fused Pallas kernel below writes in place instead).
+    ``rows`` [B] (optional) selects each logical row's physical cache row
+    (gather + scatter here — correctness fallback only)."""
 
     def write_row(row_cache, row_new, row_index):
         return jax.lax.dynamic_update_slice(row_cache, row_new, (0, row_index, 0))
 
-    return jax.vmap(write_row)(cache_layer, new, index)
+    if rows is None:
+        return jax.vmap(write_row)(cache_layer, new, index)
+    sub = jax.vmap(write_row)(cache_layer[rows], new, index)
+    return cache_layer.at[rows].set(sub)
 
 
 def _fused_kernel(
     len_ref,  # scalar prefetch [B]: valid positions for query row 0
+    rows_ref,  # scalar prefetch [B]: logical row -> physical cache row
     q_ref,  # [1, 1, GW, D] VMEM
     k_new_ref,  # [1, 1, Wpad, D] VMEM (rows [0, width) are real)
     v_new_ref,
-    k_hbm,  # [B, Hkv, S, D] ANY (aliased with k_out)
+    k_hbm,  # [R, Hkv, S, D] ANY (aliased with k_out; R >= B when paged)
     v_hbm,
     o_ref,  # [1, 1, GW, D] VMEM
     k_out,  # ANY, aliased with k_hbm — never touched directly
@@ -271,6 +296,7 @@ def _fused_kernel(
     not MBs.
     """
     row = pl.program_id(0)
+    phys = rows_ref[row]  # physical cache row (paged row table)
     head = pl.program_id(1)
     length = len_ref[row]
     base = length - 1  # write offset: new rows occupy [base, base + width)
@@ -287,11 +313,11 @@ def _fused_kernel(
 
     rmw_reads = [
         pltpu.make_async_copy(
-            k_hbm.at[row, head, pl.ds(region_start, region), :],
+            k_hbm.at[phys, head, pl.ds(region_start, region), :],
             rmw_k, w_sems.at[0],
         ),
         pltpu.make_async_copy(
-            v_hbm.at[row, head, pl.ds(region_start, region), :],
+            v_hbm.at[phys, head, pl.ds(region_start, region), :],
             rmw_v, w_sems.at[1],
         ),
     ]
@@ -322,19 +348,19 @@ def _fused_kernel(
     # reads AND outputs to agree.
     rmw_writes = [
         pltpu.make_async_copy(
-            rmw_k, k_hbm.at[row, head, pl.ds(region_start, region), :],
+            rmw_k, k_hbm.at[phys, head, pl.ds(region_start, region), :],
             w_sems.at[0],
         ),
         pltpu.make_async_copy(
-            rmw_v, v_hbm.at[row, head, pl.ds(region_start, region), :],
+            rmw_v, v_hbm.at[phys, head, pl.ds(region_start, region), :],
             w_sems.at[1],
         ),
         pltpu.make_async_copy(
-            rmw_k, k_out.at[row, head, pl.ds(region_start, region), :],
+            rmw_k, k_out.at[phys, head, pl.ds(region_start, region), :],
             w_sems.at[2],
         ),
         pltpu.make_async_copy(
-            rmw_v, v_out.at[row, head, pl.ds(region_start, region), :],
+            rmw_v, v_out.at[phys, head, pl.ds(region_start, region), :],
             w_sems.at[3],
         ),
     ]
@@ -352,12 +378,12 @@ def _fused_kernel(
     def get_dma_pair(slot, blk_idx):
         return (
             pltpu.make_async_copy(
-                k_hbm.at[row, head, pl.ds(blk_idx * block, block), :],
+                k_hbm.at[phys, head, pl.ds(blk_idx * block, block), :],
                 k_scratch.at[slot],
                 sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                v_hbm.at[row, head, pl.ds(blk_idx * block, block), :],
+                v_hbm.at[phys, head, pl.ds(blk_idx * block, block), :],
                 v_scratch.at[slot],
                 sems.at[slot, 1],
             ),
@@ -416,6 +442,7 @@ def _decode_attention_update_pallas(
     k_new: jax.Array,  # [B, Hkv, W, D]
     v_new: jax.Array,
     index: jax.Array,  # [B] current per-row cache fill (pre-block)
+    rows: jax.Array | None = None,  # [B] logical -> physical cache row
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     b, hq, w, d = q.shape
@@ -424,6 +451,8 @@ def _decode_attention_update_pallas(
     scale = 1.0 / math.sqrt(d)
     block = _pick_cache_block(s)
     assert block is not None  # dispatcher guarantees divisibility
+    if rows is None:
+        rows = jnp.arange(b, dtype=jnp.int32)
 
     gw = group * w
     gw_pad = ((gw + 7) // 8) * 8
@@ -441,7 +470,7 @@ def _decode_attention_update_pallas(
         vn = jnp.pad(vn, ((0, 0), (0, 0), (0, w_pad - w), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b, hkv),
         in_specs=[
             pl.BlockSpec(
@@ -489,14 +518,14 @@ def _decode_attention_update_pallas(
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
         grid_spec=grid_spec,
-        # Operand indices count the scalar-prefetch arg first: lengths=0,
-        # q=1, k_new=2, v_new=3, k_cache=4, v_cache=5.
-        input_output_aliases={4: 1, 5: 2},
+        # Operand indices count the scalar-prefetch args first: lengths=0,
+        # rows=1, q=2, k_new=3, v_new=4, k_cache=5, v_cache=6.
+        input_output_aliases={5: 1, 6: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(lengths, qg, kn, vn, k_cache, v_cache)
+    )(lengths, rows.astype(jnp.int32), qg, kn, vn, k_cache, v_cache)
     out = out[:, :, :gw, :]
     return out.reshape(b, hkv, group, w, d).reshape(b, hq, w, d), k_out, v_out
 
@@ -508,16 +537,18 @@ def decode_attention_update(
     k_new: jax.Array,
     v_new: jax.Array,
     index: jax.Array,
+    rows: jax.Array | None = None,
     force_reference: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused cache-row write + length-aware decode attention.
 
     Returns (attn_out, k_cache, v_cache) with the new rows written at each
     row's ``index`` offset — in place on TPU (pallas input_output_aliases),
-    via the XLA scatter fallback elsewhere. The aligned read-modify-write
-    can touch up to round_up(width, 8) + 8 rows past ``index``; callers
-    must reserve that much tail slack past the maximum index (the engine
-    and batcher size their caches accordingly)."""
+    via the XLA scatter fallback elsewhere. ``rows`` [B] maps logical decode
+    rows to physical cache rows (paged serving; None = identity). The
+    aligned read-modify-write can touch up to round_up(width, 8) + 8 rows
+    past ``index``; callers must reserve that much tail slack past the
+    maximum index (the engine and batcher size their caches accordingly)."""
     import os
 
     s = k_cache.shape[2]
@@ -528,11 +559,17 @@ def decode_attention_update(
         or jax.default_backend() != "tpu"
         or _pick_cache_block(s) is None
     ):
-        k_cache = update_cache_rows(k_cache, k_new.astype(k_cache.dtype), index)
-        v_cache = update_cache_rows(v_cache, v_new.astype(v_cache.dtype), index)
-        out = decode_attention_reference(q, k_cache, v_cache, index + 1)
+        k_cache = update_cache_rows(
+            k_cache, k_new.astype(k_cache.dtype), index, rows
+        )
+        v_cache = update_cache_rows(
+            v_cache, v_new.astype(v_cache.dtype), index, rows
+        )
+        out = decode_attention_reference(q, k_cache, v_cache, index + 1, rows)
         return out, k_cache, v_cache
-    return _decode_attention_update_pallas(q, k_cache, v_cache, k_new, v_new, index)
+    return _decode_attention_update_pallas(
+        q, k_cache, v_cache, k_new, v_new, index, rows
+    )
 
 
 def decode_attention(
@@ -540,6 +577,7 @@ def decode_attention(
     k_cache: jax.Array,
     v_cache: jax.Array,
     lengths: jax.Array,
+    rows: jax.Array | None = None,
     force_reference: bool = False,
 ) -> jax.Array:
     """Dispatch: paged Pallas kernel on TPU, XLA reference elsewhere or for
@@ -553,5 +591,102 @@ def decode_attention(
         or jax.default_backend() != "tpu"
         or _pick_cache_block(k_cache.shape[2]) is None
     ):
-        return decode_attention_reference(q, k_cache, v_cache, lengths)
-    return _decode_attention_pallas(q, k_cache, v_cache, lengths)
+        return decode_attention_reference(q, k_cache, v_cache, lengths, rows)
+    return _decode_attention_pallas(q, k_cache, v_cache, lengths, rows)
+
+
+def _adopt_kernel(rows_ref, count_ref, src_hbm, dst_hbm, dst_out, sem, *,
+                  park_len: int):
+    """Copy staged prefill row ``i`` into physical cache row rows[i].
+
+    One HBM->HBM DMA of the [Hkv, park_len, D] park region per grid step;
+    lanes past ``count`` are skipped (stage batches are padded to the ring
+    width). XLA expresses this as a gather+scatter, whose dynamic-index
+    scatter lowering measured ~48 s/GB through the axon backend — 3 orders
+    of magnitude off DMA speed; this kernel IS the scatter.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i < count_ref[0])
+    def _():
+        # Compiled, dst_out IS dst_hbm (input_output_aliases) and the second
+        # DMA is a duplicate write of identical bytes; in interpret mode the
+        # alias is a copy, so both views must be written.
+        for dst in (dst_hbm, dst_out):
+            dma = pltpu.make_async_copy(
+                src_hbm.at[i, :, pl.ds(0, park_len), :],
+                dst.at[rows_ref[i], :, pl.ds(0, park_len), :],
+                sem,
+            )
+            dma.start()
+            dma.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("park_len", "interpret"))
+def _adopt_rows_pallas(
+    dst: jax.Array,  # [R, Hkv, S, D]
+    src: jax.Array,  # [depth, Hkv, Spark, D]
+    rows: jax.Array,  # [depth] target physical rows (distinct where valid)
+    count: jax.Array,  # [] valid lane count
+    park_len: int,
+    interpret: bool = False,
+) -> jax.Array:
+    depth = src.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(depth,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        functools.partial(_adopt_kernel, park_len=park_len),
+        out_shape=jax.ShapeDtypeStruct(dst.shape, dst.dtype),
+        grid_spec=grid_spec,
+        # Operands: rows=0, count=1, src=2, dst=3.
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(rows.astype(jnp.int32), count.reshape(1).astype(jnp.int32), src, dst)
+
+
+def adopt_rows(
+    dst: jax.Array,
+    src: jax.Array,
+    rows: jax.Array,
+    count: jax.Array,
+    park_len: int,
+    force_reference: bool = False,
+) -> jax.Array:
+    """Scatter staged prefill rows into the paged cache at ``rows`` —
+    in place on TPU (DMA kernel), via a sequential-scan fallback elsewhere.
+
+    The fallback scan re-reads each target row before writing, so padded
+    lanes (i >= count) are no-ops even when their pad index collides with
+    a valid lane's row."""
+    import os
+
+    if (
+        force_reference
+        or os.environ.get("VTX_FORCE_REF_ATTN")
+        or jax.default_backend() != "tpu"
+    ):
+        h, d = dst.shape[1], dst.shape[3]
+        valid = jnp.arange(src.shape[0]) < count
+
+        def body(acc, inp):
+            row, s_row, ok = inp
+            cur = jax.lax.dynamic_slice(
+                acc, (row, 0, 0, 0), (1, h, park_len, d)
+            )
+            new = jnp.where(ok, s_row[None, :, :park_len, :], cur)
+            return jax.lax.dynamic_update_slice(acc, new, (row, 0, 0, 0)), None
+
+        dst, _ = jax.lax.scan(body, dst, (rows, src, valid))
+        return dst
+    return _adopt_rows_pallas(dst, src, rows, count, park_len)

@@ -10,16 +10,23 @@ pool width regardless of individual request lengths.
 
 Two refill modes:
 
-- **On-device refill** (``device_refill=True``, the default): requests are
-  staged into a device-resident ring (preprocessed patches + prompt tokens
-  + request ids), and ONE compiled chunk program both decodes and refills —
-  each loop iteration pops at most one queued request into a finished slot
-  via ``lax.cond`` (eviction record into a device completion buffer, then
-  the full video+prompt prefill, all inside the traced loop). The host's
-  only work per chunk is one batched enqueue dispatch and one completion
-  harvest — crucial behind remote-dispatch links (the axon tunnel charges
-  ~1 s per host round-trip, which made the host-driven loop lose 32 s vs
-  4 s against the plain engine on the same sweep).
+- **On-device refill** (``device_refill=True``, the default): PAGED. The
+  KV pool holds ``slots + queue_depth`` full-length physical rows; each of
+  the ``slots`` logical decode lanes addresses its physical row through an
+  int32 ``rows`` table (scalar-prefetched by the paged attention kernels,
+  ops/decode_attention.py). Staging batch-prefills queued requests into
+  host-chosen FREE physical rows (one DMA-kernel scatter, adopt_rows), and
+  ONE compiled chunk program decodes and refills: a finished slot adopts
+  the ring head by a ``rows`` TABLE UPDATE — no KV bytes move. The
+  ``lax.cond`` in the loop carries only small arrays; earlier designs that
+  carried the pool through the conditional (or a nested while) made XLA
+  copy it every iteration (measured 4.7 / 30 ms per step vs the plain
+  loop's 1.74 at base width 8 through the axon tunnel), and the XLA
+  scatter staging the parked ring measured ~48 s/GB. The host's only work
+  per chunk is one stage dispatch and one completion harvest — crucial
+  behind remote-dispatch links (the axon tunnel charges ~1 s per host
+  round-trip, which made the host-driven loop lose 32 s vs 4 s against
+  the plain engine on the same sweep).
 - **Host-driven refill** (``device_refill=False``): the original loop —
   per-request prefill dispatches between fixed decode chunks. Kept for
   local-attached topologies and as the parity oracle in tests.
@@ -143,6 +150,7 @@ class ContinuousBatcher:
         if self.cache_len > cfg.decoder.max_seq_len:
             raise ValueError("slot cache exceeds max_seq_len")
         self.out_width = self.max_new + 2 * self.block_width
+        self.park_len = cfg.video_tokens + self.prompt_len
         self._slots = [_Slot() for _ in range(self.slots)]
         if self.queue_depth <= 0:
             self.queue_depth = 2 * self.slots
@@ -158,12 +166,30 @@ class ContinuousBatcher:
     # -- device state -----------------------------------------------------------
 
     def _init_device_state(self):
+        """Allocate the KV pool + per-slot decode state.
+
+        Host-driven mode: ``slots`` physical rows, identity addressing.
+        Device-refill mode: ``slots + queue_depth`` full-length physical
+        rows addressed through the ``rows`` table; logical slot i of device
+        group g starts on that group's i-th local physical row, and the
+        group's remaining rows are free for staging (rows never cross the
+        data-axis shard boundary — the paged kernels index rows locally).
+        """
         engine = self.engine
         cfg = engine.config
         dtype = jnp.dtype(cfg.dtype)
         mesh = engine.mesh
         data_sharding = NamedSharding(mesh, P(DATA_AXIS))
-        cache = init_kv_cache(cfg.decoder, self.slots, self.cache_len, dtype)
+        self.n_groups = max(mesh.shape[DATA_AXIS], 1)
+        self.total_rows = (
+            self.slots + self.queue_depth if self.device_refill else self.slots
+        )
+        if self.slots % self.n_groups or self.queue_depth % self.n_groups:
+            raise ValueError(
+                f"slots ({self.slots}) and queue_depth ({self.queue_depth}) "
+                f"must divide the data axis ({self.n_groups})"
+            )
+        cache = init_kv_cache(cfg.decoder, self.total_rows, self.cache_len, dtype)
         model_axis = mesh.shape[MODEL_AXIS]
         if model_axis > 1 and cfg.decoder.num_kv_heads % model_axis == 0:
             kv_spec = P(DATA_AXIS, MODEL_AXIS)
@@ -173,8 +199,22 @@ class ContinuousBatcher:
         self.cache = {
             "k": [jax.device_put(layer, kv_sharding) for layer in cache["k"]],
             "v": [jax.device_put(layer, kv_sharding) for layer in cache["v"]],
-            "index": jax.device_put(cache["index"], data_sharding),
+            # Logical per-slot fill counts (the rows table owns physical
+            # addressing; index rides the small decode state).
+            "index": jax.device_put(
+                jnp.zeros((self.slots,), jnp.int32), data_sharding
+            ),
         }
+        # Initial logical -> physical mapping: group-local identity.
+        self._rows_host = np.asarray(
+            [self._group_rows(i // (self.slots // self.n_groups))[
+                i % (self.slots // self.n_groups)]
+             for i in range(self.slots)],
+            np.int32,
+        )
+        self.rows = jax.device_put(
+            jnp.asarray(self._rows_host), data_sharding
+        )
         start = self.dfa.start if self.dfa else 0
         eos = engine.tokenizer.EOS
         self.state = jax.device_put(
@@ -196,15 +236,20 @@ class ContinuousBatcher:
             jnp.ones((self.slots,), bool), data_sharding
         )
 
+    def _group_rows(self, group: int) -> range:
+        """Physical row range owned by data-axis shard ``group``."""
+        per = self.total_rows // self.n_groups
+        return range(group * per, (group + 1) * per)
+
     # -- compiled programs --------------------------------------------------------
 
     def _prefill_body(self, params, cache, state, logits, tokens_out,
-                      out_pos, done, patches, prompt, length, slot):
-        """Prefill one request into slot ``slot`` of the pool (traceable;
-        shared by the host-driven prefill program and the on-device refill).
+                      out_pos, done, patches, prompt, length, slot, row):
+        """Prefill one request into logical slot ``slot`` of the pool,
+        writing K/V at its PHYSICAL row ``row`` (host-driven path).
 
-        Single-request prefill into a scratch cache, then splice the slot's
-        rows into the pool (per-layer batch-index update). ``length`` is the
+        Single-request prefill into a scratch cache, then splice the row
+        into the pool (per-layer batch-index update). ``length`` is the
         request's OWN 128-multiple prompt bucket — generation must start
         right after it (train/serve prompt-block alignment,
         train/run.py::_pack_row == engine._assemble_inputs); a shared fixed
@@ -222,11 +267,11 @@ class ContinuousBatcher:
         )
         cache = {
             "k": [
-                jax.lax.dynamic_update_slice(pool, filled, (slot, 0, 0, 0))
+                jax.lax.dynamic_update_slice(pool, filled, (row, 0, 0, 0))
                 for pool, filled in zip(cache["k"], scratch["k"])
             ],
             "v": [
-                jax.lax.dynamic_update_slice(pool, filled, (slot, 0, 0, 0))
+                jax.lax.dynamic_update_slice(pool, filled, (row, 0, 0, 0))
                 for pool, filled in zip(cache["v"], scratch["v"])
             ],
             "index": cache["index"].at[slot].set(scratch["index"][0]),
@@ -240,10 +285,10 @@ class ContinuousBatcher:
 
     def _build_prefill(self):
         def prefill(params, cache, state, logits, tokens_out, out_pos, done,
-                    patches, prompt, length, slot):
+                    patches, prompt, length, slot, row):
             return self._prefill_body(
                 params, cache, state, logits, tokens_out, out_pos, done,
-                patches, prompt, length, slot,
+                patches, prompt, length, slot, row,
             )
 
         return jax.jit(prefill, donate_argnums=(1, 2, 3, 4, 5, 6))
@@ -355,22 +400,27 @@ class ContinuousBatcher:
     # -- on-device refill ---------------------------------------------------------
 
     def _init_ring_state(self):
-        """Device-resident request ring + completion buffer.
+        """Device-resident request ring metadata + completion buffer.
 
-        The ring holds ``queue_depth`` staged requests PRE-PREFILLED: parked
-        per-layer K/V over the video+prompt region, the first-token logits,
-        the per-request cache index (video + own prompt bucket), and the
-        request id. Staging runs ONE batched prefill dispatch for the whole
-        stage; the in-loop refill is then pure memory movement (parked rows
-        copied into the slot pool) — keeping the model forward OUT of the
-        decode loop's cond branch, which XLA could not compile in
-        reasonable time at base scale (>40 min observed).
+        A ring entry is a PARKED request: its prefilled K/V lives directly
+        in a free physical row of the unified pool (written at stage time
+        by the adopt_rows DMA kernel), and the ring itself holds only small
+        per-entry metadata — the physical row id (``q_phys``), the cache
+        index after prefill, the first-token logits, and the request id.
+        The in-loop refill is then an int32 table update (rows[slot] <-
+        q_phys[head]) plus small resets: no KV bytes move, and the model
+        forward stays out of the decode loop's cond branch (XLA could not
+        compile an in-loop prefill in reasonable time at base scale,
+        >40 min observed).
 
-        ``q_head`` / ``q_tail`` are monotonically increasing counts (ring
-        slot = count % depth). The completion buffer receives evicted
-        finished requests — ``comp_meta`` rows are (request_id, out_pos,
-        complete); the host harvests + resets it every chunk, so slots +
-        queue_depth rows bound one chunk's completions.
+        Chunks always run with a full step budget, so every chunk DRAINS
+        the ring; the ring is therefore empty at every stage and positions
+        rebase to 0..count-1 (``q_head``/``q_tail`` reset each stage) —
+        all metadata writes are elementwise selects, no scatters. The
+        completion buffer receives evicted finished requests —
+        ``comp_meta`` rows are (request_id, out_pos, complete); the host
+        harvests + resets it every chunk, so slots + queue_depth rows
+        bound one chunk's completions.
         """
         engine = self.engine
         cfg = engine.config
@@ -378,25 +428,7 @@ class ContinuousBatcher:
         mesh = engine.mesh
         replicated = NamedSharding(mesh, P())
         data_sharding = NamedSharding(mesh, P(DATA_AXIS))
-        dtype = jnp.dtype(cfg.dtype)
         dec = cfg.decoder
-        self.park_len = cfg.video_tokens + self.prompt_len
-        # Parked K/V heads shard over the model axis exactly like the pool's
-        # (column-parallel projections produce them head-sharded).
-        model_axis = mesh.shape[MODEL_AXIS]
-        if model_axis > 1 and dec.num_kv_heads % model_axis == 0:
-            park_spec = NamedSharding(mesh, P(None, MODEL_AXIS))
-        else:
-            park_spec = replicated
-        shape = (depth, dec.num_kv_heads, self.park_len, dec.head_dim)
-        self._q_k = [
-            jax.device_put(jnp.zeros(shape, dtype), park_spec)
-            for _ in range(dec.num_layers)
-        ]
-        self._q_v = [
-            jax.device_put(jnp.zeros(shape, dtype), park_spec)
-            for _ in range(dec.num_layers)
-        ]
         self._q_index = jax.device_put(
             jnp.zeros((depth,), jnp.int32), replicated
         )
@@ -405,6 +437,9 @@ class ContinuousBatcher:
         )
         self._q_req = jax.device_put(
             jnp.full((depth,), -1, jnp.int32), replicated
+        )
+        self._q_phys = jax.device_put(
+            jnp.zeros((depth,), jnp.int32), replicated
         )
         self._q_head = jnp.int32(0)
         self._q_tail = jnp.int32(0)
@@ -425,22 +460,26 @@ class ContinuousBatcher:
         self._emitted_total = 0
 
     def _build_enqueue(self):
-        """One dispatch stages up to ``queue_depth`` requests into the ring:
-        a BATCHED video+prompt prefill over the whole stage, scattered into
-        the parked-KV ring at positions (q_tail + i) % depth.
+        """One dispatch stages up to ``queue_depth`` requests: a BATCHED
+        video+prompt prefill over the whole stage into a scratch cache,
+        then the adopt_rows DMA kernel scatters each lane's park region
+        into its host-chosen free PHYSICAL pool row (``target_rows``).
 
-        ``count`` is traced (any stage size reuses the one compiled
-        program); invalid lanes write their existing ring values back, and
-        because the stage width equals the ring depth, the modular positions
-        are distinct — no scatter aliasing.
+        Ring positions are rebased to 0..count-1 every stage (chunks drain
+        the ring fully — asserted by _stage), so all ring-metadata writes
+        are elementwise selects; ``count`` is traced, one compiled program
+        covers every stage size. Invalid lanes keep their existing metadata
+        and adopt_rows skips their DMA.
         """
         engine = self.engine
         cfg = engine.config
         model = engine.model
         depth = self.queue_depth
+        from ..ops.decode_attention import adopt_rows
 
-        def enqueue(params, q_k, q_v, q_index, q_logits, q_req, q_tail,
-                    patches, prompt, lengths, new_req, count):
+        def enqueue(params, pool_k, pool_v, q_index, q_logits, q_req,
+                    q_phys, patches, prompt, lengths, new_req, target_rows,
+                    count):
             scratch = init_kv_cache(
                 cfg.decoder, depth, self.park_len, jnp.dtype(cfg.dtype)
             )
@@ -448,74 +487,69 @@ class ContinuousBatcher:
                 params, patches, prompt, scratch, lengths,
                 method=VideoLM.prefill,
             )
-            pos = (q_tail + jnp.arange(depth, dtype=jnp.int32)) % depth
+            pool_k = [
+                adopt_rows(pool, filled, target_rows, count, self.park_len)
+                for pool, filled in zip(pool_k, scratch["k"])
+            ]
+            pool_v = [
+                adopt_rows(pool, filled, target_rows, count, self.park_len)
+                for pool, filled in zip(pool_v, scratch["v"])
+            ]
             valid = jnp.arange(depth) < count
-            q_k = [
-                ring.at[pos].set(
-                    jnp.where(valid[:, None, None, None], filled, ring[pos])
-                )
-                for ring, filled in zip(q_k, scratch["k"])
-            ]
-            q_v = [
-                ring.at[pos].set(
-                    jnp.where(valid[:, None, None, None], filled, ring[pos])
-                )
-                for ring, filled in zip(q_v, scratch["v"])
-            ]
-            q_index = q_index.at[pos].set(
-                jnp.where(valid, scratch["index"], q_index[pos])
+            q_index = jnp.where(valid, scratch["index"], q_index)
+            q_logits = jnp.where(
+                valid[:, None], first_logits.astype(jnp.float32), q_logits
             )
-            q_logits = q_logits.at[pos].set(
-                jnp.where(
-                    valid[:, None], first_logits.astype(jnp.float32),
-                    q_logits[pos],
-                )
-            )
-            q_req = q_req.at[pos].set(jnp.where(valid, new_req, q_req[pos]))
-            return q_k, q_v, q_index, q_logits, q_req, q_tail + count
+            q_req = jnp.where(valid, new_req, q_req)
+            q_phys = jnp.where(valid, target_rows, q_phys)
+            return pool_k, pool_v, q_index, q_logits, q_req, q_phys
 
-        return jax.jit(enqueue, donate_argnums=(1, 2, 3, 4, 5))
+        return jax.jit(enqueue, donate_argnums=(1, 2, 3, 4, 5, 6))
 
     def _build_decode_refill(self):
         """The combined chunk program: decode all slots, refilling finished
         ones from the device ring inside the loop.
 
-        Structured as NESTED while loops: the outer body first drains every
-        eligible refill (evict the finished slot — completion record into
-        the device buffer, skipped for never-occupied slots — then adopt
-        the ring head's PARKED prefill: K/V rows, index, first logits),
-        then an inner decode-only loop runs until a slot finishes while
-        ring work remains, everything is done, or the step budget is spent.
-        The inner body is EXACTLY the engine's decode step — no lax.cond in
-        it: a per-iteration conditional carrying the KV pool made XLA copy
-        the pool's live-out buffers every step (measured ~4x the plain
-        ablation loop's step time through the axon tunnel), while the
-        refill loop here executes only ~once per completed request. The
-        refill is pure memory movement — the model forward stays out of
-        conditional control flow entirely (staging prefills), so this
-        compiles like a plain decode program.
+        Each iteration: (1) if any slot is done and the ring is non-empty,
+        evict that slot — completion record into the device buffer (skipped
+        for never-occupied slots, request id -1) — and adopt the ring
+        head's PARKED prefill by a ``rows`` TABLE UPDATE (its K/V already
+        sits in a physical pool row, written at stage time); (2) one decode
+        step over all slots through the paged kernels. The ``lax.cond``
+        carries ONLY small arrays (int32 tables, logits, token buffers):
+        earlier shapes that carried the KV pool through the conditional (or
+        a nested while) made XLA copy the pool every iteration — measured
+        4.7 / 30 ms per step vs the plain loop's 1.74 at base width 8. The
+        model forward stays out of conditional control flow entirely
+        (staging prefills; XLA could not compile an in-loop prefill in
+        reasonable time at base scale).
         """
         dfa = self.dfa
         depth = self.queue_depth
 
         # On-device refill removes the reason for short chunks: one dispatch
-        # can drain an entire staged wave (refills included) and the loop
+        # drains the entire staged ring (refills included) and the loop
         # early-exits the moment everything is done — so the key array (and
-        # the iteration budget _run_device passes) covers a full generation
-        # plus one refill iteration per staged request. Short chunks only
+        # the iteration budget _run_device passes) must UPPER-BOUND a full
+        # drain. Worst case, one fast slot serves every parked request
+        # sequentially: (depth + 1) generations. The budget only sizes the
+        # RNG key array (KBs) — runtime is governed by the early exit — and
+        # _stage asserts the ring actually drained. Short chunks would only
         # bound streaming-harvest latency; behind a remote-dispatch tunnel
         # every extra chunk is a ~1 s round-trip (measured: chunk_steps=64
         # cost 44 s of host_other on the 10-segment bench sweep).
-        self._device_steps = self.max_new + self.slots + self.queue_depth
+        self._device_steps = (
+            (self.queue_depth + 1) * (self.max_new + 1) + self.slots
+        )
 
-        def chunk(params, cache, state, logits, tokens, out_pos, done,
-                  slot_req, q_k, q_v, q_index, q_logits, q_req,
+        def chunk(params, k_pool, v_pool, rows, index, state, logits, tokens,
+                  out_pos, done, slot_req, q_index, q_logits, q_req, q_phys,
                   q_head, q_tail, comp_tokens, comp_meta, rng, n_steps):
             keys = jax.random.split(rng, self._device_steps)
             step = self._make_step(params)
 
             def refill_one(st):
-                (cache, state, logits, tokens, out_pos, done, slot_req,
+                (rows, index, state, logits, tokens, out_pos, done, slot_req,
                  q_head, comp_tokens, comp_meta, comp_count) = st
                 slot = jnp.argmax(done).astype(jnp.int32)
                 live = slot_req[slot] >= 0
@@ -545,99 +579,100 @@ class ContinuousBatcher:
                     comp_count, 0,
                 )
                 comp_count = comp_count + live.astype(jnp.int32)
-                # Pop the ring head: adopt its parked prefill into the slot
-                # (per-layer K/V row copy + index/logits/state resets).
+                # Pop the ring head: adopt its parked prefill by pointing the
+                # slot's rows-table entry at the parked physical row. The
+                # evicted request's old physical row is implicitly freed —
+                # the host recomputes the free set from the status rows.
                 qi = q_head % depth
-                cache = {
-                    "k": [
-                        jax.lax.dynamic_update_slice(
-                            pool,
-                            jax.lax.dynamic_index_in_dim(
-                                park, qi, 0, keepdims=True
-                            ),
-                            (slot, 0, 0, 0),
-                        )
-                        for pool, park in zip(cache["k"], q_k)
-                    ],
-                    "v": [
-                        jax.lax.dynamic_update_slice(
-                            pool,
-                            jax.lax.dynamic_index_in_dim(
-                                park, qi, 0, keepdims=True
-                            ),
-                            (slot, 0, 0, 0),
-                        )
-                        for pool, park in zip(cache["v"], q_v)
-                    ],
-                    "index": cache["index"].at[slot].set(q_index[qi]),
-                }
+                rows = rows.at[slot].set(q_phys[qi])
+                index = index.at[slot].set(q_index[qi])
                 state = state.at[slot].set(dfa.start if dfa else 0)
                 logits = logits.at[slot].set(q_logits[qi])
                 tokens = tokens.at[slot].set(self.engine.tokenizer.EOS)
                 out_pos = out_pos.at[slot].set(0)
                 done = done.at[slot].set(False)
                 slot_req = slot_req.at[slot].set(q_req[qi])
-                return (cache, state, logits, tokens, out_pos, done,
+                return (rows, index, state, logits, tokens, out_pos, done,
                         slot_req, q_head + 1, comp_tokens, comp_meta,
                         comp_count)
 
             def cond(carry):
-                i, st = carry
-                done_now = st[5]
-                q_head_now = st[7]
+                i, kv, st = carry
+                done_now = st[6]
+                q_head_now = st[8]
                 return (i < n_steps) & ~(
                     jnp.all(done_now) & (q_head_now >= q_tail)
                 )
 
             def body(carry):
-                i, st = carry
-                can = jnp.any(st[5]) & (st[7] < q_tail)
+                i, (ks, vs), st = carry
+                can = jnp.any(st[6]) & (st[8] < q_tail)
                 st = jax.lax.cond(can, refill_one, lambda s: s, st)
+                (rows, index, state, logits, tokens, out_pos, done,
+                 slot_req, q_head, comp_tokens, comp_meta, comp_count) = st
+                cache = {"k": ks, "v": vs, "index": index, "rows": rows}
                 inner, _ = step(
-                    st[:6], keys[jnp.minimum(i, self._device_steps - 1)]
+                    (cache, state, logits, tokens, out_pos, done),
+                    keys[jnp.minimum(i, self._device_steps - 1)],
                 )
-                return i + 1, inner + st[6:]
+                cache, state, logits, tokens, out_pos, done = inner
+                st = (rows, cache["index"], state, logits, tokens, out_pos,
+                      done, slot_req, q_head, comp_tokens, comp_meta,
+                      comp_count)
+                return i + 1, (cache["k"], cache["v"]), st
 
-            # Structure note (measured on the axon chip, round 3): a
-            # nested-while form (refill loop + decode-only inner loop) made
-            # XLA copy the pool carry across the loop boundary every step —
-            # 30 ms/step vs this flat cond's ~4.7 ms and the plain ablation
-            # loop's 1.74 ms at width 8. The per-step cond tax is the KV
-            # pool riding through the conditional; the row-indirection
-            # redesign (rows table, ops/decode_attention.py) removes the
-            # big arrays from the refill entirely.
-            st = (cache, state, logits, tokens, out_pos, done, slot_req,
-                  q_head, comp_tokens, comp_meta, jnp.int32(0))
-            steps, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
-            (cache, state, logits, tokens, out_pos, done, slot_req,
+            st = (rows, index, state, logits, tokens, out_pos, done,
+                  slot_req, q_head, comp_tokens, comp_meta, jnp.int32(0))
+            steps, (k_pool, v_pool), st = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), (k_pool, v_pool), st)
+            )
+            (rows, index, state, logits, tokens, out_pos, done, slot_req,
              q_head, comp_tokens, comp_meta, comp_count) = st
             # Packed status: one device->host transfer tells the scheduler
-            # everything (per-slot done/out_pos/state/request id; row 4
-            # broadcasts the executed step count for decode_steps stats).
+            # everything (per-slot done/out_pos/state/request id/physical
+            # row; row 4 broadcasts the executed step count).
             status = jnp.stack(
                 [done.astype(jnp.int32), out_pos, state.astype(jnp.int32),
-                 slot_req, jnp.full_like(out_pos, steps)]
+                 slot_req, jnp.full_like(out_pos, steps), rows]
             )
-            return (cache, state, logits, tokens, out_pos, done, slot_req,
-                    q_head, comp_tokens, comp_meta, comp_count, status)
+            return (k_pool, v_pool, rows, index, state, logits, tokens,
+                    out_pos, done, slot_req, q_head, comp_tokens, comp_meta,
+                    comp_count, status)
 
-        # Donate only buffers the program returns (pool state + completion
-        # buffers); the ring arrays are read-only inside the chunk and stay
-        # resident across calls. Arg order: params(0), cache..slot_req(1-7),
-        # q_k/q_v/q_index/q_logits/q_req(8-12), q_head/q_tail(13-14),
-        # comp_tokens/comp_meta(15-16), rng(17), n_steps(18).
-        return jax.jit(chunk, donate_argnums=(1, 2, 3, 4, 5, 6, 7, 15, 16))
+        # Donate only buffers the program returns (pool + small decode state
+        # + completion buffers); the ring metadata is read-only inside the
+        # chunk and stays resident across calls. Arg order: params(0),
+        # k_pool..slot_req(1-10), q_index..q_phys(11-14), q_head/q_tail
+        # (15-16), comp_tokens/comp_meta(17-18), rng(19), n_steps(20).
+        return jax.jit(
+            chunk, donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 17, 18)
+        )
+
+    def _free_rows(self) -> list[int]:
+        """Physical pool rows not referenced by any slot, grouped-ordered.
+
+        Chunks fully drain the ring, so at stage time the live rows are
+        exactly the slots' current rows (``self._rows_host``, refreshed
+        from the status pack after every chunk) — everything else is free.
+        """
+        live = set(int(r) for r in self._rows_host)
+        return [r for r in range(self.total_rows) if r not in live]
 
     def _stage(self) -> None:
-        """Move queued requests from the host heap into the device ring:
-        one batched preprocess + ONE batched prefill/enqueue dispatch for
-        the whole stage. Per-request prompt buckets are preserved
+        """Move queued requests from the host heap into the device pool:
+        one batched preprocess + ONE batched prefill/adopt dispatch for the
+        whole stage. Each lane's park region lands in a FREE physical pool
+        row from the lane's own data-axis group (rows never cross the
+        shard boundary). Per-request prompt buckets are preserved
         (train/serve prompt-block alignment) — ``lengths`` marks each row's
         own round_up(tokens+1, 128) bucket inside the shared prompt block."""
         import heapq
 
-        space = self.queue_depth - self._ring_occupancy()
-        take = min(space, len(self._queue), self.queue_depth)
+        assert self._ring_occupancy() == 0, (
+            "stage with a non-empty ring: chunks are expected to drain it"
+        )
+        free = self._free_rows()
+        take = min(len(self._queue), self.queue_depth, len(free))
         if take <= 0:
             return
         engine = self.engine
@@ -654,6 +689,21 @@ class ContinuousBatcher:
         prompts = np.zeros((self.queue_depth, self.prompt_len), np.int32)
         buckets = np.full((self.queue_depth,), 128, np.int32)
         reqs = np.full((self.queue_depth,), -1, np.int32)
+        # Lane i of the stage lives on data group i // (depth / groups):
+        # prefer that group's free rows so the adopt DMA stays shard-local
+        # (falls back to any free row — a cross-shard copy is a perf wart,
+        # not a correctness issue). Pad lanes reuse target 0; adopt_rows
+        # skips them (i >= count).
+        per_group = self.queue_depth // self.n_groups
+        rows_per_group = self.total_rows // self.n_groups
+        by_group: list[list[int]] = [[] for _ in range(self.n_groups)]
+        for r in free:
+            by_group[r // rows_per_group].append(r)
+        targets = np.zeros((self.queue_depth,), np.int32)
+        for i in range(take):
+            group = by_group[i // per_group]
+            pool = group if group else max(by_group, key=len)
+            targets[i] = pool.pop(0)
         for i, request in enumerate(requests):
             prompts[i] = engine.tokenizer.encode_array(
                 request.prompt, self.prompt_len, add_bos=True
@@ -661,12 +711,16 @@ class ContinuousBatcher:
             n_tokens = len(engine.tokenizer.encode(request.prompt)) + 1
             buckets[i] = min(_round_up(n_tokens, 128), self.prompt_len)
             reqs[i] = request.request_id
-        (self._q_k, self._q_v, self._q_index, self._q_logits, self._q_req,
-         self._q_tail) = self._enqueue(
-            engine.params, self._q_k, self._q_v, self._q_index,
-            self._q_logits, self._q_req, self._q_tail, patches,
+        # Ring positions rebase to 0..take-1 (ring empty — see assert).
+        self._q_head = jnp.int32(0)
+        self._q_tail = jnp.int32(take)
+        self._q_head_host = 0
+        (self.cache["k"], self.cache["v"], self._q_index, self._q_logits,
+         self._q_req, self._q_phys) = self._enqueue(
+            engine.params, self.cache["k"], self.cache["v"], self._q_index,
+            self._q_logits, self._q_req, self._q_phys, patches,
             jnp.asarray(prompts), jnp.asarray(buckets), jnp.asarray(reqs),
-            jnp.int32(take),
+            jnp.asarray(targets), jnp.int32(take),
         )
         self._staged_total += take
 
@@ -734,14 +788,16 @@ class ContinuousBatcher:
             self._stage()
             self._rng, key = jax.random.split(self._rng)
             chunk_start = time.perf_counter()
-            (self.cache, self.state, self.logits, self.tokens_out,
+            (self.cache["k"], self.cache["v"], self.rows,
+             self.cache["index"], self.state, self.logits, self.tokens_out,
              self.out_pos, self.done, self._slot_req, self._q_head,
              self._comp_tokens, self._comp_meta, comp_count, status) = (
                 self._decode_refill(
-                    self.engine.params, self.cache, self.state, self.logits,
+                    self.engine.params, self.cache["k"], self.cache["v"],
+                    self.rows, self.cache["index"], self.state, self.logits,
                     self.tokens_out, self.out_pos, self.done, self._slot_req,
-                    self._q_k, self._q_v, self._q_index, self._q_logits,
-                    self._q_req, self._q_head, self._q_tail,
+                    self._q_index, self._q_logits, self._q_req, self._q_phys,
+                    self._q_head, self._q_tail,
                     self._comp_tokens, self._comp_meta, key,
                     jnp.int32(self._device_steps),
                 )
@@ -753,7 +809,11 @@ class ContinuousBatcher:
             self._q_head_host = int(self._q_head)
             if comp_n:
                 harvest_ring(self._comp_meta, self._comp_tokens, comp_n)
-            done_np, out_pos_np, state_np, slot_req_np, steps_np = status_np
+            (done_np, out_pos_np, state_np, slot_req_np, steps_np,
+             rows_np) = status_np
+            # Refresh the host's row map: _free_rows derives the free set
+            # from it at the next stage.
+            self._rows_host = rows_np.astype(np.int32)
             stats.decode_steps += int(steps_np[0])
             live = int((slot_req_np >= 0).sum())
             unfinished = int(((slot_req_np >= 0) & (done_np == 0)).sum())
@@ -817,6 +877,7 @@ class ContinuousBatcher:
                 self.tokens_out, self.out_pos, self.done,
                 patches, jnp.asarray(prompt_tokens[None]),
                 jnp.asarray([bucket], jnp.int32), i,
+                int(self._rows_host[i]),
             )
             slot.request_id = request.request_id
             slot.started = time.perf_counter()
