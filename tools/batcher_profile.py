@@ -113,8 +113,6 @@ def main() -> int:
     orig_stage = batcher._stage
     orig_chunk = batcher._decode_refill if DEVICE_REFILL else batcher._decode
     orig_pre = engine.preprocess
-    orig_enq = batcher._enqueue if DEVICE_REFILL else None
-
     def timed_pre(frames):
         t = time.perf_counter()
         out_p = orig_pre(frames)
@@ -122,16 +120,21 @@ def main() -> int:
         preproc_walls.append(time.perf_counter() - t)
         return out_p
 
-    def timed_enq(*args):
-        t = time.perf_counter()
-        outs = orig_enq(*args)
-        jax.block_until_ready(outs[-1])
-        enqueue_walls.append(time.perf_counter() - t)
-        return outs
+    def wrap_enq(orig_enq):
+        def timed_enq(*args):
+            t = time.perf_counter()
+            outs = orig_enq(*args)
+            jax.block_until_ready(outs[-1])
+            enqueue_walls.append(time.perf_counter() - t)
+            return outs
+
+        return timed_enq
 
     engine.preprocess = timed_pre
     if DEVICE_REFILL:
-        batcher._enqueue = timed_enq
+        # Stage programs are built lazily per lane bucket; wrap at build.
+        orig_build = batcher._build_enqueue
+        batcher._build_enqueue = lambda lanes: wrap_enq(orig_build(lanes))
 
     def timed_stage():
         t = time.perf_counter()

@@ -67,9 +67,12 @@ def _kernel(x_even_ref, x_odd_ref, packed_hbm, o_ref, pk, sem, *,
             chunk_dma((idx + 1) % 2, idx + 1).start()
 
         chunk_dma(slot, idx).wait()
-        p = pk[slot]  # [bk2, bn] uint8
-        lo = ((p & jnp.uint8(0xF)).astype(jnp.int8) ^ jnp.int8(8)) - jnp.int8(8)
-        hi = ((p >> jnp.uint8(4)).astype(jnp.int8) ^ jnp.int8(8)) - jnp.int8(8)
+        # Unpack + sign-extend entirely in i32: Mosaic on this toolchain
+        # legalizes no 8-bit vector arithmetic at all (subi and shrui on
+        # vector<...xi8> both failed on-chip), so widen first.
+        p = pk[slot].astype(jnp.int32)  # [bk2, bn] u8 -> i32
+        lo = ((p & 0xF) ^ 8) - 8
+        hi = ((p >> 4) ^ 8) - 8
         xe = x_even_ref[:, pl.ds(idx * bk2, bk2)].astype(jnp.bfloat16)
         xo = x_odd_ref[:, pl.ds(idx * bk2, bk2)].astype(jnp.bfloat16)
         acc = acc + jnp.dot(

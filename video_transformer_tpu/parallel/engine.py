@@ -222,8 +222,21 @@ class InferenceEngine:
         if self.structure_bias == 0.0:
             return None
         bias = np.zeros((self.config.decoder.vocab_size,), np.float32)
-        for token in (0x22, 0x5D, 0x7D, self.tokenizer.EOS):  # " ] } EOS
-            bias[token] = self.structure_bias
+        closers = (0x22, 0x5D, 0x7D)  # " ] }
+        table = getattr(self.tokenizer, "token_table", None)
+        if table is not None:
+            # Subword vocab: a token "closes" if its LAST byte is a JSON
+            # closer. Biasing raw byte codepoints as ids here would land on
+            # arbitrary tokens (the 152k-grammar on-chip test failed exactly
+            # that way: 9.5 bias on 4 unrelated ids, note never accepted).
+            cols, lens = table()
+            last = cols[np.arange(cols.shape[0]), np.maximum(lens - 1, 0)]
+            mask = (lens > 0) & np.isin(last, closers)
+            bias[mask[: bias.shape[0]]] = self.structure_bias
+        else:
+            for token in closers:  # byte-level vocab: ids ARE codepoints
+                bias[token] = self.structure_bias
+        bias[self.tokenizer.EOS] = self.structure_bias
         return jnp.asarray(bias)
 
     def _cast_params(self, params: Any) -> Any:

@@ -159,7 +159,11 @@ class ContinuousBatcher:
         self._decode = self._build_decode()
         if self.device_refill:
             self._init_ring_state()
-            self._enqueue = self._build_enqueue()
+            # Stage programs are built lazily per lane-count bucket
+            # (round_up(take, n_groups)): a 10-request sweep prefills 10
+            # lanes, not the full ring depth — at depth 16 the fixed-width
+            # program wasted 1.6x the prefill FLOPs/bandwidth of the sweep.
+            self._enqueue_progs: dict[int, Any] = {}
             self._decode_refill = self._build_decode_refill()
         self._rng = jax.random.PRNGKey(7)
 
@@ -459,17 +463,19 @@ class ContinuousBatcher:
         self._staged_total = 0
         self._emitted_total = 0
 
-    def _build_enqueue(self):
-        """One dispatch stages up to ``queue_depth`` requests: a BATCHED
+    def _build_enqueue(self, lanes: int):
+        """One dispatch stages up to ``lanes`` requests: a BATCHED
         video+prompt prefill over the whole stage into a scratch cache,
         then the adopt_rows DMA kernel scatters each lane's park region
         into its host-chosen free PHYSICAL pool row (``target_rows``).
 
         Ring positions are rebased to 0..count-1 every stage (chunks drain
         the ring fully — asserted by _stage), so all ring-metadata writes
-        are elementwise selects; ``count`` is traced, one compiled program
-        covers every stage size. Invalid lanes keep their existing metadata
-        and adopt_rows skips their DMA.
+        are elementwise selects; ``count`` is traced. ``lanes`` is the
+        STATIC stage width — _stage buckets take up to round_up(take,
+        n_groups) and builds one program per bucket, so a sweep smaller
+        than the ring prefills only the lanes it uses. Invalid lanes keep
+        their existing metadata and adopt_rows skips their DMA.
         """
         engine = self.engine
         cfg = engine.config
@@ -481,7 +487,7 @@ class ContinuousBatcher:
                     q_phys, patches, prompt, lengths, new_req, target_rows,
                     count):
             scratch = init_kv_cache(
-                cfg.decoder, depth, self.park_len, jnp.dtype(cfg.dtype)
+                cfg.decoder, lanes, self.park_len, jnp.dtype(cfg.dtype)
             )
             first_logits, scratch = model.apply(
                 params, patches, prompt, scratch, lengths,
@@ -495,13 +501,20 @@ class ContinuousBatcher:
                 adopt_rows(pool, filled, target_rows, count, self.park_len)
                 for pool, filled in zip(pool_v, scratch["v"])
             ]
-            valid = jnp.arange(depth) < count
-            q_index = jnp.where(valid, scratch["index"], q_index)
-            q_logits = jnp.where(
-                valid[:, None], first_logits.astype(jnp.float32), q_logits
-            )
-            q_req = jnp.where(valid, new_req, q_req)
-            q_phys = jnp.where(valid, target_rows, q_phys)
+            valid = jnp.arange(lanes) < count
+
+            def merge(new, old):
+                head = jnp.where(
+                    valid.reshape((lanes,) + (1,) * (new.ndim - 1)),
+                    new, old[:lanes],
+                )
+                return jnp.concatenate([head, old[lanes:]]) \
+                    if lanes < depth else head
+
+            q_index = merge(scratch["index"], q_index)
+            q_logits = merge(first_logits.astype(jnp.float32), q_logits)
+            q_req = merge(new_req, q_req)
+            q_phys = merge(target_rows, q_phys)
             return pool_k, pool_v, q_index, q_logits, q_req, q_phys
 
         return jax.jit(enqueue, donate_argnums=(1, 2, 3, 4, 5, 6))
@@ -677,29 +690,32 @@ class ContinuousBatcher:
             return
         engine = self.engine
         requests = [heapq.heappop(self._queue)[2] for _ in range(take)]
+        # Stage width: the smallest data-axis-even lane count covering the
+        # take. Preprocess + prefill then run at the sweep's true size (one
+        # compiled program per distinct bucket, engine-cached) instead of
+        # always paying the full ring depth.
+        lanes = min(_round_up(take, self.n_groups), self.queue_depth)
         frames = np.stack([r.frames for r in requests])
-        # Pad the preprocess batch to the ring depth so every stage size
-        # reuses one compiled preprocess program.
-        if take < self.queue_depth:
+        if take < lanes:
             pad = np.zeros(
-                (self.queue_depth - take,) + frames.shape[1:], frames.dtype
+                (lanes - take,) + frames.shape[1:], frames.dtype
             )
             frames = np.concatenate([frames, pad], axis=0)
         patches = engine.preprocess(frames)
-        prompts = np.zeros((self.queue_depth, self.prompt_len), np.int32)
-        buckets = np.full((self.queue_depth,), 128, np.int32)
-        reqs = np.full((self.queue_depth,), -1, np.int32)
-        # Lane i of the stage lives on data group i // (depth / groups):
+        prompts = np.zeros((lanes, self.prompt_len), np.int32)
+        buckets = np.full((lanes,), 128, np.int32)
+        reqs = np.full((lanes,), -1, np.int32)
+        # Lane i of the stage lives on data group i // (lanes / groups):
         # prefer that group's free rows so the adopt DMA stays shard-local
         # (falls back to any free row — a cross-shard copy is a perf wart,
         # not a correctness issue). Pad lanes reuse target 0; adopt_rows
         # skips them (i >= count).
-        per_group = self.queue_depth // self.n_groups
+        per_group = lanes // self.n_groups
         rows_per_group = self.total_rows // self.n_groups
         by_group: list[list[int]] = [[] for _ in range(self.n_groups)]
         for r in free:
             by_group[r // rows_per_group].append(r)
-        targets = np.zeros((self.queue_depth,), np.int32)
+        targets = np.zeros((lanes,), np.int32)
         for i in range(take):
             group = by_group[i // per_group]
             pool = group if group else max(by_group, key=len)
@@ -711,12 +727,15 @@ class ContinuousBatcher:
             n_tokens = len(engine.tokenizer.encode(request.prompt)) + 1
             buckets[i] = min(_round_up(n_tokens, 128), self.prompt_len)
             reqs[i] = request.request_id
+        enqueue = self._enqueue_progs.get(lanes)
+        if enqueue is None:
+            enqueue = self._enqueue_progs[lanes] = self._build_enqueue(lanes)
         # Ring positions rebase to 0..take-1 (ring empty — see assert).
         self._q_head = jnp.int32(0)
         self._q_tail = jnp.int32(take)
         self._q_head_host = 0
         (self.cache["k"], self.cache["v"], self._q_index, self._q_logits,
-         self._q_req, self._q_phys) = self._enqueue(
+         self._q_req, self._q_phys) = enqueue(
             engine.params, self.cache["k"], self.cache["v"], self._q_index,
             self._q_logits, self._q_req, self._q_phys, patches,
             jnp.asarray(prompts), jnp.asarray(buckets), jnp.asarray(reqs),
