@@ -118,6 +118,11 @@ class ContinuousBatcher:
     compiled decode loop (see module docstring). False = host-driven loop."""
     queue_depth: int = 0
     """Device ring capacity (device_refill mode); 0 = 2 * slots."""
+    refill_period: int = 8
+    """Decode steps between refill checks inside the chunk program. The
+    refill branch is checked (and fully drained) every ``refill_period``
+    steps instead of every step — the cond's per-step cost amortizes away
+    while a finished slot idles at most period-1 steps before refilling."""
 
     _slots: list[_Slot] = field(default_factory=list)
     _queue: list[tuple[int, int, Request]] = field(default_factory=list)
@@ -609,6 +614,8 @@ class ContinuousBatcher:
                         slot_req, q_head + 1, comp_tokens, comp_meta,
                         comp_count)
 
+            period = max(1, int(self.refill_period))
+
             def cond(carry):
                 i, kv, st = carry
                 done_now = st[6]
@@ -617,22 +624,37 @@ class ContinuousBatcher:
                     jnp.all(done_now) & (q_head_now >= q_tail)
                 )
 
+            def can_refill(s):
+                return jnp.any(s[6]) & (s[8] < q_tail)
+
             def body(carry):
                 i, (ks, vs), st = carry
-                can = jnp.any(st[6]) & (st[8] < q_tail)
-                st = jax.lax.cond(can, refill_one, lambda s: s, st)
+                # Drain every eligible refill at the boundary, then run
+                # ``period`` plain steps before checking again: the per-step
+                # refill cond measured ~0.4 ms/step at width 8 (vs a 3.4 ms
+                # step) — at period 8 it amortizes to noise, while a
+                # finished slot idles at most period-1 steps (~30 ms).
+                st = jax.lax.while_loop(can_refill, refill_one, st)
                 (rows, index, state, logits, tokens, out_pos, done,
                  slot_req, q_head, comp_tokens, comp_meta, comp_count) = st
                 cache = {"k": ks, "v": vs, "index": index, "rows": rows}
-                inner, _ = step(
-                    (cache, state, logits, tokens, out_pos, done),
-                    keys[jnp.minimum(i, self._device_steps - 1)],
+
+                def substep(j, inner):
+                    out, _ = step(
+                        inner, keys[jnp.minimum(i + j, self._device_steps - 1)]
+                    )
+                    return out
+
+                cache, state, logits, tokens, out_pos, done = (
+                    jax.lax.fori_loop(
+                        0, period, substep,
+                        (cache, state, logits, tokens, out_pos, done),
+                    )
                 )
-                cache, state, logits, tokens, out_pos, done = inner
                 st = (rows, cache["index"], state, logits, tokens, out_pos,
                       done, slot_req, q_head, comp_tokens, comp_meta,
                       comp_count)
-                return i + 1, (cache["k"], cache["v"]), st
+                return i + period, (cache["k"], cache["v"]), st
 
             st = (rows, index, state, logits, tokens, out_pos, done,
                   slot_req, q_head, comp_tokens, comp_meta, jnp.int32(0))
