@@ -1,0 +1,77 @@
+#!/bin/bash
+# Post-retrain on-chip measurement queue (round 3, late).
+#
+# Run AFTER tools/train_base_r3.sh finishes (the stages share the chip
+# with nothing). Same resume discipline as tools/hardware_queue.sh:
+# each stage drops a .done marker under $OUT.
+#
+#   bash tools/hardware_queue_r3b.sh [OUT_DIR]
+#
+# Stages:
+#   1 eval_base_r3    grounded eval of every base-r3 checkpoint
+#                     (16 topics + 8 composites) -> pick the best
+#   2 bench_off       official bench, run-to-completion engine
+#   3 bench_on        official bench, paged batcher (bucketed stage +
+#                     refill-period chunk) — the OFF/ON decision data
+#   4 grammar_152k    152k-vocab grammar at 7b geometry (tokenizer-aware
+#                     close bias — the fix for the morning's accept miss)
+#   5 decode_ablate   decode_bench variant sweep (full,nogrammar,noforce,
+#                     ref_attn) at batch 16/32 int8 — where the per-step
+#                     serving extras go
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+OUT=${1:-/tmp/hwq_r3b}
+mkdir -p "$OUT"
+
+log() { echo "[hwq $(date +%H:%M:%S)] $*" | tee -a "$OUT/queue.log"; }
+
+if ! timeout 240 python - <<'EOF' >"$OUT/devices.txt" 2>&1
+import jax
+ds = jax.devices()
+assert ds and ds[0].platform != "cpu", ds
+print(ds)
+EOF
+then
+  log "tunnel DOWN (probe timed out / cpu-only): $(tail -1 "$OUT/devices.txt" 2>/dev/null)"
+  exit 3
+fi
+log "tunnel UP: $(cat "$OUT/devices.txt")"
+
+stage() { # stage NAME TIMEOUT_S CMD...
+  local name=$1 tmo=$2; shift 2
+  if [ -e "$OUT/$name.done" ]; then log "skip $name (done)"; return 0; fi
+  log "start $name"
+  if timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1; then
+    touch "$OUT/$name.done"; log "done $name: $(tail -1 "$OUT/$name.log")"
+  else
+    log "FAIL $name (exit $?; tail): $(tail -3 "$OUT/$name.log" | tr '\n' ' ')"
+  fi
+}
+
+CKPT_DIR=data/checkpoints/base-zh-grounded-r3
+if [ -d "$CKPT_DIR" ] && [ ! -e "$OUT/eval_base_r3.done" ]; then
+  log "start eval_base_r3"
+  {
+    for step_dir in $(ls -d "$CKPT_DIR"/* 2>/dev/null | sort -t/ -k4 -V); do
+      echo "== $step_dir"
+      timeout 3600 python -m video_transformer_tpu.train.eval_grounding \
+        --preset base --checkpoint "$step_dir" \
+        --tokenizer data/tokenizers/bpe-zh-2048.json \
+        --topics 16 --composites 8 --batch 8 || echo "EVAL FAIL $step_dir"
+    done
+  } >"$OUT/eval_base_r3.log" 2>&1 && touch "$OUT/eval_base_r3.done"
+  log "done eval_base_r3: $(grep -E 'hits|composite' "$OUT/eval_base_r3.log" | tail -4 | tr '\n' ' ')"
+fi
+
+stage bench_off 6000 python bench.py
+cp -f /tmp/bench_extras.json "$OUT/bench_off_extras.json" 2>/dev/null || true
+stage bench_on 6000 env VTX_BENCH_CONTINUOUS=1 python bench.py
+stage grammar_152k 4800 env VTX_TEST_PLATFORM=axon \
+  python -m pytest "tests/test_tpu_integration.py::TestTPUEndToEnd::test_152k_grammar_at_7b_geometry" -q
+stage decode_ablate_b16 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=full,nogrammar,noforce,ref_attn python tools/decode_bench.py
+stage decode_ablate_b32 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=full,nogrammar python tools/decode_bench.py
+stage batcher_profile 4800 python tools/batcher_profile.py
+log "queue complete"
