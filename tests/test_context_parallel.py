@@ -82,8 +82,8 @@ class TestRingAttention:
         def seq_loss(args):
             return jnp.mean(mha_reference(*args, causal=True) ** 2)
 
-        g_ring = jax.grad(ring_loss)((q, k, v))
-        g_seq = jax.grad(seq_loss)((q, k, v))
+        g_ring = jax.jit(jax.grad(ring_loss))((q, k, v))
+        g_seq = jax.jit(jax.grad(seq_loss))((q, k, v))
         for a, b in zip(g_ring, g_seq):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=3e-5, rtol=3e-5

@@ -64,8 +64,8 @@ class TestExpertParallel:
             out, aux = moe_swiglu(p, x, mesh=None)
             return jnp.mean(out**2) + 0.01 * aux
 
-        g_ep = jax.grad(ep_loss)(params)
-        g_dense = jax.grad(dense_loss)(params)
+        g_ep = jax.jit(jax.grad(ep_loss))(params)
+        g_dense = jax.jit(jax.grad(dense_loss))(params)
         for key in ("router", "gate", "up", "down"):
             np.testing.assert_allclose(
                 np.asarray(g_ep[key]), np.asarray(g_dense[key]),

@@ -107,8 +107,8 @@ class TestPipelineParity:
             )[0]
             return jnp.mean(logits.astype(jnp.float32) ** 2)
 
-        g_staged = jax.grad(staged_loss)(variables)
-        g_seq = jax.grad(seq_loss)(variables)
+        g_staged = jax.jit(jax.grad(staged_loss))(variables)
+        g_seq = jax.jit(jax.grad(seq_loss))(variables)
         # Compare the first and LAST layers' attention kernels: a broken
         # inter-stage backward would zero the early stages.
         for layer in ("layer_0", f"layer_{CFG.num_layers - 1}"):
@@ -182,8 +182,8 @@ class Test1F1BSchedule:
             )[0]
             return jnp.mean(logits.astype(jnp.float32) ** 2)
 
-        g_staged = jax.grad(staged_loss)(variables)
-        g_seq = jax.grad(seq_loss)(variables)
+        g_staged = jax.jit(jax.grad(staged_loss))(variables)
+        g_seq = jax.jit(jax.grad(seq_loss))(variables)
         # Every stage's layers must carry correct grads: the hand-written
         # backward covers embedding (via dx) and all block params.
         for layer in (f"layer_{i}" for i in range(cfg.num_layers)):
@@ -213,8 +213,8 @@ class Test1F1BSchedule:
             )
             return jnp.mean(logits.astype(jnp.float32) ** 2)
 
-        g_1f1b = jax.grad(lambda v: loss(v, "1f1b", True))(variables)
-        g_gpipe = jax.grad(lambda v: loss(v, "gpipe", False))(variables)
+        g_1f1b = jax.jit(jax.grad(lambda v: loss(v, "1f1b", True)))(variables)
+        g_gpipe = jax.jit(jax.grad(lambda v: loss(v, "gpipe", False)))(variables)
         a = np.asarray(
             g_1f1b["params"]["decoder"]["layer_1"]["mlp"]["gate"]["kernel"]
         )
