@@ -227,7 +227,7 @@ class ContentAnalyzer:
                 short_indices.append(i)
 
         long_video = self.analyzer_config.get("long_video", {}) or {}
-        per_chip = int(long_video.get("segment_batch_per_chip", 16) or 16)
+        per_chip = int(long_video.get("segment_batch_per_chip", 32) or 32)
         chunk_size = max(self.engine.data_parallel, 1) * per_chip
         for chunk_start in range(0, len(short_indices), chunk_size):
             chunk = short_indices[chunk_start : chunk_start + chunk_size]
@@ -665,7 +665,7 @@ class ContentAnalyzer:
         # base scale on v5e (2.4k/3.7k/4.2k tok/s at 4/8/16), bounded by
         # the KV cache's HBM share (~200 MB/row at base).
         long_video = self.analyzer_config.get("long_video", {}) or {}
-        per_chip = int(long_video.get("segment_batch_per_chip", 16) or 16)
+        per_chip = int(long_video.get("segment_batch_per_chip", 32) or 32)
         chunk_size = max(self.engine.data_parallel, 1) * per_chip
         total = len(manifest["segments"])
         chunks = [
@@ -715,17 +715,23 @@ class ContentAnalyzer:
 
         # Run-to-completion batches pay the straggler: the whole batch
         # waits for its longest note. The continuous batcher refills
-        # finished slots mid-flight instead (parallel/serving.py) — but its
-        # host-driven chunk loop costs one dispatch round-trip per chunk,
-        # which on a remote-tunnel deployment (this image's axon setup)
-        # outweighs the straggler savings for one-shot segment sweeps.
-        # Default OFF here; the watch-folder service is the streaming
-        # workload it exists for.
+        # finished slots mid-flight instead (parallel/serving.py). For a
+        # sweep that fits ONE wave, run-to-completion is already the
+        # optimal schedule (nothing to refill) and skips the batcher's
+        # staging dispatches — so "auto" routes single-wave sweeps to the
+        # engine and multi-wave sweeps (more segments than the sharded
+        # batch) to the batcher, where refilling across what would be a
+        # wave boundary keeps the pool at full width.
         slots = max(self.engine.data_parallel, 1) * int(
             long_video.get("serving_slots_per_chip", 8) or 8
         )
+        mode = long_video.get("continuous_batching", "auto")
+        if mode in (None, "auto"):
+            use_serving = len(to_analyze) > chunk_size
+        else:
+            use_serving = bool(mode)
         use_serving = (
-            bool(long_video.get("continuous_batching", False))
+            use_serving
             and hasattr(self.engine, "continue_session")
             and len(to_analyze) > slots
         )
