@@ -69,6 +69,13 @@ cp -f /tmp/bench_extras.json "$OUT/bench_off_extras.json" 2>/dev/null || true
 stage bench_on 6000 env VTX_BENCH_CONTINUOUS=1 python bench.py
 stage grammar_152k 4800 env VTX_TEST_PLATFORM=axon \
   python -m pytest "tests/test_tpu_integration.py::TestTPUEndToEnd::test_152k_grammar_at_7b_geometry" -q
+# Multi-wave sweep (40 segments > segment_batch 32): the regime the
+# batcher exists for — OFF pays the straggler tail per wave, ON refills
+# across the boundary. Decides whether "auto" keeps its threshold.
+stage bench_seg15_off 6000 env VTX_BENCH_SEGMENT_SECONDS=15 \
+  VTX_BENCH_CONTINUOUS=0 python bench.py
+stage bench_seg15_on 6000 env VTX_BENCH_SEGMENT_SECONDS=15 \
+  VTX_BENCH_CONTINUOUS=1 python bench.py
 stage decode_ablate_b16 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
   VTX_DB_VARIANTS=full,nogrammar,noforce,ref_attn python tools/decode_bench.py
 stage decode_ablate_b32 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int8 \
