@@ -150,6 +150,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--temperature", type=float, default=0.7)
     parser.add_argument("--quantize", default=None, choices=["int8", "int4"])
+    parser.add_argument(
+        "--all-checkpoints",
+        action="store_true",
+        help="treat --checkpoint as a parent dir and score EVERY params_N "
+             "under it (newest first) in one process — restore swaps params "
+             "in place, so the minutes-long generate compile is paid once",
+    )
     args = parser.parse_args(argv)
 
     from dataclasses import replace
@@ -178,7 +185,6 @@ def main(argv: list[str] | None = None) -> int:
         seed=1,
     )
     engine.dfa = engine.wrap_grammar(note_dfa(engine.byte_vocab))
-    engine.restore(args.checkpoint)
 
     n = min(args.topics, len(TOPIC_BANK))
     stride = max(len(TOPIC_BANK) // n, 1)
@@ -190,13 +196,41 @@ def main(argv: list[str] | None = None) -> int:
         for _ in range(args.composites):
             a, b = pair_rng.choice(len(TOPIC_BANK), size=2, replace=False)
             pairs.append((int(a), int(b)))
-    report = run_eval(
-        engine, topic_ids, args.batch, composite_pairs=pairs, warmup=True
-    )
-    print(json.dumps(report, ensure_ascii=False))
-    total = report["total"] + report.get("composite_total", 0)
-    got = report["hits"] + report.get("composite_hits", 0)
-    return 0 if got == total else 1
+
+    if args.all_checkpoints:
+        from pathlib import Path
+
+        parent = Path(args.checkpoint)
+        ckpts = sorted(
+            (
+                p for p in parent.iterdir()
+                if p.is_dir()
+                and p.name.startswith("params_")
+                and p.name.split("_")[-1].isdigit()
+            ),
+            key=lambda p: int(p.name.split("_")[-1]),
+            reverse=True,  # newest first: partial sweeps still cover the end
+        )
+        if not ckpts:
+            raise FileNotFoundError(f"no params_N checkpoints under {parent}")
+    else:
+        ckpts = [args.checkpoint]
+
+    best = 0
+    best_total = 1
+    for idx, ckpt in enumerate(ckpts):
+        engine.restore(str(ckpt))
+        report = run_eval(
+            engine, topic_ids, args.batch, composite_pairs=pairs,
+            warmup=(idx == 0),
+        )
+        report["checkpoint"] = str(ckpt)
+        print(json.dumps(report, ensure_ascii=False), flush=True)
+        total = report["total"] + report.get("composite_total", 0)
+        got = report["hits"] + report.get("composite_hits", 0)
+        if got * best_total >= best * total:
+            best, best_total = got, total
+    return 0 if best == best_total else 1
 
 
 if __name__ == "__main__":
