@@ -28,7 +28,13 @@ def qkv(b=2, hq=4, hkv=2, s=256, d=32, seed=0):
 
 
 class TestRingAttention:
-    @pytest.mark.parametrize("n_shards", [2, 4, 8])
+    # The 8-shard variants re-exercise the same ring code over more hops at
+    # ~20 s of shard_map compile each on the single host core — slow-gated;
+    # 2/4 shards keep multi-hop coverage in the default suite.
+    @pytest.mark.parametrize(
+        "n_shards",
+        [2, 4, pytest.param(8, marks=pytest.mark.slow)],
+    )
     @pytest.mark.parametrize("causal", [True, False])
     def test_matches_reference(self, n_shards, causal):
         q, k, v = qkv()

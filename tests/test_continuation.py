@@ -41,7 +41,10 @@ def capped_engine():
         dfa=note_dfa(512, scale=0.2),
         max_new_tokens=160,
         temperature=1.0,
-        structure_bias=2.0,
+        # High close bias keeps sampled free fields near their minimum
+        # lengths: the continuation CONTRACTS under test are length-blind,
+        # and shorter notes cut the CPU decode wall of every round loop.
+        structure_bias=5.0,
         seed=3,
         compilation_cache_dir=None,
     )

@@ -110,3 +110,59 @@ class TestShardedBitsetDecode:
             data = json.loads(text)
             assert set(data) == {"title", "level"}
             assert data["level"] in (1, 2, 3)
+
+    @pytest.mark.slow
+    def test_note_grammar_accepts_under_close_bias(self, synth_tokenizer):
+        """CPU mirror of the on-chip 7b test's failure mode (morning queue,
+        round 3): with constant weights the sampler is uniform over the
+        allowed set, and at V=152,064 the note only closes inside the token
+        budget if close_bias_array lands on tokens whose LAST BYTE is a JSON
+        closer — biasing raw byte codepoints as ids (the original bug) put
+        the mass on 4 unrelated ids and the note never accepted."""
+        import jax
+        import jax.numpy as jnp
+        import ml_dtypes
+
+        from video_transformer_tpu.analyzer.schema import note_dfa
+        from video_transformer_tpu.models.config import get_preset
+        from video_transformer_tpu.models.vlm import VideoLM
+        from video_transformer_tpu.parallel.engine import InferenceEngine
+        from video_transformer_tpu.parallel.mesh import build_mesh
+
+        tok = synth_tokenizer
+        config = get_preset("tiny")
+        config = replace(
+            config, decoder=replace(config.decoder, vocab_size=VOCAB)
+        )
+        model = VideoLM(config)
+        struct = jax.eval_shape(
+            lambda: model.init_variables(jax.random.PRNGKey(0))
+        )
+        params = jax.tree_util.tree_map(
+            lambda s: np.full(
+                s.shape,
+                0.01,
+                ml_dtypes.bfloat16 if s.dtype == jnp.float32 else s.dtype,
+            ),
+            struct,
+        )
+        engine = InferenceEngine(
+            config,
+            mesh=build_mesh({"model": 1}),
+            dfa=None,
+            tokenizer=tok,
+            max_new_tokens=1400,
+            temperature=1.0,
+            seed=0,
+            params=params,
+            structure_bias=9.5,
+            compilation_cache_dir=None,
+        )
+        grammar = engine.wrap_grammar(note_dfa(512, scale=0.25))
+        texts, status = engine.generate_text(
+            ["生成本讲的结构化笔记"], prompt_len=128,
+            return_status=True, dfa=grammar,
+        )
+        assert status[0], "note did not reach grammar accept within budget"
+        data = json.loads(texts[0])
+        assert {"title", "one_sentence_summary"} <= set(data)
