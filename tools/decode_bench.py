@@ -7,6 +7,11 @@ sampling, grammar on), then ablates one ingredient at a time:
   full        : grammar + forced fast-forward + sampling (the serving path)
   nogrammar   : plain EOS-terminated sampling (table=None, block_width=1)
   noforce     : grammar but max_forced_run=0 (block_width=1)
+  forceN      : grammar with max_forced_run=N (e.g. force4) — the block
+                width is a real tradeoff: every step pays an (N+1)-wide
+                forward, but forced skeleton runs longer than N are split.
+                The measured average advance on note content is ~1.2
+                tokens/step at N=12, so narrower blocks may win.
   ref_attn    : full path with the XLA reference decode attention (the
                 tool sets VTX_FORCE_REF_ATTN for this variant only)
 
@@ -90,7 +95,10 @@ def run_variant(name: str) -> dict:
     import jax
 
     use_dfa = name != "nogrammar"
-    forced = 0 if name in ("nogrammar", "noforce") else 12
+    if name.startswith("force") and name[5:].isdigit():
+        forced = int(name[5:])
+    else:
+        forced = 0 if name in ("nogrammar", "noforce") else 12
     # The ref_attn ablation flips the decode-attention dispatcher to the
     # XLA reference path; the env var is read at TRACE time (the engine
     # compiles lazily on the warmup call), so it must stay set for the

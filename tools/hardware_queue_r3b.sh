@@ -75,8 +75,16 @@ stage bench_seg15_off 6000 env VTX_BENCH_SEGMENT_SECONDS=15 \
 stage bench_seg15_on 6000 env VTX_BENCH_SEGMENT_SECONDS=15 \
   VTX_BENCH_CONTINUOUS=1 python bench.py
 stage decode_ablate_b16 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
-  VTX_DB_VARIANTS=full,nogrammar,noforce,ref_attn python tools/decode_bench.py
+  VTX_DB_VARIANTS=full,nogrammar,noforce,force4,ref_attn \
+  python tools/decode_bench.py
 stage decode_ablate_b32 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int8 \
-  VTX_DB_VARIANTS=full,nogrammar python tools/decode_bench.py
+  VTX_DB_VARIANTS=full,nogrammar,noforce,force4 python tools/decode_bench.py
+# int4 decode re-measure: the Pallas fused dequant kernel only became
+# Mosaic-legal with the i32 unpack (6df94da) — the morning numbers were
+# the slow XLA-materialize path.
+stage decode_b16_int4 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int4 \
+  VTX_DB_VARIANTS=full python tools/decode_bench.py
+stage decode_b32_int4 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int4 \
+  VTX_DB_VARIANTS=full python tools/decode_bench.py
 stage batcher_profile 4800 python tools/batcher_profile.py
 log "queue complete"
