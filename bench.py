@@ -86,6 +86,7 @@ def build_engine():
         seed=0,
         param_dtype="bfloat16",
         quantize=QUANTIZE,
+        max_forced_run=int(os.environ.get("VTX_BENCH_FORCED_RUN", "12")),
     )
 
 

@@ -156,6 +156,12 @@ class ContentAnalyzer:
                 tokenizer=tokenizer,
                 param_dtype=self.engine_config.get("param_dtype"),
                 quantize=self.engine_config.get("quantize"),
+                # Grammar fast-forward block width minus one. Wide blocks
+                # make every decode step compute-bound ((1+N)x forward
+                # FLOPs) while the measured average advance on note content
+                # is only ~1.2 tokens/step — tools/decode_bench.py forceN
+                # ablations pick the default.
+                max_forced_run=int(self.engine_config.get("max_forced_run", 12)),
             )
             self._engine.dfa = self._engine.wrap_grammar(note_dfa(byte_vocab))
             checkpoint_dir = self.engine_config.get("checkpoint_dir")
