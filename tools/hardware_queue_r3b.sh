@@ -49,6 +49,14 @@ stage() { # stage NAME TIMEOUT_S CMD...
   fi
 }
 
+# Block-width ablation FIRST: fast, and its result decides the serving
+# max_forced_run default before the official bench stages run.
+stage decode_ablate_b16 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=full,nogrammar,noforce,force4,ref_attn \
+  python tools/decode_bench.py
+stage decode_ablate_b32 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=full,nogrammar,noforce,force4 python tools/decode_bench.py
+
 CKPT_DIR=data/checkpoints/base-zh-grounded-r3
 if [ -d "$CKPT_DIR" ]; then
   # One process, newest checkpoint first: restore() swaps params in place so
@@ -74,11 +82,6 @@ stage bench_seg15_off 6000 env VTX_BENCH_SEGMENT_SECONDS=15 \
   VTX_BENCH_CONTINUOUS=0 python bench.py
 stage bench_seg15_on 6000 env VTX_BENCH_SEGMENT_SECONDS=15 \
   VTX_BENCH_CONTINUOUS=1 python bench.py
-stage decode_ablate_b16 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
-  VTX_DB_VARIANTS=full,nogrammar,noforce,force4,ref_attn \
-  python tools/decode_bench.py
-stage decode_ablate_b32 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int8 \
-  VTX_DB_VARIANTS=full,nogrammar,noforce,force4 python tools/decode_bench.py
 # int4 decode re-measure: the Pallas fused dequant kernel only became
 # Mosaic-legal with the i32 unpack (6df94da) — the morning numbers were
 # the slow XLA-materialize path.
