@@ -38,9 +38,16 @@ then
 fi
 log "tunnel UP: $(cat "$OUT/devices.txt")"
 
+# Optional wall-clock deadline (epoch seconds): stages are skipped once
+# passed, so the queue never collides with the driver's end-of-round bench.
+DEADLINE=${VTX_QUEUE_DEADLINE:-0}
+
 stage() { # stage NAME TIMEOUT_S CMD...
   local name=$1 tmo=$2; shift 2
   if [ -e "$OUT/$name.done" ]; then log "skip $name (done)"; return 0; fi
+  if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -gt "$DEADLINE" ]; then
+    log "skip $name (past deadline)"; return 0
+  fi
   log "start $name"
   if timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1; then
     touch "$OUT/$name.done"; log "done $name: $(tail -1 "$OUT/$name.log")"
@@ -90,4 +97,22 @@ stage decode_b16_int4 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int4 \
 stage decode_b32_int4 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int4 \
   VTX_DB_VARIANTS=full python tools/decode_bench.py
 stage batcher_profile 4800 python tools/batcher_profile.py
+
+# Spare-time stages: resume the tiny-r3 retrain (killed at step 800 when a
+# prior container died — scores 0/16 undertrained) on the chip, then score
+# it. checkpoint-every 300 keeps partial progress if the timeout hits.
+stage train_tiny_r3 3300 python -m video_transformer_tpu.train.run \
+  --preset tiny --steps 2200 --batch 8 --text-len 2048 \
+  --grounded --grounded-cache 4096 --grounded-composite 0.35 \
+  --grounded-band 0.15 \
+  --tokenizer data/tokenizers/bpe-zh-2048.json \
+  --prompt-profile compact \
+  --init-from data/checkpoints/tiny-zh-grounded-r3/params_800 \
+  --out data/checkpoints/tiny-zh-grounded-r3b \
+  --checkpoint-every 300 --log-dir data/output/logs
+stage eval_tiny_r3 3600 bash -c "python -m video_transformer_tpu.train.eval_grounding \
+  --preset tiny --checkpoint data/checkpoints/tiny-zh-grounded-r3b \
+  --all-checkpoints \
+  --tokenizer data/tokenizers/bpe-zh-2048.json \
+  --topics 16 --composites 8 --batch 8 || true"
 log "queue complete"
