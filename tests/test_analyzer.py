@@ -478,3 +478,15 @@ class TestBehavioralPromptSpec:
         )
         assert "恰好出现一次" in consolidate
         assert "chapter_self_check" in consolidate
+
+
+class TestEngineConfigPlumbing:
+    def test_max_forced_run_reaches_engine(self, tmp_path):
+        """engine.max_forced_run config narrows the fast-forward block
+        (decode-step FLOPs scale with block width — tools/decode_bench.py)."""
+        config = make_config(tmp_path)
+        config["engine"]["max_forced_run"] = 3
+        analyzer = ContentAnalyzer(config, api_counter=APICounter(10))
+        engine = analyzer.engine
+        assert engine.max_forced_run == 3
+        assert engine._block_width(engine.dfa) == 4
