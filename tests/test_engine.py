@@ -223,3 +223,25 @@ class TestInferenceEngine:
         ]
         # Column-parallel: second dim split over 2 model shards.
         assert q_kernel.sharding.shard_shape(q_kernel.shape) == (64, 32)
+
+
+class TestBlockWidthInvariance:
+    def test_greedy_output_invariant_to_forced_run_width(self):
+        """At temperature 0 the emitted text is identical for any
+        max_forced_run: splitting a forced literal run across steps feeds
+        the decoder the same prefix before each sampled token, so the
+        block width is a pure performance knob (tools/decode_bench.py
+        forceN picks the serving default)."""
+        texts = {}
+        for width in (12, 2):
+            engine = InferenceEngine(
+                micro_config(),
+                mesh=build_mesh({"data": 4, "model": 2}),
+                dfa=tiny_dfa(),
+                max_new_tokens=96,
+                temperature=0.0,
+                seed=0,
+                max_forced_run=width,
+            )
+            texts[width] = engine.generate_text(["总结要点"] * 2)
+        assert texts[12] == texts[2]
