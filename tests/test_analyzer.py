@@ -490,3 +490,15 @@ class TestEngineConfigPlumbing:
         engine = analyzer.engine
         assert engine.max_forced_run == 3
         assert engine._block_width(engine.dfa) == 4
+
+    def test_auto_routes_multi_wave_only(self):
+        route = ContentAnalyzer._route_to_batcher
+        # Single wave fits the sharded batch: run-to-completion engine.
+        assert not route(n_segments=10, chunk_size=16, slots=8, mode="auto")
+        # Multi-wave sweep: refilling across the wave boundary wins.
+        assert route(n_segments=40, chunk_size=16, slots=8, mode="auto")
+        # Explicit pins override auto, but a sweep inside one slot pool
+        # still has nothing to refill.
+        assert not route(n_segments=40, chunk_size=16, slots=8, mode=False)
+        assert route(n_segments=12, chunk_size=16, slots=8, mode=True)
+        assert not route(n_segments=6, chunk_size=16, slots=8, mode=True)

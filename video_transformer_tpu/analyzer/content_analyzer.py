@@ -507,6 +507,23 @@ class ContentAnalyzer:
             )
         return self.engine._batcher_cache
 
+    @staticmethod
+    def _route_to_batcher(
+        n_segments: int, chunk_size: int, slots: int, mode
+    ) -> bool:
+        """Sweep routing: the continuous batcher only wins when there is a
+        wave boundary to refill across. "auto" sends multi-wave sweeps
+        (more segments than one sharded batch) to the batcher and
+        single-wave sweeps to the run-to-completion engine (already the
+        optimal schedule, and it skips the batcher's staging dispatches).
+        Explicit True/False pins the path; either way a sweep must exceed
+        the slot pool to be worth staging."""
+        if mode in (None, "auto"):
+            use_serving = n_segments > chunk_size
+        else:
+            use_serving = bool(mode)
+        return use_serving and n_segments > slots
+
     def _serve_segments(
         self, segments, slots, segment_prompt, decode_chunk, record,
         manifest, manifest_path,
@@ -732,15 +749,10 @@ class ContentAnalyzer:
             long_video.get("serving_slots_per_chip", 8) or 8
         )
         mode = long_video.get("continuous_batching", "auto")
-        if mode in (None, "auto"):
-            use_serving = len(to_analyze) > chunk_size
-        else:
-            use_serving = bool(mode)
-        use_serving = (
-            use_serving
-            and hasattr(self.engine, "continue_session")
-            and len(to_analyze) > slots
-        )
+        use_serving = self._route_to_batcher(
+            n_segments=len(to_analyze), chunk_size=chunk_size, slots=slots,
+            mode=mode,
+        ) and hasattr(self.engine, "continue_session")
         if use_serving:
             self._serve_segments(
                 to_analyze, slots, segment_prompt, decode_chunk, record,
