@@ -92,10 +92,12 @@ stage bench_seg15_on 6000 env VTX_BENCH_SEGMENT_SECONDS=15 \
 # int4 decode re-measure: the Pallas fused dequant kernel only became
 # Mosaic-legal with the i32 unpack (6df94da) — the morning numbers were
 # the slow XLA-materialize path.
+# Narrow widths matter here: with less block compute the step goes
+# bandwidth-bound, which is where int4's halved weight stream can win.
 stage decode_b16_int4 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int4 \
-  VTX_DB_VARIANTS=full python tools/decode_bench.py
+  VTX_DB_VARIANTS=full,force4,noforce python tools/decode_bench.py
 stage decode_b32_int4 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int4 \
-  VTX_DB_VARIANTS=full python tools/decode_bench.py
+  VTX_DB_VARIANTS=full,force4,noforce python tools/decode_bench.py
 stage batcher_profile 4800 python tools/batcher_profile.py
 
 # Spare-time stages: resume the tiny-r3 retrain (killed at step 800 when a
