@@ -165,5 +165,7 @@ class TestGroundingEval:
         assert report["composite_hits"] == 1
         both = f"{TOPIC_BANK[1].name}+{TOPIC_BANK[2].name}"
         one = f"{TOPIC_BANK[3].name}+{TOPIC_BANK[4].name}"
-        assert report["per_composite"][both] is True
-        assert report["per_composite"][one] is False
+        assert report["per_composite"][both] == "both"
+        # The miss records WHICH side landed (the secondary dying in
+        # pooling is the known composite failure mode).
+        assert report["per_composite"][one] == "primary"

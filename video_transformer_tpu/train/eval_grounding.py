@@ -113,12 +113,23 @@ def run_eval(
         for (a, b), text in zip(pairs, texts):
             label = f"{TOPIC_BANK[a].name}+{TOPIC_BANK[b].name}"
             blob = _note_blob(text)
-            hit = (
-                blob is not None
-                and TOPIC_BANK[a].name in blob
-                and TOPIC_BANK[b].name in blob
-            )
-            composite_results[label] = bool(hit)
+            # Record which side landed: "both" (hit), "primary"/"secondary"
+            # (the composite pooling failure mode is the secondary dying),
+            # "neither", or "parse" — the miss diagnosis decides the next
+            # training intervention.
+            got_a = blob is not None and TOPIC_BANK[a].name in blob
+            got_b = blob is not None and TOPIC_BANK[b].name in blob
+            hit = got_a and got_b
+            if blob is None:
+                composite_results[label] = "parse"
+            elif hit:
+                composite_results[label] = "both"
+            elif got_a:
+                composite_results[label] = "primary"
+            elif got_b:
+                composite_results[label] = "secondary"
+            else:
+                composite_results[label] = "neither"
             composite_hits += hit
 
     elapsed = time.perf_counter() - start
