@@ -98,6 +98,14 @@ stage decode_b16_int4 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int4 \
   VTX_DB_VARIANTS=full,force4,noforce python tools/decode_bench.py
 stage decode_b32_int4 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int4 \
   VTX_DB_VARIANTS=full,force4,noforce python tools/decode_bench.py
+# int4 quality gate on the final base-r3 checkpoint (int4 can only become
+# a serving default if grounding holds at the coarser resolution).
+if [ -d "$CKPT_DIR" ]; then
+  stage eval_base_int4 3600 bash -c "python -m video_transformer_tpu.train.eval_grounding \
+    --preset base --checkpoint '$CKPT_DIR' --quantize int4 \
+    --tokenizer data/tokenizers/bpe-zh-2048.json \
+    --topics 16 --composites 8 --batch 8 || true"
+fi
 stage batcher_profile 4800 python tools/batcher_profile.py
 
 # Spare-time stages: resume the tiny-r3 retrain (killed at step 800 when a
