@@ -86,7 +86,12 @@ def build_engine():
         seed=0,
         param_dtype="bfloat16",
         quantize=QUANTIZE,
-        max_forced_run=int(os.environ.get("VTX_BENCH_FORCED_RUN", "12")),
+        # Fast-forward width: engine default unless the sweep overrides.
+        **(
+            {"max_forced_run": int(os.environ["VTX_BENCH_FORCED_RUN"])}
+            if os.environ.get("VTX_BENCH_FORCED_RUN")
+            else {}
+        ),
     )
 
 

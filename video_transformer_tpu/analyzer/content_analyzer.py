@@ -160,8 +160,13 @@ class ContentAnalyzer:
                 # make every decode step compute-bound ((1+N)x forward
                 # FLOPs) while the measured average advance on note content
                 # is only ~1.2 tokens/step — tools/decode_bench.py forceN
-                # ablations pick the default.
-                max_forced_run=int(self.engine_config.get("max_forced_run", 12)),
+                # ablations pick the engine default; the config key
+                # overrides it per deployment.
+                **(
+                    {"max_forced_run": int(self.engine_config["max_forced_run"])}
+                    if self.engine_config.get("max_forced_run") is not None
+                    else {}
+                ),
             )
             self._engine.dfa = self._engine.wrap_grammar(note_dfa(byte_vocab))
             checkpoint_dir = self.engine_config.get("checkpoint_dir")
