@@ -155,6 +155,12 @@ class TestTrainer:
             jax.tree_util.tree_leaves(restored.params),
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # Crash-resume continues the params_N numbering: the next periodic
+        # save must land after the restored step, not collide with it.
+        assert restored.step_count == trainer.step_count
+        restored.step(patches, tokens)
+        restored.save_checkpoint(str(tmp_path))
+        assert (tmp_path / f"params_{trainer.step_count + 1}").exists()
 
 
 class TestSyntheticData:

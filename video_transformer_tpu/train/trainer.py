@@ -257,7 +257,13 @@ class Trainer:
 
         import orbax.checkpoint as ocp
 
+        resolved = Path(path).resolve()
         with ocp.StandardCheckpointer() as checkpointer:
-            self.params = checkpointer.restore(
-                Path(path).resolve(), self.params
-            )
+            self.params = checkpointer.restore(resolved, self.params)
+        # Resumed runs continue the checkpoint numbering: params_N encodes
+        # the step the weights were saved at, so a crash-resume writes
+        # params_{N+every} next to the originals instead of colliding with
+        # (and silently skipping, via the exists() guard above) params_every.
+        name = resolved.name
+        if name.startswith("params_") and name.split("_")[-1].isdigit():
+            self.step_count = int(name.split("_")[-1])
