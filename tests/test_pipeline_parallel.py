@@ -152,9 +152,12 @@ class Test1F1BSchedule:
             np.asarray(staged), np.asarray(sequential), atol=2e-4, rtol=2e-4
         )
 
+    @pytest.mark.slow  # default-suite pin: trainer-level 1F1B loss parity
+    # (tests/test_train.py::test_pipeline_trainer_1f1b_matches_sequential
+    #  steps both trainers and matches losses, which exercises these same
+    #  gradients; even the (2,2) custom_vjp grad compile costs ~2 min on
+    #  one CPU core, so the per-layer check runs under VTX_RUN_SLOW=1)
     def test_gradients_match_sequential_fast(self, request):
-        # Default-suite gradient-level 1F1B coverage at the cheap config;
-        # the wide (4,4)/(2,4) sweeps are slow-marked below.
         self._check_gradients_match(request, 2, 2)
 
     @pytest.mark.slow
