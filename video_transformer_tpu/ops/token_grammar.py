@@ -31,6 +31,7 @@ byte models.
 from __future__ import annotations
 
 import hashlib
+import os
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -121,7 +122,14 @@ class TokenGrammar:
         if cache_dir is not None:
             try:
                 cache_path.parent.mkdir(parents=True, exist_ok=True)
-                np.savez_compressed(cache_path, bits=bits)
+                # Atomic publish: concurrent processes (e.g. pytest-xdist
+                # workers) may compute the same key; writing in place could
+                # leave a permanently torn file that every later load
+                # rejects. Write to a per-process tmp name, then rename.
+                tmp_path = cache_path.with_suffix(f".{os.getpid()}.tmp")
+                with open(tmp_path, "wb") as fh:  # handle: np.savez would
+                    np.savez_compressed(fh, bits=bits)  # append ".npz"
+                os.replace(tmp_path, cache_path)
             except OSError:
                 pass
         return bits
