@@ -58,6 +58,8 @@ __all__ = [
     "port_vision_state",
     "normalize_qwen2vl_keys",
     "load_safetensors",
+    "checkpoint_shard_paths",
+    "load_qwen2vl_dir",
 ]
 
 logger = logging.getLogger("video_transformer")
@@ -286,7 +288,11 @@ def port_vision_state(
 
 
 def load_safetensors(paths: list[str]) -> dict[str, np.ndarray]:
-    """Load (sharded) safetensors files into one numpy state dict."""
+    """Load (sharded) safetensors files into one numpy state dict.
+
+    bf16 tensors load natively (the numpy backend uses ml_dtypes.bfloat16,
+    which the engine's serving cast consumes directly).
+    """
     try:
         from safetensors.numpy import load_file  # type: ignore[import-not-found]
     except ImportError as exc:
@@ -298,3 +304,58 @@ def load_safetensors(paths: list[str]) -> dict[str, np.ndarray]:
     for path in paths:
         state.update(load_file(path))
     return state
+
+
+def checkpoint_shard_paths(directory: str) -> list[str]:
+    """Shard files of an HF checkpoint directory.
+
+    Prefers ``model.safetensors.index.json``'s weight_map (the layout
+    ``transformers`` writes for sharded checkpoints like Qwen2-VL-7B's
+    5-shard split); falls back to globbing ``*.safetensors``.
+    """
+    import json
+    from pathlib import Path
+
+    d = Path(directory)
+    index = d / "model.safetensors.index.json"
+    if index.exists():
+        weight_map = json.loads(index.read_text())["weight_map"]
+        return sorted({str(d / shard) for shard in weight_map.values()})
+    return sorted(str(p) for p in d.glob("*.safetensors"))
+
+
+def load_qwen2vl_dir(directory: str, config, strict: bool = True) -> dict[str, Any]:
+    """HF Qwen2-VL checkpoint directory -> VideoLM params subtree.
+
+    The single deployment entry point: point it at a downloaded hub
+    checkpoint (sharded safetensors + index.json, e.g. Qwen2-VL-7B-Instruct)
+    and get back the ``{"visual": ..., "decoder": ...}`` tree that mounts
+    under ``params`` of a VideoLM built from the matching preset
+    (``get_preset("qwen2vl-7b")``). ``InferenceEngine.restore`` calls this
+    automatically when its path contains safetensors files, so serving a
+    real checkpoint is one config line:
+    ``engine.checkpoint_dir: /path/to/Qwen2-VL-7B-Instruct``.
+
+    ``config`` is the VLMConfig; its encoder must be a QwenVisionConfig
+    (ported tower) — the native VideoEncoder has no HF counterpart.
+    """
+    from .config import EncoderConfig
+
+    if isinstance(config.encoder, EncoderConfig):
+        raise ValueError(
+            "HF checkpoint load needs a ported-tower preset (QwenVisionConfig "
+            "encoder, e.g. get_preset('qwen2vl-7b')); the native VideoEncoder "
+            f"has no HF counterpart (config: {config.name})"
+        )
+    paths = checkpoint_shard_paths(directory)
+    if not paths:
+        raise FileNotFoundError(f"no .safetensors shards under {directory}")
+    logger.info(
+        f"event=hf_checkpoint_load dir={directory} shards={len(paths)}"
+    )
+    state = normalize_qwen2vl_keys(load_safetensors(paths))
+    # port_decoder_state returns a tree already rooted at "decoder"; the
+    # vision tree mounts beside it under the VLM's "visual" scope.
+    tree = port_decoder_state(state, config.decoder, strict=strict)
+    tree["visual"] = port_vision_state(state, config.encoder, strict=strict)
+    return tree

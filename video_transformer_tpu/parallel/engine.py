@@ -318,17 +318,26 @@ class InferenceEngine:
         return self._wrapped_grammars[key]
 
     def restore(self, checkpoint_path: str) -> None:
-        """Restore trained parameters from an orbax checkpoint.
+        """Restore trained parameters from an orbax or HF checkpoint.
 
-        Accepts either a concrete ``params_N`` directory or a parent
-        directory of them (the highest step is taken). Restored arrays adopt
-        the engine's existing shardings.
+        Accepts a concrete ``params_N`` directory, a parent directory of
+        them (the highest step is taken), or an **HF checkpoint directory**
+        (sharded ``*.safetensors`` + index.json, e.g. a downloaded
+        Qwen2-VL-7B-Instruct) — detected by the presence of safetensors
+        files and routed through ``models.port.load_qwen2vl_dir``. Restored
+        arrays adopt the engine's existing shardings.
         """
         from pathlib import Path
 
         import orbax.checkpoint as ocp
 
         path = Path(checkpoint_path)
+        if path.is_dir() and (
+            any(path.glob("*.safetensors"))
+            or (path / "model.safetensors.index.json").exists()
+        ):
+            self._restore_hf(path)
+            return
         if path.is_dir() and not path.name.startswith("params_"):
             def step_of(p: Path) -> int | None:
                 # Skip orbax in-progress dirs (params_N.orbax-checkpoint-tmp
@@ -357,6 +366,39 @@ class InferenceEngine:
         )
         with ocp.StandardCheckpointer() as checkpointer:
             restored = checkpointer.restore(str(path.resolve()), template)
+        self.params = self._place(restored)
+        self._generate_cache.clear()
+
+    def _restore_hf(self, path) -> None:
+        """Load an HF safetensors checkpoint dir into the serving params.
+
+        The ported tree must match the engine's initialized structure leaf
+        for leaf (same preset geometry as the checkpoint); shape or
+        structure drift raises with the offending paths instead of jitting
+        a silently-wrong program.
+        """
+        from ..models.port import load_qwen2vl_dir
+
+        restored = {"params": load_qwen2vl_dir(str(path), self.config)}
+
+        def paths_of(tree):
+            return {
+                jax.tree_util.keystr(kp): leaf.shape
+                for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+            }
+
+        expected, got = paths_of(self._f32_struct), paths_of(restored)
+        if expected != got:
+            missing = sorted(set(expected) - set(got))[:4]
+            extra = sorted(set(got) - set(expected))[:4]
+            drifted = sorted(
+                k for k in set(expected) & set(got) if expected[k] != got[k]
+            )[:4]
+            raise ValueError(
+                f"HF checkpoint does not match preset {self.config.name}: "
+                f"missing={missing} extra={extra} shape_drift="
+                f"{[(k, got[k], expected[k]) for k in drifted]}"
+            )
         self.params = self._place(restored)
         self._generate_cache.clear()
 
