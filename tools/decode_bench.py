@@ -14,6 +14,14 @@ sampling, grammar on), then ablates one ingredient at a time:
                 tokens/step at N=12, so narrower blocks may win.
   ref_attn    : full path with the XLA reference decode attention (the
                 tool sets VTX_FORCE_REF_ATTN for this variant only)
+  specself    : speculative decoding, draft = the target's own weights —
+                ~100% acceptance, the mechanism's tok/s CEILING (real
+                distilled draft/target pairs sit near it on greedy JSON;
+                tools/spec_eval.py measures the real pair)
+  spectiny    : speculative decoding with a random tiny-preset draft —
+                near-zero content acceptance, the mechanism's FLOOR
+                (grammar-forced positions still accept). K from
+                VTX_DB_SPEC_K (default 6).
 
 Reports per-variant wall seconds, steps/s, tok/s, and a bytes/step roofline
 (weights + average valid KV prefix) so the HBM-bandwidth utilization is
@@ -48,7 +56,10 @@ VARIANTS = os.environ.get(
 PEAK_HBM = float(os.environ.get("VTX_HBM_PEAK_GBPS", "478")) * 1e9
 
 
-def build_engine(max_forced_run: int, use_dfa: bool):
+SPEC_K = int(os.environ.get("VTX_DB_SPEC_K", "6"))
+
+
+def build_engine(max_forced_run: int, use_dfa: bool, spec: str | None = None):
     import jax
 
     from video_transformer_tpu.analyzer.schema import note_dfa
@@ -59,7 +70,7 @@ def build_engine(max_forced_run: int, use_dfa: bool):
     config = get_preset(PRESET)
     mesh = build_mesh({"data": len(jax.devices()), "model": 1})
     dfa = note_dfa(config.decoder.vocab_size, scale=0.5) if use_dfa else None
-    return InferenceEngine(
+    engine = InferenceEngine(
         config,
         mesh=mesh,
         dfa=dfa,
@@ -71,6 +82,21 @@ def build_engine(max_forced_run: int, use_dfa: bool):
         param_dtype="bfloat16",
         quantize=QUANT,
     )
+    if spec == "self":
+        engine.attach_draft(config, spec_tokens=SPEC_K)
+        engine.draft_params = engine.params  # full acceptance: the ceiling
+    elif spec == "tiny":
+        from dataclasses import replace
+
+        tiny = get_preset("tiny")
+        tiny = replace(
+            tiny,
+            decoder=replace(
+                tiny.decoder, vocab_size=config.decoder.vocab_size
+            ),
+        )
+        engine.attach_draft(tiny, spec_tokens=SPEC_K)
+    return engine
 
 
 def weight_bytes(engine) -> int:
@@ -95,6 +121,9 @@ def run_variant(name: str) -> dict:
     import jax
 
     use_dfa = name != "nogrammar"
+    spec = None
+    if name.startswith("spec"):
+        spec = name[4:] or "self"
     if name.startswith("force") and name[5:].isdigit():
         forced = int(name[5:])
     else:
@@ -107,16 +136,16 @@ def run_variant(name: str) -> dict:
     if name == "ref_attn":
         os.environ["VTX_FORCE_REF_ATTN"] = "1"
     try:
-        return _run_variant_body(name, forced, use_dfa)
+        return _run_variant_body(name, forced, use_dfa, spec)
     finally:
         if name == "ref_attn":
             os.environ.pop("VTX_FORCE_REF_ATTN", None)
 
 
-def _run_variant_body(name: str, forced: int, use_dfa: bool) -> dict:
+def _run_variant_body(name: str, forced: int, use_dfa: bool, spec: str | None) -> dict:
     import jax
 
-    engine = build_engine(max_forced_run=forced, use_dfa=use_dfa)
+    engine = build_engine(max_forced_run=forced, use_dfa=use_dfa, spec=spec)
 
     prompt = "请根据视频内容生成结构化笔记。" * 4
     prompts = [prompt] * BATCH
@@ -151,6 +180,10 @@ def _run_variant_body(name: str, forced: int, use_dfa: bool) -> dict:
         "tok_per_s": round(toks / wall, 1),
         "decode_steps": nsteps,
         "steps_per_s": round(steps_per_s, 1),
+        # Per-ROW tokens per loop iteration (rows run in lockstep):
+        # grammar fast-forward advance, or (for spec variants) 1 + accepted
+        # draft proposals per verify cycle.
+        "tok_per_step_row": round(toks / (nsteps * BATCH), 2) if nsteps else 0.0,
         "weight_bytes": wb,
         "kv_bytes_per_step_est": kvb,
         "hbm_gb_per_s": round(steps_per_s * (wb + kvb) / 1e9, 1),

@@ -61,6 +61,13 @@ stage() { # stage NAME TIMEOUT_S CMD...
 stage decode_ablate_b16 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
   VTX_DB_VARIANTS=full,nogrammar,noforce,force4,ref_attn \
   python tools/decode_bench.py
+# Speculative-decoding mechanism bounds (random weights): specself is the
+# acceptance~1 ceiling, spectiny the acceptance~0 floor. The real
+# draft/target pair is measured by the spec_eval stage below.
+stage decode_spec_b16 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=specself,spectiny VTX_DB_SPEC_K=6 python tools/decode_bench.py
+stage decode_spec_b16_k10 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=specself VTX_DB_SPEC_K=10 python tools/decode_bench.py
 stage decode_ablate_b32 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int8 \
   VTX_DB_VARIANTS=full,nogrammar,noforce,force4 python tools/decode_bench.py
 
@@ -75,6 +82,22 @@ if [ -d "$CKPT_DIR" ]; then
     --preset base --checkpoint '$CKPT_DIR' --all-checkpoints \
     --tokenizer data/tokenizers/bpe-zh-2048.json \
     --topics 16 --composites 8 --batch 8 || true"
+fi
+
+# Speculative decoding on the REAL pair: base-r3 target, shipped tiny
+# draft (same BPE vocab). Reports greedy parity, acceptance/cycle, OFF/ON
+# tok/s — the serving-default decision data for engine.draft.
+if [ -d "$CKPT_DIR" ]; then
+  stage spec_eval 4800 env VTX_SPEC_K=6 VTX_SPEC_BATCH=8 VTX_SPEC_CLIPS=16 \
+    python tools/spec_eval.py \
+    --target "$CKPT_DIR" \
+    --draft data/checkpoints/tiny-zh-grounded \
+    --tokenizer data/tokenizers/bpe-zh-2048.json
+  stage spec_eval_k10 4800 env VTX_SPEC_K=10 VTX_SPEC_BATCH=8 VTX_SPEC_CLIPS=16 \
+    python tools/spec_eval.py \
+    --target "$CKPT_DIR" \
+    --draft data/checkpoints/tiny-zh-grounded \
+    --tokenizer data/tokenizers/bpe-zh-2048.json
 fi
 
 stage bench_off 6000 python bench.py

@@ -183,6 +183,40 @@ class ContentAnalyzer:
                         f"event=engine_restore_failed checkpoint={checkpoint_dir} "
                         f"error={exc}"
                     )
+            draft_cfg = self.engine_config.get("draft") or {}
+            if draft_cfg.get("model_preset"):
+                # Speculative decoding: a small distilled checkpoint (e.g.
+                # tiny) drafts token blocks the big model verifies in one
+                # wide forward (engine.attach_draft). Greedy output is
+                # unchanged; sampling keeps the target distribution.
+                draft_preset = get_preset(draft_cfg["model_preset"])
+                if tokenizer is not None:
+                    draft_preset = replace(
+                        draft_preset,
+                        decoder=replace(
+                            draft_preset.decoder,
+                            vocab_size=tokenizer.vocab_size,
+                        ),
+                    )
+                try:
+                    self._engine.attach_draft(
+                        draft_preset,
+                        checkpoint=draft_cfg.get("checkpoint_dir"),
+                        spec_tokens=int(draft_cfg.get("spec_tokens", 6)),
+                    )
+                    self.logger.info(
+                        f"event=engine_draft_attached "
+                        f"preset={draft_cfg['model_preset']} "
+                        f"spec_tokens={self._engine.spec_tokens}"
+                    )
+                except (FileNotFoundError, ValueError) as exc:
+                    # A broken draft must never take serving down — fall
+                    # back to the plain loop.
+                    self._engine.draft_model = None
+                    self._engine.spec_tokens = 0
+                    self.logger.warning(
+                        f"event=engine_draft_failed error={exc}"
+                    )
         return self._engine
 
     # -- public API ----------------------------------------------------------

@@ -111,11 +111,16 @@ class EngineSession:
 
     cache: dict
     logits: Any
+    """Next-token logits (plain engine) or the PROCESSED next-token
+    log-distribution (speculative engine — rejection residuals have no
+    raw-logits form)."""
     state: Any
     done: Any
     b_real: int
     dfa: Any
     rounds_left: int
+    draft_cache: dict | None = None
+    """The draft model's live KV cache (speculative engines only)."""
 
 
 class InferenceEngine:
@@ -184,6 +189,97 @@ class InferenceEngine:
         )
         self.params = self._place(params)
         self._tables: dict[int, Any] = {}
+        # Speculative decoding (attach_draft): None = plain decode loop.
+        self.draft_model: VideoLM | None = None
+        self.draft_params: Any = None
+        self.draft_config: VLMConfig | None = None
+        self.spec_tokens = 0
+
+    # -- speculative decoding --------------------------------------------------
+
+    def attach_draft(
+        self,
+        config: VLMConfig,
+        params: Any = None,
+        checkpoint: str | None = None,
+        spec_tokens: int = 6,
+    ) -> None:
+        """Enable speculative decoding with a small draft model.
+
+        Each decode iteration drafts ``spec_tokens``-token blocks with the
+        draft (its sequential steps stream ~no weights) and verifies the
+        whole block in ONE wide target forward, so the target's per-step
+        weight stream and per-op overhead amortize over every accepted
+        token — the "more rows per matmul dispatch" lever of
+        docs/roofline.md. Greedy acceptance is exact (emitted text is
+        identical to the plain loop's); temperature > 0 uses speculative
+        rejection sampling, which preserves the target distribution.
+
+        The draft must share the target's tokenizer/vocab (e.g. the tiny
+        preset distilled on the same corpus drafting for base). Pass
+        ``params`` (an f32 tree) or ``checkpoint`` (orbax params_N dir);
+        omitted = random init, which still decodes correctly — every
+        mispredicted token is rejected and replaced by the target's own.
+        """
+        if config.decoder.vocab_size != self.config.decoder.vocab_size:
+            raise ValueError(
+                f"draft vocab {config.decoder.vocab_size} != target vocab "
+                f"{self.config.decoder.vocab_size}"
+            )
+        if not 2 <= int(spec_tokens) <= 16:
+            raise ValueError(f"spec_tokens must be in [2, 16], got {spec_tokens}")
+        self.draft_config = config
+        self.draft_model = VideoLM(config)
+        self.spec_tokens = int(spec_tokens)
+        if params is None:
+            params = self.draft_model.init_variables(jax.random.PRNGKey(1))
+        self._draft_f32_struct = jax.tree_util.tree_map(
+            lambda leaf: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype), params
+        )
+        self.draft_params = self._place_draft(params)
+        self._generate_cache.clear()
+        if checkpoint is not None:
+            self.restore_draft(checkpoint)
+
+    def _place_draft(self, params: Any) -> Any:
+        """Serve the draft bf16/f32 (no quantization — it is small enough
+        that the unpack would cost more than the stream it saves)."""
+        params = self._cast_params(params)
+        return jax.device_put(params, param_shardings(self.mesh, params))
+
+    def restore_draft(self, checkpoint_path: str) -> None:
+        """Restore draft parameters from an orbax checkpoint (params_N dir
+        or a parent of them — same resolution as ``restore``)."""
+        from pathlib import Path
+
+        import orbax.checkpoint as ocp
+
+        if self.draft_model is None:
+            raise ValueError("attach_draft before restore_draft")
+        path = Path(checkpoint_path)
+        if path.is_dir() and not path.name.startswith("params_"):
+            candidates = sorted(
+                (
+                    p for p in path.iterdir()
+                    if p.name.startswith("params_")
+                    and p.name.split("_")[-1].isdigit()
+                ),
+                key=lambda p: int(p.name.split("_")[-1]),
+            )
+            if not candidates:
+                raise FileNotFoundError(f"no params_N checkpoints under {path}")
+            path = candidates[-1]
+        shardings = param_shardings(self.mesh, self._draft_f32_struct)
+        template = jax.tree_util.tree_map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            self._draft_f32_struct,
+            shardings,
+        )
+        with ocp.StandardCheckpointer() as checkpointer:
+            restored = checkpointer.restore(str(path.resolve()), template)
+        self.draft_params = self._place_draft(restored)
+        # Shapes are unchanged, so compiled programs stay valid (the draft
+        # params are a call-time argument, not a traced constant).
 
     def _place(self, params: Any) -> Any:
         """f32 checkpoint/init tree -> served variables on the mesh
@@ -405,14 +501,16 @@ class InferenceEngine:
     # -- compiled program ----------------------------------------------------
 
     def _block_width(self, dfa: JsonDfa | None) -> int:
+        if self.draft_model is not None:
+            return self.spec_tokens
         return (1 + self.max_forced_run) if dfa is not None else 1
 
-    def _kv_spec(self) -> P:
+    def _kv_spec(self, cfg: VLMConfig | None = None) -> P:
         # Per-layer cache leaves [B, Hkv, S, D]: batch over "data"; kv heads
         # over "model" too when they divide the axis (k/v are produced
         # head-sharded by the column-parallel projections, so this keeps
         # them resident without an all-gather).
-        cfg = self.config
+        cfg = cfg or self.config
         model_axis = self.mesh.shape[MODEL_AXIS]
         if model_axis > 1 and cfg.decoder.num_kv_heads % model_axis == 0:
             return P(DATA_AXIS, MODEL_AXIS)
@@ -546,6 +644,209 @@ class InferenceEngine:
 
         return run_decode
 
+    def _spec_decode_loop_fn(self, dfa: JsonDfa | None):
+        """Build the speculative decode loop (draft attached).
+
+        Returns ``(run_spec, process)``:
+
+          run_spec(params, draft_params, logp, cache, draft_cache, state,
+                   finished, rng)
+            -> (tokens, out_pos, complete, logp, cache, draft_cache,
+                state, finished, steps)
+
+        Per iteration: the draft autoregressively proposes a K-token block
+        (t0 sampled from the TARGET's carried distribution, then K-1 draft
+        proposals, each grammar-constrained), the target verifies the whole
+        block in one wide ``decode_block`` forward, and the longest correct
+        prefix is emitted. Greedy acceptance (temperature 0) is exact —
+        every emitted token is the argmax of the target's constrained
+        distribution at its position, bit-identical to the plain loop.
+        temperature > 0 accepts proposal x with probability min(1, p(x)/q(x))
+        and resamples a rejection from norm(max(p - q, 0)) — standard
+        speculative sampling, so the emitted distribution IS the target's.
+
+        A grammar-constrained draft proposes forced-run tokens with
+        probability 1 (single-support q == single-support p), so the plain
+        loop's forced-table fast-forward is subsumed rather than reimplemented.
+
+        ``logp`` carries the PROCESSED next-token log-distribution
+        (grammar mask + close bias + temperature already applied; it must,
+        because a rejection's residual distribution has no raw-logits
+        form). Entry points process raw prefill logits via ``process``.
+        """
+        model = self.model
+        draft = self.draft_model
+        assert draft is not None
+        table = self._table_for(dfa)
+        temperature = self.temperature
+        max_new = self.max_new_tokens
+        eos = self.tokenizer.EOS
+        spec_k = self.spec_tokens
+        greedy = temperature <= 0
+        out_width = max_new + 2 * spec_k
+        close_bias = self.close_bias_array()
+
+        def process(logits, state):
+            if table is not None:
+                logits = dfa.constrain(logits, state, table)
+            if close_bias is not None:
+                logits = logits + close_bias
+            scale = temperature if temperature > 0 else 1.0
+            return jax.nn.log_softmax(logits / scale, axis=-1)
+
+        def pick(logp, frozen, key):
+            if greedy:
+                tok = jnp.argmax(logp, axis=-1)
+            else:
+                tok = jax.random.categorical(key, logp, axis=-1)
+            return jnp.where(frozen, eos, tok).astype(jnp.int32)
+
+        def advance_live(state, tok, live):
+            if table is None:
+                return state
+            return jnp.where(live, dfa.advance(state, tok, table), state)
+
+        write_rows = jax.vmap(
+            lambda row, block, pos: jax.lax.dynamic_update_slice(row, block, (pos,))
+        )
+
+        def run_spec(params, draft_params, logp, cache, dcache, state, finished, rng):
+            def cond(carry):
+                step, _, _, _, _, _, out_pos, finished, _ = carry
+                return (step < max_new) & ~jnp.all(finished | (out_pos >= max_new))
+
+            def body(carry):
+                (step, logp, cache, dcache, state, tokens, out_pos,
+                 finished, rng) = carry
+                frozen = finished | (out_pos >= max_new)
+                b = logp.shape[0]
+                rng, k0, kd, ka = jax.random.split(rng, 4)
+
+                # t0 comes from the target's own distribution — always
+                # correct, so a cycle emits at least one token per live row.
+                t0 = pick(logp, frozen, k0)
+                s1 = advance_live(state, t0, ~frozen)
+
+                # Draft phase: K sequential feeds of [t0, x1..x_{K-1}]
+                # producing proposals x1..x_{K-1}. Feed K (of the last
+                # proposal) keeps the draft cache covering every block
+                # position the target verifies, so both caches advance by
+                # the same per-row amount afterwards. Scan outputs are the
+                # per-position proposal, its processed draft distribution
+                # (stochastic acceptance needs q), and the grammar state
+                # constraining it.
+                dindex_before = dcache["index"]
+
+                def dstep(c, key_i):
+                    dc, prev, ds = c
+                    dlogits, dc = draft.apply(
+                        draft_params, prev[:, None], dc, method=VideoLM.decode_step
+                    )
+                    lq = process(dlogits, ds)
+                    x = pick(lq, frozen, key_i)
+                    return (dc, x, advance_live(ds, x, ~frozen)), (
+                        x, (lq if not greedy else jnp.zeros((b, 0))), ds,
+                    )
+
+                (dcache2, _, _), (prop, slq, sst) = jax.lax.scan(
+                    dstep, (dcache, t0, s1), jax.random.split(kd, spec_k)
+                )
+                # prop/sst: [K, B]; sst[i] = grammar state AFTER block token
+                # i (it constrained proposal i+1). slq: [K, B, V] processed
+                # draft dists (empty when greedy).
+                block = jnp.concatenate(
+                    [t0[:, None], jnp.moveaxis(prop, 0, 1)[:, : spec_k - 1]], axis=1
+                )  # [B, K]
+
+                # One wide target forward verifies every position.
+                index_before = cache["index"]
+                all_logits, cache = model.apply(
+                    params, block, cache, method=VideoLM.decode_block
+                )  # [B, K, V]
+
+                # Acceptance per proposal (block position i >= 1):
+                # all_logits[:, i-1] is the target's distribution for block
+                # position i, constrained at the SAME state sst[i-1] the
+                # draft used to propose it.
+                if not greedy:
+                    log_u = jnp.log(jax.random.uniform(ka, (b, spec_k)))
+                accs = []
+                for i in range(1, spec_k):
+                    p_i = process(all_logits[:, i - 1], sst[i - 1])
+                    tok_i = block[:, i]
+                    if greedy:
+                        accs.append(tok_i == jnp.argmax(p_i, axis=-1))
+                    else:
+                        lp = jnp.take_along_axis(p_i, tok_i[:, None], 1)[:, 0]
+                        lq = jnp.take_along_axis(slq[i - 1], tok_i[:, None], 1)[:, 0]
+                        accs.append(log_u[:, i] < lp - lq)
+
+                # Emit the longest accepted prefix. An emitted EOS finishes
+                # the row without counting toward out_pos (the plain loop's
+                # semantics: the grammar's accept edge IS the EOS token).
+                alive = ~frozen
+                adv = jnp.zeros((b,), jnp.int32)
+                new_state = state
+                new_fin = finished
+                for i in range(spec_k):
+                    tok_i = block[:, i]
+                    emit = alive if i == 0 else (alive & accs[i - 1])
+                    is_eos = tok_i == eos
+                    ended = is_eos
+                    if table is not None:
+                        ended = ended | (sst[i] == dfa.accept)
+                    adv = adv + (emit & ~is_eos)
+                    new_state = jnp.where(emit, sst[i], new_state)
+                    new_fin = new_fin | (emit & ended)
+                    alive = emit & ~ended
+
+                # Next sampling distribution: the target's dist after the
+                # emitted prefix — P for greedy / full acceptance, the
+                # rejection residual norm(max(p - q, 0)) for a rejected
+                # position (that is the distribution speculative sampling
+                # must draw the correction from).
+                next_idx = jnp.maximum(adv - 1, 0)
+                p_raw = jnp.take_along_axis(
+                    all_logits, next_idx[:, None, None], axis=1
+                )[:, 0]
+                s_next = jnp.take_along_axis(
+                    jnp.moveaxis(sst, 0, 1), next_idx[:, None], axis=1
+                )[:, 0]
+                p_next = process(p_raw, s_next)
+                if greedy:
+                    new_logp = p_next
+                else:
+                    q_next = jnp.take_along_axis(
+                        jnp.moveaxis(slq, 0, 1), next_idx[:, None, None], axis=1
+                    )[:, 0]
+                    resid = jnp.maximum(jnp.exp(p_next) - jnp.exp(q_next), 0.0)
+                    total = resid.sum(axis=-1, keepdims=True)
+                    resid = jnp.where(total > 0, resid / jnp.maximum(total, 1e-30),
+                                      jnp.exp(p_next))
+                    rejected = (adv < spec_k)[:, None]
+                    new_logp = jnp.where(rejected, jnp.log(resid + 1e-30), p_next)
+                logp = jnp.where(frozen[:, None], logp, new_logp)
+
+                tokens = write_rows(tokens, block, out_pos)
+                out_pos = out_pos + adv
+                cache = dict(cache, index=index_before + adv)
+                dcache = dict(dcache2, index=dindex_before + adv)
+                return (step + 1, logp, cache, dcache, new_state, tokens,
+                        out_pos, new_fin, rng)
+
+            b = logp.shape[0]
+            tokens = jnp.full((b, out_width), eos, jnp.int32)
+            out_pos = jnp.zeros((b,), jnp.int32)
+            carry = (jnp.int32(0), logp, cache, dcache, state, tokens,
+                     out_pos, finished, rng)
+            (steps, logp, cache, dcache, state, tokens, out_pos,
+             finished, _) = jax.lax.while_loop(cond, body, carry)
+            complete = (state == dfa.accept) if dfa else finished
+            return (tokens, out_pos, complete, logp, cache, dcache, state,
+                    finished, steps)
+
+        return run_spec, process
+
     def _build_generate(
         self,
         batch: int,
@@ -670,6 +971,140 @@ class InferenceEngine:
             )
         return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_shardings)
 
+    def _build_generate_spec(
+        self,
+        batch: int,
+        prompt_len: int,
+        with_video: bool,
+        dfa: JsonDfa | None,
+        extra_rounds: int = 0,
+        with_session: bool = False,
+    ):
+        """The speculative twin of ``_build_generate``: both models prefill
+        (the draft sees the same prompt block and its own preprocessing of
+        the same frames), then the spec loop drafts/verifies. Kept separate
+        so the plain program — the default serving path — stays untouched
+        by the draft machinery."""
+        cfg = self.config
+        dcfg = self.draft_config
+        assert dcfg is not None and self.draft_model is not None
+        model, draft = self.model, self.draft_model
+        max_new = self.max_new_tokens
+        spec_k = self.spec_tokens
+
+        def cache_len_for(c: VLMConfig) -> int:
+            video_tokens = c.video_tokens if with_video else 0
+            # Same slack rationale as _build_generate, with the spec block
+            # width: the wide verify (target) / per-cycle feeds (draft) can
+            # overshoot a row's final index by up to a block.
+            length = _round_up(
+                video_tokens + prompt_len
+                + (1 + extra_rounds) * (max_new + spec_k)
+                + 1 + spec_k + 16,
+                128,
+            )
+            if length > c.decoder.max_seq_len:
+                raise ValueError(
+                    f"sequence {length} exceeds max_seq_len "
+                    f"{c.decoder.max_seq_len} ({c.name})"
+                )
+            return length
+
+        cache_len, draft_cache_len = cache_len_for(cfg), cache_len_for(dcfg)
+        data_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        kv_spec = self._kv_spec()
+        draft_kv_spec = self._kv_spec(dcfg)
+        run_spec, process = self._spec_decode_loop_fn(dfa)
+
+        def init_cache(c, b, length, spec):
+            cache = init_kv_cache(c.decoder, b, length, jnp.dtype(c.dtype))
+            constrain = NamedSharding(self.mesh, spec)
+            return {
+                "k": jax.lax.with_sharding_constraint(cache["k"], constrain),
+                "v": jax.lax.with_sharding_constraint(cache["v"], constrain),
+                "index": cache["index"],
+            }
+
+        def generate(params, draft_params, patches, draft_patches, prompt,
+                     lengths, active, init_state, rng):
+            b = prompt.shape[0]
+            cache = init_cache(cfg, b, cache_len, kv_spec)
+            dcache = init_cache(dcfg, b, draft_cache_len, draft_kv_spec)
+            if with_video:
+                logits, cache = model.apply(
+                    params, patches, prompt, cache, lengths,
+                    method=VideoLM.prefill,
+                )
+                _, dcache = draft.apply(
+                    draft_params, draft_patches, prompt, dcache, lengths,
+                    method=VideoLM.prefill,
+                )
+            else:
+                logits, cache = model.apply(
+                    params, prompt, cache, lengths, method=VideoLM.prefill_text
+                )
+                _, dcache = draft.apply(
+                    draft_params, prompt, dcache, lengths,
+                    method=VideoLM.prefill_text,
+                )
+            state = init_state
+            done = ~active
+            if dfa:
+                done = done | (state == dfa.accept)
+            logp = process(logits, state)
+            (tokens, out_pos, complete, logp, cache, dcache, state, done,
+             steps) = run_spec(
+                params, draft_params, logp, cache, dcache, state, done, rng
+            )
+            if with_session:
+                return (tokens, out_pos, complete, steps,
+                        logp, cache, dcache, state, done)
+            return tokens, out_pos, complete, steps
+
+        replicated = NamedSharding(self.mesh, P())
+        param_sh = param_shardings(self.mesh, self.params)
+        draft_sh = param_shardings(self.mesh, self.draft_params)
+        if with_video:
+            fn = generate
+            in_shardings = (
+                param_sh, draft_sh, data_sharding, data_sharding,
+                data_sharding, data_sharding, data_sharding, data_sharding,
+                replicated,
+            )
+        else:
+            def fn(params, draft_params, prompt, lengths, active, init_state, rng):  # type: ignore[misc]
+                return generate(
+                    params, draft_params, None, None, prompt, lengths,
+                    active, init_state, rng,
+                )
+
+            in_shardings = (
+                param_sh, draft_sh, data_sharding, data_sharding,
+                data_sharding, data_sharding, replicated,
+            )
+        if with_session:
+            out_shardings = (
+                data_sharding, data_sharding, data_sharding, replicated,
+                data_sharding,
+                {
+                    "k": NamedSharding(self.mesh, kv_spec),
+                    "v": NamedSharding(self.mesh, kv_spec),
+                    "index": data_sharding,
+                },
+                {
+                    "k": NamedSharding(self.mesh, draft_kv_spec),
+                    "v": NamedSharding(self.mesh, draft_kv_spec),
+                    "index": data_sharding,
+                },
+                data_sharding, data_sharding,
+            )
+        else:
+            out_shardings = (data_sharding, data_sharding, data_sharding, replicated)
+        jitted = jax.jit(fn, in_shardings=in_shardings, out_shardings=out_shardings)
+        # Draft params bind at call time (restore_draft swaps them without
+        # recompiling — shapes are part of the trace, values are not).
+        return lambda params, *rest: jitted(params, self.draft_params, *rest)
+
     def _get_generate(
         self,
         batch: int,
@@ -684,7 +1119,11 @@ class InferenceEngine:
             extra_rounds, with_session,
         )
         if key not in self._generate_cache:
-            self._generate_cache[key] = self._build_generate(
+            build = (
+                self._build_generate_spec if self.draft_model is not None
+                else self._build_generate
+            )
+            self._generate_cache[key] = build(
                 batch, prompt_len, with_video, dfa, extra_rounds, with_session
             )
         return self._generate_cache[key]
@@ -699,7 +1138,6 @@ class InferenceEngine:
         """
         key = ("resume", id(dfa) if dfa else 0)
         if key not in self._generate_cache:
-            run_decode = self._decode_loop_fn(dfa)
             data_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
             replicated = NamedSharding(self.mesh, P())
             cache_shardings = {
@@ -707,19 +1145,46 @@ class InferenceEngine:
                 "v": NamedSharding(self.mesh, self._kv_spec()),
                 "index": data_sharding,
             }
-            self._generate_cache[key] = jax.jit(
-                run_decode,
-                in_shardings=(
-                    param_shardings(self.mesh, self.params),
-                    data_sharding, cache_shardings, data_sharding,
-                    data_sharding, replicated,
-                ),
-                out_shardings=(
-                    data_sharding, data_sharding, data_sharding, data_sharding,
-                    cache_shardings, data_sharding, data_sharding, replicated,
-                ),
-                donate_argnums=(2,),
-            )
+            if self.draft_model is not None:
+                run_spec, _ = self._spec_decode_loop_fn(dfa)
+                draft_cache_shardings = {
+                    "k": NamedSharding(self.mesh, self._kv_spec(self.draft_config)),
+                    "v": NamedSharding(self.mesh, self._kv_spec(self.draft_config)),
+                    "index": data_sharding,
+                }
+                jitted = jax.jit(
+                    run_spec,
+                    in_shardings=(
+                        param_shardings(self.mesh, self.params),
+                        param_shardings(self.mesh, self.draft_params),
+                        data_sharding, cache_shardings, draft_cache_shardings,
+                        data_sharding, data_sharding, replicated,
+                    ),
+                    out_shardings=(
+                        data_sharding, data_sharding, data_sharding,
+                        data_sharding, cache_shardings, draft_cache_shardings,
+                        data_sharding, data_sharding, replicated,
+                    ),
+                    donate_argnums=(3, 4),
+                )
+                self._generate_cache[key] = (
+                    lambda params, *rest: jitted(params, self.draft_params, *rest)
+                )
+            else:
+                run_decode = self._decode_loop_fn(dfa)
+                self._generate_cache[key] = jax.jit(
+                    run_decode,
+                    in_shardings=(
+                        param_shardings(self.mesh, self.params),
+                        data_sharding, cache_shardings, data_sharding,
+                        data_sharding, replicated,
+                    ),
+                    out_shardings=(
+                        data_sharding, data_sharding, data_sharding, data_sharding,
+                        cache_shardings, data_sharding, data_sharding, replicated,
+                    ),
+                    donate_argnums=(2,),
+                )
         return self._generate_cache[key]
 
     # -- public API ----------------------------------------------------------
@@ -739,6 +1204,22 @@ class InferenceEngine:
         self.stats.preprocess_seconds += time.perf_counter() - start
         self.stats.frames_preprocessed += frames.shape[0] * frames.shape[1]
         return patches
+
+    def _draft_patches(self, frames: np.ndarray) -> jax.Array:
+        """The draft model's own view of the clip: temporally resampled to
+        its frame count, preprocessed at its encoder geometry (spatial
+        resize happens inside preprocess_frames). Cheap — the draft encoder
+        is tiny next to the target's."""
+        assert self.draft_config is not None
+        want = self.draft_config.encoder.num_frames
+        have = frames.shape[1]
+        if have != want:
+            idx = np.round(np.linspace(0, have - 1, want)).astype(int)
+            frames = frames[:, idx]
+        return preprocess_frames(
+            jnp.asarray(frames), self.draft_config.encoder,
+            jnp.dtype(self.draft_config.dtype),
+        )
 
     def _prompt_bucket(self, prompts: list[str], with_video: bool) -> int:
         """Smallest 128-multiple holding every prompt (+BOS) untruncated.
@@ -761,7 +1242,7 @@ class InferenceEngine:
         # fit max_seq_len. Reserve the worst-case block width (grammar on:
         # 1 + max_forced_run) so a full-length prompt never pushes the
         # cache past the ceiling for ANY dfa this engine serves.
-        bw_max = 1 + self.max_forced_run
+        bw_max = max(1 + self.max_forced_run, self.spec_tokens)
         fit = (self.config.decoder.max_seq_len // 128) * 128
         ceiling = fit - video_tokens - self.max_new_tokens - 2 * bw_max - 17
         ceiling = max((ceiling // 128) * 128, 128)
@@ -868,7 +1349,7 @@ class InferenceEngine:
             video_tokens = self.config.video_tokens if with_video else 0
             cache_len = _round_up(
                 video_tokens + total + self.max_new_tokens
-                + 2 * (self.max_forced_run + 1) + 17,
+                + 2 * max(self.max_forced_run + 1, self.spec_tokens) + 17,
                 128,
             )
             if cache_len > self.config.decoder.max_seq_len:
@@ -991,6 +1472,8 @@ class InferenceEngine:
         )
 
         args = (patches, jnp.asarray(tokens_in))
+        if self.draft_model is not None:
+            args = (patches, self._draft_patches(frames), jnp.asarray(tokens_in))
         return self._execute(
             fn, args, lengths, states, b_real, total, True, return_status,
             return_tokens, span="engine.generate", dfa=dfa,
@@ -1052,10 +1535,18 @@ class InferenceEngine:
         self._rng, key = jax.random.split(self._rng)
         start = time.perf_counter()
         with tracer.span("engine.continue_session", batch=session.b_real):
-            tokens, out_pos, complete, logits, cache, state, done, steps = fn(
-                self.params, session.logits, session.cache, session.state,
-                session.done, key,
-            )
+            if session.draft_cache is not None:
+                (tokens, out_pos, complete, logits, cache, draft_cache,
+                 state, done, steps) = fn(
+                    self.params, session.logits, session.cache,
+                    session.draft_cache, session.state, session.done, key,
+                )
+                session.draft_cache = draft_cache
+            else:
+                tokens, out_pos, complete, logits, cache, state, done, steps = fn(
+                    self.params, session.logits, session.cache, session.state,
+                    session.done, key,
+                )
             tokens = np.asarray(tokens)
         out_pos = np.asarray(out_pos)
         complete_np = np.asarray(complete)
@@ -1092,7 +1583,11 @@ class InferenceEngine:
                 self.params, *args, jnp.asarray(lengths), jnp.asarray(active),
                 jnp.asarray(states), key,
             )
-            if with_session:
+            draft_cache = None
+            if with_session and self.draft_model is not None:
+                (tokens, out_pos, complete, steps,
+                 logits, cache, draft_cache, state, done) = outs
+            elif with_session:
                 (tokens, out_pos, complete, steps,
                  logits, cache, state, done) = outs
             else:
@@ -1122,6 +1617,7 @@ class InferenceEngine:
                 session = EngineSession(
                     cache=cache, logits=logits, state=state, done=done,
                     b_real=b_real, dfa=dfa, rounds_left=session_rounds,
+                    draft_cache=draft_cache,
                 )
             out += (session,)
         return out if len(out) > 1 else texts

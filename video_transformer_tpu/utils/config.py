@@ -110,6 +110,15 @@ def _apply_engine_defaults(config: dict[str, Any]) -> None:
     engine.setdefault("decoding", "constrained")  # constrained / free
     engine.setdefault("checkpoint_dir", None)
 
+    # Speculative decoding: a small distilled draft (e.g. the tiny
+    # checkpoint) proposes token blocks that the serving model verifies in
+    # one wide forward. Off unless a draft model_preset is set.
+    draft = _as_dict(engine.get("draft"))
+    draft.setdefault("model_preset", None)  # e.g. "tiny"
+    draft.setdefault("checkpoint_dir", None)
+    draft.setdefault("spec_tokens", 6)
+    engine["draft"] = draft
+
     mesh = _as_dict(engine.get("mesh"))
     mesh.setdefault("data", -1)  # -1: use all remaining devices on this axis
     mesh.setdefault("model", 1)
