@@ -76,7 +76,7 @@ def build_engine():
 
     config = get_preset(PRESET)
     mesh = build_mesh({"data": len(jax.devices()), "model": 1})
-    return InferenceEngine(
+    engine = InferenceEngine(
         config,
         mesh=mesh,
         dfa=note_dfa(config.decoder.vocab_size, scale=0.5),
@@ -93,6 +93,28 @@ def build_engine():
             else {}
         ),
     )
+    # VTX_BENCH_SPEC=self|tiny: speculative decoding (engine.attach_draft).
+    # The bench runs random weights, so "self" (draft = target weights,
+    # acceptance ~1) is the mechanism ceiling and "tiny" (random tiny
+    # draft) the floor; the real distilled pair is tools/spec_eval.py.
+    spec = os.environ.get("VTX_BENCH_SPEC", "")
+    if spec:
+        spec_k = int(os.environ.get("VTX_BENCH_SPEC_K", "6"))
+        if spec == "self":
+            engine.attach_draft(config, spec_tokens=spec_k)
+            engine.draft_params = engine.params
+        else:
+            from dataclasses import replace
+
+            tiny = get_preset("tiny")
+            tiny = replace(
+                tiny,
+                decoder=replace(
+                    tiny.decoder, vocab_size=config.decoder.vocab_size
+                ),
+            )
+            engine.attach_draft(tiny, spec_tokens=spec_k)
+    return engine
 
 
 def make_analyzer(engine, temp_dir: Path):
