@@ -148,4 +148,14 @@ stage eval_tiny_r3 3600 bash -c "python -m video_transformer_tpu.train.eval_grou
   --all-checkpoints \
   --tokenizer data/tokenizers/bpe-zh-2048.json \
   --topics 16 --composites 8 --batch 8 || true"
+# Re-measure speculative acceptance with the fresh 48-topic tiny draft:
+# the shipped tiny predates the topic-bank extension, so its proposals on
+# appended-topic content may under-accept against base-r3.
+if [ -d "$CKPT_DIR" ] && [ -d data/checkpoints/tiny-zh-grounded-r3b ]; then
+  stage spec_eval_r3b_draft 4800 env VTX_SPEC_K=6 VTX_SPEC_BATCH=8 \
+    VTX_SPEC_CLIPS=16 python tools/spec_eval.py \
+    --target "$CKPT_DIR" \
+    --draft data/checkpoints/tiny-zh-grounded-r3b \
+    --tokenizer data/tokenizers/bpe-zh-2048.json
+fi
 log "queue complete"
