@@ -249,6 +249,32 @@ class TestSessions:
         assert combined == want[0]
 
 
+class TestShardedSpec:
+    def test_greedy_parity_on_tp_mesh(self):
+        """Speculative decoding under tensor parallelism: draft params
+        shard by the same partition rules (the tiny draft's 1 kv head
+        falls back to data-only KV sharding) and greedy output still
+        matches the plain engine on the same mesh."""
+        dfa = note_dfa()
+
+        def build(draft):
+            engine = InferenceEngine(
+                TARGET,
+                mesh=build_mesh({"data": 4, "model": 2}),
+                dfa=dfa,
+                max_new_tokens=96,
+                temperature=0.0,
+                seed=0,
+            )
+            if draft:
+                engine.attach_draft(DRAFT, spec_tokens=4)
+            return engine
+
+        want = build(False).generate_text(["总结要点", "第二段"])
+        got = build(True).generate_text(["总结要点", "第二段"])
+        assert got == want
+
+
 class TestValidation:
     def test_vocab_mismatch_rejected(self):
         engine = make_engine(None)
