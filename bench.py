@@ -101,8 +101,9 @@ def build_engine():
     if spec:
         spec_k = int(os.environ.get("VTX_BENCH_SPEC_K", "6"))
         if spec == "self":
-            engine.attach_draft(config, spec_tokens=spec_k)
-            engine.draft_params = engine.params
+            engine.attach_draft(
+                config, spec_tokens=spec_k, share_target_params=True
+            )
         else:
             from dataclasses import replace
 

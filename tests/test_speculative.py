@@ -288,3 +288,29 @@ class TestValidation:
         engine = make_engine(None)
         with pytest.raises(ValueError, match="spec_tokens"):
             engine.attach_draft(DRAFT, spec_tokens=1)
+
+    def test_session_does_not_survive_attach_detach(self):
+        """A live session's resume carry matches the engine's CURRENT
+        draft state; attach_draft/detach_draft invalidate it loudly
+        instead of feeding it to the wrong compiled program."""
+        dfa = note_dfa()
+        engine = make_engine(None, dfa=dfa, max_new=16)
+        *_, session = engine.generate_text(
+            ["go"], session_rounds=2, return_session=True
+        )
+        engine.attach_draft(DRAFT, spec_tokens=4)
+        with pytest.raises(ValueError, match="attach_draft"):
+            engine.continue_session(session)
+
+        spec_engine = make_engine(DRAFT, dfa=dfa, max_new=16)
+        *_, spec_session = spec_engine.generate_text(
+            ["go"], session_rounds=2, return_session=True
+        )
+        spec_engine.detach_draft()
+        with pytest.raises(ValueError, match="detach_draft"):
+            spec_engine.continue_session(spec_session)
+
+    def test_share_target_params_requires_same_geometry(self):
+        engine = make_engine(None)
+        with pytest.raises(ValueError, match="geometry"):
+            engine.attach_draft(DRAFT, share_target_params=True)

@@ -186,53 +186,45 @@ class TestTPUEndToEnd:
             atol=5e-2, rtol=5e-2,
         )
 
-    def test_speculative_greedy_parity_on_chip(self):
+    def test_speculative_decode_runs_on_chip(self):
         """The speculative decode program compiles and runs on hardware:
-        a tiny-preset draft (random weights — acceptance is not the point
-        here) drafting for the tiny target must emit exactly the plain
-        engine's greedy tokens. The perf numbers come from
-        tools/spec_eval.py on real checkpoints."""
-        from dataclasses import replace
-
+        self-drafting (draft == target weights, ~full acceptance) must
+        emit schema-valid JSON in far fewer loop cycles than tokens.
+        Bit-exact parity with the plain engine is pinned on CPU only
+        (tests/test_speculative.py): TPU f32 matmuls multiply in bf16, so
+        two differently-compiled programs may break argmax ties
+        differently over a long generation. Real-pair perf numbers come
+        from tools/spec_eval.py."""
         from video_transformer_tpu.analyzer.schema import note_dfa
         from video_transformer_tpu.models.config import get_preset
         from video_transformer_tpu.parallel.engine import InferenceEngine
         from video_transformer_tpu.parallel.mesh import build_mesh
 
-        def build(with_draft: bool) -> InferenceEngine:
-            engine = InferenceEngine(
-                get_preset("tiny"),
-                mesh=build_mesh({"model": 1}),
-                dfa=note_dfa(512, scale=0.25),
-                max_new_tokens=1400,
-                temperature=0.0,
-                structure_bias=2.5,
-            )
-            if with_draft:
-                draft = get_preset("tiny")
-                draft = replace(draft, name="tiny-draft")
-                engine.attach_draft(draft, spec_tokens=6)
-            return engine
-
+        engine = InferenceEngine(
+            get_preset("tiny"),
+            mesh=build_mesh({"model": 1}),
+            dfa=note_dfa(512, scale=0.25),
+            max_new_tokens=1400,
+            temperature=0.0,
+            structure_bias=2.5,
+        )
+        engine.attach_draft(
+            get_preset("tiny"), spec_tokens=6, share_target_params=True
+        )
         frames = np.random.default_rng(3).integers(
             0, 255, (2, 4, 64, 64, 3), dtype=np.uint8
         )
-        _, want_ok, want_ids = build(False).generate(
-            frames, ["analyze", "clip"], prompt_len=32,
-            return_status=True, return_tokens=True,
+        texts, status = engine.generate(
+            frames, ["analyze", "clip"], prompt_len=32, return_status=True
         )
-        spec = build(True)
-        _, got_ok, got_ids = spec.generate(
-            frames, ["analyze", "clip"], prompt_len=32,
-            return_status=True, return_tokens=True,
-        )
-        for ok, w_ok, got, want in zip(got_ok, want_ok, got_ids, want_ids):
-            if w_ok:  # completed rows must match exactly
-                assert ok and got == want
-            else:  # capped rows: prefixes of the same greedy stream
-                n = min(len(got), len(want))
-                assert got[:n] == want[:n]
-        assert spec.stats.decode_steps > 0
+        assert engine.stats.decode_steps > 0
+        # Self-draft acceptance compresses the loop: far fewer verify
+        # cycles than emitted tokens.
+        assert engine.stats.tokens_generated > 2 * engine.stats.decode_steps
+        for text, ok in zip(texts, status):
+            if ok:
+                parsed = json.loads(text)
+                assert {"title", "deep_dive", "glossary"} <= parsed.keys()
 
     def test_152k_grammar_at_7b_geometry(self, tmp_path):
         """The full real-vocab serving chain on hardware (ROADMAP item):

@@ -83,8 +83,9 @@ def build_engine(max_forced_run: int, use_dfa: bool, spec: str | None = None):
         quantize=QUANT,
     )
     if spec == "self":
-        engine.attach_draft(config, spec_tokens=SPEC_K)
-        engine.draft_params = engine.params  # full acceptance: the ceiling
+        # Full acceptance ceiling: the draft serves the target's own
+        # placed tree (no init, no second HBM copy).
+        engine.attach_draft(config, spec_tokens=SPEC_K, share_target_params=True)
     elif spec == "tiny":
         from dataclasses import replace
 
@@ -96,6 +97,10 @@ def build_engine(max_forced_run: int, use_dfa: bool, spec: str | None = None):
             ),
         )
         engine.attach_draft(tiny, spec_tokens=SPEC_K)
+    elif spec is not None:
+        raise SystemExit(
+            f"unknown spec variant suffix {spec!r} (use specself/spectiny)"
+        )
     return engine
 
 

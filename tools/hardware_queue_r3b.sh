@@ -106,7 +106,7 @@ stage bench_on 6000 env VTX_BENCH_CONTINUOUS=1 python bench.py
 stage grammar_152k 4800 env VTX_TEST_PLATFORM=axon \
   python -m pytest "tests/test_tpu_integration.py::TestTPUEndToEnd::test_152k_grammar_at_7b_geometry" -q
 stage spec_onchip 2400 env VTX_TEST_PLATFORM=axon \
-  python -m pytest "tests/test_tpu_integration.py::TestTPUEndToEnd::test_speculative_greedy_parity_on_chip" -q
+  python -m pytest "tests/test_tpu_integration.py::TestTPUEndToEnd::test_speculative_decode_runs_on_chip" -q
 # Multi-wave sweep (40 segments > segment_batch 32): the regime the
 # batcher exists for — OFF pays the straggler tail per wave, ON refills
 # across the boundary. Decides whether "auto" keeps its threshold.

@@ -102,12 +102,14 @@ def main(argv=None) -> int:
         engine.generate(frames[:batch], prompts[:batch], batch_bucket=batch)
         engine.stats.__init__()
         start = time.perf_counter()
-        texts = []
+        texts, status = [], []
         for i in range(0, n_clips, batch):
-            texts += engine.generate(
+            t, s = engine.generate(
                 frames[i : i + batch], prompts[i : i + batch],
-                batch_bucket=batch,
+                batch_bucket=batch, return_status=True,
             )
+            texts += t
+            status += s
         wall = time.perf_counter() - start
         stats = engine.stats
         row = {
@@ -123,27 +125,34 @@ def main(argv=None) -> int:
             ),
         }
         print(json.dumps(row), flush=True)
-        return {**row, "texts": texts}
+        return {**row, "texts": texts, "status": status}
 
     off = measure(build(False), "plain")
     on = measure(build(True), f"spec_k{spec_k}")
 
-    parity = sum(a == b for a, b in zip(off["texts"], on["texts"]))
+    # Greedy parity is the correctness bar: rows BOTH engines complete must
+    # be byte-equal (token-capped rows may truncate at different points —
+    # see tests/test_speculative.py); a mismatch fails the run.
+    completed = [
+        i for i in range(n_clips) if off["status"][i] and on["status"][i]
+    ]
+    matched = [i for i in completed if off["texts"][i] == on["texts"][i]]
     summary = {
         "spec_k": spec_k,
         "batch": batch,
         "clips": n_clips,
         "quant": quant,
-        "parity": f"{parity}/{n_clips}",
+        "parity": f"{len(matched)}/{len(completed)} completed rows equal",
         "acceptance_tok_per_cycle_row": on["tok_per_step_row"],
         "speedup": round(off["wall_s"] / on["wall_s"], 2) if on["wall_s"] else 0.0,
         "plain_tok_per_s": off["tok_per_s"],
         "spec_tok_per_s": on["tok_per_s"],
     }
     print(json.dumps(summary))
-    # Greedy parity is the correctness bar: completed rows must be equal
-    # (token-capped rows may truncate at different points — see
-    # tests/test_speculative.py).
+    if len(matched) != len(completed):
+        print("PARITY FAILURE: speculative output diverged from the plain "
+              "engine on completed rows", flush=True)
+        return 1
     return 0
 
 

@@ -209,11 +209,12 @@ class ContentAnalyzer:
                         f"preset={draft_cfg['model_preset']} "
                         f"spec_tokens={self._engine.spec_tokens}"
                     )
-                except (FileNotFoundError, ValueError) as exc:
-                    # A broken draft must never take serving down — fall
-                    # back to the plain loop.
-                    self._engine.draft_model = None
-                    self._engine.spec_tokens = 0
+                except Exception as exc:
+                    # A broken draft must never take serving down (corrupt
+                    # orbax metadata raises beyond FileNotFoundError/
+                    # ValueError) — drop every trace of it and serve the
+                    # plain loop.
+                    self._engine.detach_draft()
                     self.logger.warning(
                         f"event=engine_draft_failed error={exc}"
                     )

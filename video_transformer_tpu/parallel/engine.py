@@ -203,6 +203,7 @@ class InferenceEngine:
         params: Any = None,
         checkpoint: str | None = None,
         spec_tokens: int = 6,
+        share_target_params: bool = False,
     ) -> None:
         """Enable speculative decoding with a small draft model.
 
@@ -217,9 +218,16 @@ class InferenceEngine:
 
         The draft must share the target's tokenizer/vocab (e.g. the tiny
         preset distilled on the same corpus drafting for base). Pass
-        ``params`` (an f32 tree) or ``checkpoint`` (orbax params_N dir);
-        omitted = random init, which still decodes correctly — every
-        mispredicted token is rejected and replaced by the target's own.
+        ``params`` (an f32 tree), ``checkpoint`` (orbax params_N dir), or
+        ``share_target_params=True`` (self-draft: the draft serves the
+        TARGET's already-placed tree — no init, no extra HBM copy; the
+        acceptance-ceiling configuration benches use); omitted = random
+        init, which still decodes correctly — every mispredicted token is
+        rejected and replaced by the target's own.
+
+        Live EngineSessions created before the attach become unusable
+        (their resume carry has no draft cache) — continue_session raises
+        rather than resuming them against the wrong compiled program.
         """
         if config.decoder.vocab_size != self.config.decoder.vocab_size:
             raise ValueError(
@@ -231,6 +239,20 @@ class InferenceEngine:
         self.draft_config = config
         self.draft_model = VideoLM(config)
         self.spec_tokens = int(spec_tokens)
+        if share_target_params:
+            if params is not None or checkpoint is not None:
+                raise ValueError(
+                    "share_target_params excludes params/checkpoint"
+                )
+            if (config.decoder != self.config.decoder
+                    or config.encoder != self.config.encoder):
+                raise ValueError(
+                    "share_target_params needs the target's exact geometry"
+                )
+            self._draft_f32_struct = self._f32_struct
+            self.draft_params = self.params
+            self._generate_cache.clear()
+            return
         if params is None:
             params = self.draft_model.init_variables(jax.random.PRNGKey(1))
         self._draft_f32_struct = jax.tree_util.tree_map(
@@ -241,6 +263,16 @@ class InferenceEngine:
         if checkpoint is not None:
             self.restore_draft(checkpoint)
 
+    def detach_draft(self) -> None:
+        """Return to the plain decode loop (drops the draft tree and every
+        compiled speculative program). Live sessions from the speculative
+        era become unusable, mirroring attach_draft."""
+        self.draft_model = None
+        self.draft_params = None
+        self.draft_config = None
+        self.spec_tokens = 0
+        self._generate_cache.clear()
+
     def _place_draft(self, params: Any) -> Any:
         """Serve the draft bf16/f32 (no quantization — it is small enough
         that the unpack would cost more than the stream it saves)."""
@@ -249,26 +281,25 @@ class InferenceEngine:
 
     def restore_draft(self, checkpoint_path: str) -> None:
         """Restore draft parameters from an orbax checkpoint (params_N dir
-        or a parent of them — same resolution as ``restore``)."""
-        from pathlib import Path
-
+        or a parent of them — orbax resolution shared with ``restore``;
+        HF safetensors directories are NOT accepted here, the draft has no
+        HF counterpart)."""
         import orbax.checkpoint as ocp
+
+        from pathlib import Path
 
         if self.draft_model is None:
             raise ValueError("attach_draft before restore_draft")
-        path = Path(checkpoint_path)
-        if path.is_dir() and not path.name.startswith("params_"):
-            candidates = sorted(
-                (
-                    p for p in path.iterdir()
-                    if p.name.startswith("params_")
-                    and p.name.split("_")[-1].isdigit()
-                ),
-                key=lambda p: int(p.name.split("_")[-1]),
+        given = Path(checkpoint_path)
+        if given.is_dir() and (
+            any(given.glob("*.safetensors"))
+            or (given / "model.safetensors.index.json").exists()
+        ):
+            raise ValueError(
+                f"{given} looks like an HF safetensors checkpoint; the draft "
+                "loads orbax params_N checkpoints only"
             )
-            if not candidates:
-                raise FileNotFoundError(f"no params_N checkpoints under {path}")
-            path = candidates[-1]
+        path = self._resolve_params_dir(given)
         shardings = param_shardings(self.mesh, self._draft_f32_struct)
         template = jax.tree_util.tree_map(
             lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
@@ -413,6 +444,32 @@ class InferenceEngine:
             self._wrapped_grammars[key] = TokenGrammar(byte_dfa, self.tokenizer)
         return self._wrapped_grammars[key]
 
+    @staticmethod
+    def _resolve_params_dir(checkpoint_path):
+        """A concrete ``params_N`` dir from either itself or a parent of
+        several (highest step wins; orbax in-progress tmp dirs from a
+        killed save are skipped)."""
+        from pathlib import Path
+
+        path = Path(checkpoint_path)
+        if not path.is_dir() or path.name.startswith("params_"):
+            return path
+
+        def step_of(p: Path) -> int | None:
+            suffix = p.name.split("_")[-1]
+            return int(suffix) if suffix.isdigit() else None
+
+        candidates = sorted(
+            (
+                p for p in path.iterdir()
+                if p.name.startswith("params_") and step_of(p) is not None
+            ),
+            key=step_of,
+        )
+        if not candidates:
+            raise FileNotFoundError(f"no params_N checkpoints under {path}")
+        return candidates[-1]
+
     def restore(self, checkpoint_path: str) -> None:
         """Restore trained parameters from an orbax or HF checkpoint.
 
@@ -434,23 +491,7 @@ class InferenceEngine:
         ):
             self._restore_hf(path)
             return
-        if path.is_dir() and not path.name.startswith("params_"):
-            def step_of(p: Path) -> int | None:
-                # Skip orbax in-progress dirs (params_N.orbax-checkpoint-tmp
-                # left by a killed save) and anything non-numeric.
-                suffix = p.name.split("_")[-1]
-                return int(suffix) if suffix.isdigit() else None
-
-            candidates = sorted(
-                (
-                    p for p in path.iterdir()
-                    if p.name.startswith("params_") and step_of(p) is not None
-                ),
-                key=step_of,
-            )
-            if not candidates:
-                raise FileNotFoundError(f"no params_N checkpoints under {path}")
-            path = candidates[-1]
+        path = self._resolve_params_dir(path)
         # Checkpoints are written f32 by the trainer; restore against the
         # engine's pre-transform f32 structure, then re-apply the serving
         # transform (dtype cast / int8 quantization / shardings).
@@ -1531,6 +1572,15 @@ class InferenceEngine:
         """
         if session.rounds_left <= 0:
             raise ValueError("session cache exhausted; no continuation rounds left")
+        if (session.draft_cache is None) != (self.draft_model is None):
+            # The resume program's signature follows the ENGINE's current
+            # draft state; a session from the other era would be fed to the
+            # wrong compiled program (attach_draft/detach_draft document
+            # that live sessions do not survive the switch).
+            raise ValueError(
+                "session predates an attach_draft/detach_draft switch; "
+                "restart its generation"
+            )
         fn = self._get_resume(session.dfa)
         self._rng, key = jax.random.split(self._rng)
         start = time.perf_counter()

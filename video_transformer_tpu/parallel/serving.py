@@ -132,6 +132,16 @@ class ContinuousBatcher:
     def __post_init__(self):
         engine = self.engine
         cfg = engine.config
+        if getattr(engine, "draft_model", None) is not None:
+            # The batcher builds its own chunked decode loop; an attached
+            # speculative draft does not ride along (roadmap). Warn so an
+            # operator never believes speculation is on in this path.
+            import logging
+
+            logging.getLogger("video_transformer").warning(
+                "event=batcher_ignores_draft speculative decoding is not "
+                "wired into ContinuousBatcher; serving the plain loop"
+            )
         self.max_new = self.max_new_tokens or engine.max_new_tokens
         self.dfa = engine.dfa
         self.table = engine._table_for(self.dfa)
