@@ -249,6 +249,20 @@ class TestSessions:
         assert combined == want[0]
 
 
+class TestQuantizedSpec:
+    def test_greedy_parity_with_int8_target(self):
+        """tonight's on-chip spec stages serve int8 targets: the wide
+        verify forward must run the QDense path and still match the plain
+        int8 engine token-for-token (the draft itself stays bf16/f32)."""
+        dfa = note_dfa()
+        plain = make_engine(None, dfa=dfa, max_new=96, quantize="int8")
+        spec = make_engine(DRAFT, dfa=dfa, max_new=96, quantize="int8")
+        want, want_ok = plain.generate_text(["量化测试"], return_status=True)
+        got, got_ok = spec.generate_text(["量化测试"], return_status=True)
+        assert want_ok[0], "raise max_new: parity bar needs completion"
+        assert got_ok == want_ok and got == want
+
+
 class TestShardedSpec:
     def test_greedy_parity_on_tp_mesh(self):
         """Speculative decoding under tensor parallelism: draft params
