@@ -133,6 +133,13 @@ if [ -d "$CKPT_DIR" ]; then
 fi
 stage batcher_profile 4800 python tools/batcher_profile.py
 
+# Conditional plan B: composite-focused finetune from the best base-r3
+# checkpoint, ONLY if the eval above left two-signature composites < 6/8.
+if [ -e "$OUT/eval_base_r3.done" ]; then
+  stage composite_rescue 7200 bash tools/composite_rescue.sh \
+    "$OUT/eval_base_r3.log"
+fi
+
 # Spare-time stages: resume the tiny-r3 retrain (killed at step 800 when a
 # prior container died — scores 0/16 undertrained) on the chip, then score
 # it. checkpoint-every 300 keeps partial progress if the timeout hits.
