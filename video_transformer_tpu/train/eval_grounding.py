@@ -48,12 +48,18 @@ def run_eval(
     temperature_prompt_seconds: int = 120,
     composite_pairs: list[tuple[int, int]] | None = None,
     warmup: bool = False,
+    shifts: list[str] | None = None,
 ) -> dict:
     """Score grounding hits for ``topic_ids`` through ``engine``.
 
     ``composite_pairs`` additionally scores two-signature clips
     (render_composite_clip): a pair hits only when the note names BOTH
     topics — the compositional bar single-signature shortcuts cannot pass.
+
+    ``shifts`` names held-out style shifts (train/shifts.py): each one
+    re-scores every topic on a transformed clip, measuring grounding
+    OUTSIDE the training render distribution — "reads the signature"
+    vs "memorized the renderer".
     """
     from ..analyzer.prompts import render_prompt
     from ..contracts.timefmt import format_seconds
@@ -132,6 +138,40 @@ def run_eval(
                 composite_results[label] = "neither"
             composite_hits += hit
 
+    shift_results: dict[str, dict] = {}
+    if shifts:
+        from .shifts import apply_shift
+
+        for shift in shifts:
+            # Fresh rng per shift: every shift scores the same clip
+            # distribution, so per-shift hit rates are comparable.
+            shift_rng = np.random.default_rng(seed)
+            s_hits = 0
+            s_topics: dict[str, bool] = {}
+            for i in range(0, len(topic_ids), batch):
+                ids = topic_ids[i : i + batch]
+                frames = np.stack(
+                    [
+                        apply_shift(
+                            shift,
+                            render_topic_clip(t, t_frames, size, shift_rng),
+                            shift_rng,
+                        )
+                        for t in ids
+                    ]
+                )
+                texts = engine.generate(frames, [prompt] * len(ids))
+                for t, text in zip(ids, texts):
+                    blob = _note_blob(text)
+                    hit = blob is not None and TOPIC_BANK[t].name in blob
+                    s_topics[TOPIC_BANK[t].name] = bool(hit)
+                    s_hits += hit
+            shift_results[shift] = {
+                "hits": s_hits,
+                "total": len(topic_ids),
+                "per_topic": s_topics,
+            }
+
     elapsed = time.perf_counter() - start
     report = {
         "hits": hits,
@@ -144,6 +184,10 @@ def run_eval(
         report["composite_hits"] = composite_hits
         report["composite_total"] = len(composite_pairs)
         report["per_composite"] = composite_results
+    if shift_results:
+        report["per_shift"] = shift_results
+        report["ood_hits"] = sum(r["hits"] for r in shift_results.values())
+        report["ood_total"] = sum(r["total"] for r in shift_results.values())
     return report
 
 
@@ -157,6 +201,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--composites", type=int, default=0,
                         help="number of two-signature clips to score "
                              "(hit = note names BOTH topics)")
+    parser.add_argument(
+        "--shifts",
+        help="comma list of held-out style shifts (train/shifts.py) or "
+             "'all': re-score every topic on out-of-distribution clips",
+    )
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--temperature", type=float, default=0.7)
@@ -200,6 +249,18 @@ def main(argv: list[str] | None = None) -> int:
     n = min(args.topics, len(TOPIC_BANK))
     stride = max(len(TOPIC_BANK) // n, 1)
     topic_ids = [(i * stride) % len(TOPIC_BANK) for i in range(n)]
+    shifts = None
+    if args.shifts:
+        from .shifts import SHIFT_BANK
+
+        shifts = (
+            sorted(SHIFT_BANK)
+            if args.shifts == "all"
+            else [s.strip() for s in args.shifts.split(",") if s.strip()]
+        )
+        unknown = [s for s in shifts if s not in SHIFT_BANK]
+        if unknown:
+            raise SystemExit(f"unknown shifts {unknown}; have {sorted(SHIFT_BANK)}")
     pairs = None
     if args.composites:
         pair_rng = np.random.default_rng(17)
@@ -233,7 +294,7 @@ def main(argv: list[str] | None = None) -> int:
         engine.restore(str(ckpt))
         report = run_eval(
             engine, topic_ids, args.batch, composite_pairs=pairs,
-            warmup=(idx == 0),
+            warmup=(idx == 0), shifts=shifts,
         )
         report["checkpoint"] = str(ckpt)
         print(json.dumps(report, ensure_ascii=False), flush=True)
