@@ -84,6 +84,16 @@ if [ -d "$CKPT_DIR" ]; then
     --topics 16 --composites 8 --batch 8 || true"
 fi
 
+# Out-of-distribution grounding: the final base-r3 checkpoint scored on
+# held-out style shifts (train/shifts.py) — renderer-memorization vs
+# signature-reading. Final checkpoint only (shifts multiply eval cost x7).
+if [ -d "$CKPT_DIR" ]; then
+  stage eval_base_r3_ood 7200 bash -c "python -m video_transformer_tpu.train.eval_grounding \
+    --preset base --checkpoint '$CKPT_DIR' \
+    --tokenizer data/tokenizers/bpe-zh-2048.json \
+    --topics 16 --shifts all --batch 8 || true"
+fi
+
 # Speculative decoding on the REAL pair: base-r3 target, shipped tiny
 # draft (same BPE vocab). Reports greedy parity, acceptance/cycle, OFF/ON
 # tok/s — the serving-default decision data for engine.draft.
