@@ -395,6 +395,69 @@ class TestJsonRepair:
             repair_json("no json here at all")
 
 
+class StubRepairEngine:
+    """Text-only stub for the model-assisted repair rung."""
+
+    def __init__(self, reply):
+        self.reply = reply
+        self.prompts = []
+
+    def generate_text(self, prompts, **kwargs):
+        self.prompts.append(prompts[0])
+        return [self.reply]
+
+
+class TestModelAssistedRepair:
+    """Reference parity: one LLM repair per video, then a raw payload dump
+    (content_analyzer.py:1607-1646)."""
+
+    def _analyzer(self, tmp_path, engine, budget=10):
+        config = {
+            "system": {
+                "temp_dir": str(tmp_path / "temp"),
+                "log_dir": str(tmp_path / "logs"),
+            },
+            "analyzer": {},
+        }
+        return ContentAnalyzer(config, APICounter(budget), engine=engine)
+
+    def test_model_repair_rescues_ladder_failure(self, tmp_path):
+        engine = StubRepairEngine('{"title": "修复后的笔记"}')
+        analyzer = self._analyzer(tmp_path, engine)
+        parsed = analyzer._parse_json("乱码 not json at all <<<>>>")
+        assert parsed == {"title": "修复后的笔记"}
+        assert len(engine.prompts) == 1
+        assert "乱码 not json at all" in engine.prompts[0]
+
+    def test_one_model_repair_per_video_then_dump(self, tmp_path):
+        engine = StubRepairEngine('{"ok": true}')
+        analyzer = self._analyzer(tmp_path, engine)
+        assert analyzer._parse_json("broken one <<<")["ok"] is True
+        # Allowance spent: the second failure dumps + raises, engine untouched.
+        with pytest.raises(RepairError, match="dumped"):
+            analyzer._parse_json("broken two <<<")
+        assert len(engine.prompts) == 1
+        dumps = list((tmp_path / "logs").glob("failed_json_*.txt"))
+        assert len(dumps) == 1
+        assert dumps[0].read_text(encoding="utf-8") == "broken two <<<"
+
+    def test_model_repair_failure_dumps_payload(self, tmp_path):
+        engine = StubRepairEngine("still not json <<<")
+        analyzer = self._analyzer(tmp_path, engine)
+        with pytest.raises(RepairError, match="dumped"):
+            analyzer._parse_json("hopeless payload <<<")
+        dumps = list((tmp_path / "logs").glob("failed_json_*.txt"))
+        assert len(dumps) == 1
+        assert dumps[0].read_text(encoding="utf-8") == "hopeless payload <<<"
+
+    def test_model_repair_respects_budget(self, tmp_path):
+        engine = StubRepairEngine('{"ok": true}')
+        analyzer = self._analyzer(tmp_path, engine, budget=0)
+        with pytest.raises(RepairError):
+            analyzer._parse_json("broken <<<")
+        assert engine.prompts == []  # no budget -> no model call
+
+
 class TestSchemas:
     def test_note_dfa_size_reasonable(self):
         dfa = note_dfa(512)  # unicode grammar: ~3 extra states per free byte

@@ -95,6 +95,7 @@ def make_config(tmp_path, segment_seconds=10, hard_max=50, consolidate=False):
     return {
         "system": {
             "temp_dir": str(tmp_path / "temp"),
+            "log_dir": str(tmp_path / "logs"),
             "quality_gates": {"enabled": consolidate, "max_extra_llm_calls": 1},
             "render": {"include_concept_index": True},
         },
@@ -123,10 +124,11 @@ def write_clip(path, seconds=30, fps=4.0, writer=write_npzv, size=16):
 class TestSegmentFailureIsolation:
     def test_one_bad_segment_becomes_gap_note(self, tmp_path):
         clip = write_clip(tmp_path / "v.npzv", seconds=30)
-        # Initial pass: one malformed response; the two re-asks also fail.
+        # Initial pass: one malformed response; the per-video model repair
+        # (which consumes one engine call) and the two re-asks also fail.
         engine = ScriptedEngine(
             [note_json("A", "一", 1, 5), "THIS IS NOT JSON AT ALL ((", note_json("C", "三", 21, 29)]
-            + ["still bad ((", "still bad (("]
+            + ["repair bad ((", "still bad ((", "still bad (("]
         )
         analyzer = ContentAnalyzer(
             make_config(tmp_path), APICounter(50), logging.getLogger("t"),
@@ -145,7 +147,8 @@ class TestSegmentFailureIsolation:
 
     def test_all_segments_failing_raises(self, tmp_path):
         clip = write_clip(tmp_path / "v2.npzv", seconds=30)
-        engine = ScriptedEngine(["bad"] * 9)  # 3 segments x (1 + 2 re-asks)
+        # 3 segments x (1 + 2 re-asks) + 1 model-repair attempt
+        engine = ScriptedEngine(["bad"] * 10)
         analyzer = ContentAnalyzer(
             make_config(tmp_path), APICounter(50), logging.getLogger("t"),
             engine=engine,
@@ -158,6 +161,7 @@ class TestSegmentFailureIsolation:
         clip = write_clip(tmp_path / "vr.npzv", seconds=30)
         engine = ScriptedEngine(
             [note_json("A", "一", 1, 5), "flaky garbage ((", note_json("C", "三", 21, 29)]
+            + ["repair bad (("]  # the one model-repair attempt also fails
             + [note_json("B", "二", 11, 15)]  # re-ask succeeds
         )
         analyzer = ContentAnalyzer(
@@ -167,7 +171,7 @@ class TestSegmentFailureIsolation:
         result = analyzer.analyze_video(clip)
         assert result.metadata["segments_analyzed"] == 3
         assert result.metadata["segment_gaps"] == []
-        assert engine.calls == 4  # 3 + 1 re-ask
+        assert engine.calls == 5  # 3 + 1 model repair + 1 re-ask
 
     def test_engine_crash_propagates(self, tmp_path):
         clip = write_clip(tmp_path / "v3.npzv", seconds=5)

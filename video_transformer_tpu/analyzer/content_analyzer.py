@@ -38,7 +38,7 @@ from ..video.segmenter import (
     save_manifest,
     update_segment_status,
 )
-from .json_repair import RepairError, repair_json
+from .json_repair import RepairError, dump_failed_json, repair_json
 from .prompts import render_prompt
 from .schema import note_dfa, schema_dfa
 from .segmentation import (
@@ -88,6 +88,10 @@ class ContentAnalyzer:
         )
         self._engine = engine
         self._extra_llm_calls_used = 0
+        # One model-assisted JSON repair per video (reference
+        # content_analyzer.py:1607-1633: a single LLM repair attempt before
+        # the failed-payload dump). analyze_video resets the allowance.
+        self._model_repairs_left = 1
 
         # Pacing + transient-failure retry around engine calls. Local TPU
         # inference defaults to no pacing (min_call_interval 0); the knobs
@@ -226,6 +230,7 @@ class ContentAnalyzer:
         """Analyze one video into a validated AnalysisResult."""
         video_path = Path(video_path)
         start_time = time.perf_counter()
+        self._model_repairs_left = 1  # per-video LLM-repair allowance
         duration = probe_duration(video_path)
         plan = plan_segments_with_budget(
             duration, self.config, self.api_counter.current_count
@@ -934,11 +939,46 @@ class ContentAnalyzer:
         try:
             parsed = json.loads(text)
         except json.JSONDecodeError:
-            parsed, strategy = repair_json(text)
-            self.logger.warning(f"event=json_repaired strategy={strategy}")
+            try:
+                parsed, strategy = repair_json(text)
+                self.logger.warning(f"event=json_repaired strategy={strategy}")
+            except RepairError:
+                parsed = self._model_repair(text)
         if not isinstance(parsed, dict):
             raise ValueError("Engine output is not a JSON object")
         return parsed
+
+    def _model_repair(self, text: str) -> dict[str, Any] | list[Any]:
+        """Last rung of the repair ladder: one constrained re-generation.
+
+        Mirrors the reference's LLM repair + failed-payload dump
+        (content_analyzer.py:1607-1646): the broken payload goes back
+        through the engine under the note grammar (valid-by-construction
+        output), at most once per video and only within budget; anything
+        still unparseable is dumped to log_dir/failed_json_*.txt before
+        the RepairError propagates.
+        """
+        if self._model_repairs_left > 0 and self.api_counter.can_call():
+            self._model_repairs_left -= 1
+            self.api_counter.increment("local")
+            try:
+                prompt = render_prompt(
+                    "json_repair", {"broken_json": text[:6000]}
+                )
+                repaired = self.engine.generate_text([prompt])[0]
+                parsed, strategy = repair_json(repaired)
+                self.logger.warning(
+                    f"event=json_repaired strategy=model+{strategy}"
+                )
+                return parsed
+            except (RepairError, ValueError, KeyError) as exc:
+                self.logger.warning(f"event=json_model_repair_failed error={exc}")
+        system = self.config.get("system", {})
+        dump = dump_failed_json(
+            text, system.get("log_dir", "./data/output/logs")
+        )
+        self.logger.warning(f"event=json_repair_exhausted dump={dump}")
+        raise RepairError(f"JSON repair exhausted (payload dumped to {dump})")
 
     def _parse_note_json(self, text: str) -> dict[str, Any]:
         data = self._parse_json(text)

@@ -17,9 +17,11 @@ from __future__ import annotations
 
 import json
 import re
+import time
+from pathlib import Path
 from typing import Any, Callable
 
-__all__ = ["repair_json", "RepairError", "STRATEGIES"]
+__all__ = ["repair_json", "RepairError", "STRATEGIES", "dump_failed_json"]
 
 
 class RepairError(ValueError):
@@ -154,6 +156,26 @@ STRATEGIES: list[tuple[str, Callable[[str], str]]] = [
         lambda t: strip_control_chars(close_truncated(sanitize_escapes(t))),
     ),
 ]
+
+
+def dump_failed_json(text: str, log_dir: str | Path) -> Path:
+    """Persist an unrepairable payload for offline diagnosis.
+
+    Mirrors the reference's failed-JSON artifact (content_analyzer.py:
+    1635-1646: raw dump to data/output/logs/failed_json_*.txt). The
+    timestamped filename keeps successive failures from clobbering each
+    other; a monotonic suffix disambiguates same-second failures.
+    """
+    log_dir = Path(log_dir)
+    log_dir.mkdir(parents=True, exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    path = log_dir / f"failed_json_{stamp}.txt"
+    n = 1
+    while path.exists():
+        path = log_dir / f"failed_json_{stamp}_{n}.txt"
+        n += 1
+    path.write_text(text, encoding="utf-8")
+    return path
 
 
 def repair_json(text: str) -> tuple[dict[str, Any] | list[Any], str]:

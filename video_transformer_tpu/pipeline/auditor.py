@@ -60,7 +60,7 @@ class QualityAuditor:
             score, feedback = self._forensic_score(Path(image_path))
             if self._engine is not None:
                 model_score, model_feedback = self._model_score(
-                    knowledge_doc_content
+                    Path(image_path), knowledge_doc_content
                 )
                 score = 0.5 * score + 0.5 * model_score
                 feedback = f"{feedback}；{model_feedback}"
@@ -114,7 +114,12 @@ class QualityAuditor:
         feedback = "、".join(issues) if issues else "图像质量检查通过"
         return max(score, 0.0), feedback
 
-    def _model_score(self, note: str) -> tuple[float, str]:
+    def _model_score(self, image_path: Path, note: str) -> tuple[float, str]:
+        """Vision-grounded audit: the rendered PNG goes through the VLM's
+        vision tower alongside the note excerpt, mirroring the reference's
+        image upload to the vision judge (quality_auditor.py:151-245). The
+        still image is tiled to the encoder's clip length so the standard
+        video preprocess path serves it unchanged."""
         from ..analyzer.prompts import render_prompt
         from ..analyzer.schema import audit_dfa
 
@@ -123,6 +128,29 @@ class QualityAuditor:
             {"note_excerpt": note[:1200], "threshold": int(self.threshold)},
         )
         dfa = self._engine.wrap_grammar(audit_dfa(self._engine.byte_vocab))
-        text = self._engine.generate_text([prompt], dfa=dfa)[0]
+        frames = self._image_clip(image_path)
+        text = self._engine.generate(frames, [prompt], dfa=dfa)[0]
         parsed = json.loads(text)
         return float(parsed.get("score", 0)), str(parsed.get("feedback", ""))
+
+    def _image_clip(self, image_path: Path) -> "np.ndarray":
+        """PNG -> uint8 [1, T, H, W, 3] still clip at the engine's frame
+        count. Host-side downscale bounds the device resize matmul; the
+        exact target size comes from preprocess_frames."""
+        from PIL import Image
+        import numpy as np
+
+        num_frames = int(self._engine.config.encoder.num_frames)
+        with Image.open(image_path) as img:
+            img = img.convert("RGB")
+            long_edge = max(img.size)
+            if long_edge > 512:
+                scale = 512 / long_edge
+                img = img.resize(
+                    (max(1, round(img.width * scale)),
+                     max(1, round(img.height * scale)))
+                )
+            still = np.asarray(img, dtype=np.uint8)
+        return np.broadcast_to(
+            still[None, None], (1, num_frames) + still.shape
+        ).copy()
