@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -74,28 +75,52 @@ inline uint8_t clamp_u8(int v) {
 
 // BT.601-ish full-range YUV -> RGB in 16.16 fixed point, matching the
 // coefficients used by the Python fallback (containers._yuv420_to_rgb).
+//
+// Structured for auto-vectorization on one host core: per row, (1) chroma
+// terms are computed at chroma resolution and duplicated to full width,
+// (2) the per-pixel add+clamp runs over stride-1 int16 buffers (gcc emits
+// saturating packs), (3) a final pass interleaves the planar rows. All
+// intermediate terms fit int16: y in [0,255], radd in [-179,178],
+// gsub in [-136,135], badd in [-227,226].
 void yuv420_frame_to_rgb(const uint8_t* y_plane, const uint8_t* u_plane,
                          const uint8_t* v_plane, int width, int height,
                          uint8_t* rgb_out) {
   const int half_w = width / 2;
+  std::vector<int16_t> radd(width), gsub(width), badd(width);
+  std::vector<uint8_t> r(width), g(width), b(width);
   for (int row = 0; row < height; ++row) {
     const uint8_t* y_row = y_plane + (int64_t)row * width;
     const uint8_t* u_row = u_plane + (int64_t)(row / 2) * half_w;
     const uint8_t* v_row = v_plane + (int64_t)(row / 2) * half_w;
     uint8_t* out = rgb_out + (int64_t)row * width * 3;
+
+    if ((row & 1) == 0) {  // chroma rows repeat for two luma rows
+      for (int c = 0; c < half_w; ++c) {
+        const int u_val = u_row[c] - 128;
+        const int v_val = v_row[c] - 128;
+        // 1.402 -> 91881/65536; 0.344136 -> 22554; 0.714136 -> 46802;
+        // 1.772 -> 116130.
+        const int16_t ra = (int16_t)((91881 * v_val) >> 16);
+        const int16_t gs = (int16_t)((22554 * u_val + 46802 * v_val) >> 16);
+        const int16_t ba = (int16_t)((116130 * u_val) >> 16);
+        radd[2 * c] = ra;
+        radd[2 * c + 1] = ra;
+        gsub[2 * c] = gs;
+        gsub[2 * c + 1] = gs;
+        badd[2 * c] = ba;
+        badd[2 * c + 1] = ba;
+      }
+    }
     for (int col = 0; col < width; ++col) {
-      const int y_val = y_row[col];
-      const int u_val = u_row[col / 2] - 128;
-      const int v_val = v_row[col / 2] - 128;
-      // 1.402 -> 91881/65536; 0.344136 -> 22554; 0.714136 -> 46802;
-      // 1.772 -> 116130.
-      const int r = y_val + ((91881 * v_val) >> 16);
-      const int g = y_val - ((22554 * u_val + 46802 * v_val) >> 16);
-      const int b = y_val + ((116130 * u_val) >> 16);
-      out[0] = clamp_u8(r);
-      out[1] = clamp_u8(g);
-      out[2] = clamp_u8(b);
-      out += 3;
+      const int16_t y_val = (int16_t)y_row[col];
+      r[col] = clamp_u8(y_val + radd[col]);
+      g[col] = clamp_u8(y_val - gsub[col]);
+      b[col] = clamp_u8(y_val + badd[col]);
+    }
+    for (int col = 0; col < width; ++col) {
+      out[3 * col + 0] = r[col];
+      out[3 * col + 1] = g[col];
+      out[3 * col + 2] = b[col];
     }
   }
 }
@@ -162,6 +187,10 @@ int y4m_decode_frames_pooled(const char* data, int64_t size,
     const uint8_t* v_plane = u_plane + c_size;
     uint8_t* out_frame = rgb_out + (int64_t)i * frame_rgb;
 
+    // Same vectorization layout as yuv420_frame_to_rgb: planar stride-1
+    // arithmetic passes, then one interleave pass.
+    std::vector<int16_t> ypool(out_w);
+    std::vector<uint8_t> r(out_w), g(out_w), b(out_w);
     for (int row = 0; row < out_h; ++row) {
       const uint8_t* y0 = y_plane + (int64_t)(2 * row) * width;
       const uint8_t* y1 = y0 + width;
@@ -170,15 +199,21 @@ int y4m_decode_frames_pooled(const char* data, int64_t size,
       uint8_t* out = out_frame + (int64_t)row * out_w * 3;
       for (int col = 0; col < out_w; ++col) {
         // 2x2 luma average; chroma is already at this resolution (420).
-        const int y_val =
-            (y0[2 * col] + y0[2 * col + 1] + y1[2 * col] + y1[2 * col + 1] + 2) >>
-            2;
+        ypool[col] = (int16_t)((y0[2 * col] + y0[2 * col + 1] +
+                                y1[2 * col] + y1[2 * col + 1] + 2) >> 2);
+      }
+      for (int col = 0; col < out_w; ++col) {
         const int u_val = u_row[col] - 128;
         const int v_val = v_row[col] - 128;
-        out[0] = clamp_u8(y_val + ((91881 * v_val) >> 16));
-        out[1] = clamp_u8(y_val - ((22554 * u_val + 46802 * v_val) >> 16));
-        out[2] = clamp_u8(y_val + ((116130 * u_val) >> 16));
-        out += 3;
+        const int16_t y_val = ypool[col];
+        r[col] = clamp_u8(y_val + (int16_t)((91881 * v_val) >> 16));
+        g[col] = clamp_u8(y_val - (int16_t)((22554 * u_val + 46802 * v_val) >> 16));
+        b[col] = clamp_u8(y_val + (int16_t)((116130 * u_val) >> 16));
+      }
+      for (int col = 0; col < out_w; ++col) {
+        out[3 * col + 0] = r[col];
+        out[3 * col + 1] = g[col];
+        out[3 * col + 2] = b[col];
       }
     }
   }

@@ -64,7 +64,10 @@ def _load() -> ctypes.CDLL | None:
         ]
         lib.y4m_decode_frames.restype = ctypes.c_int
         lib.y4m_decode_frames.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64,
+            # Input stream as a read-only uint8 view: accepts bytes AND
+            # mmap-backed buffers (no whole-file copy into a bytes object).
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int32,
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
@@ -79,17 +82,20 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def y4m_meta(data: bytes) -> tuple[int, int, float] | None:
-    """(width, height, fps) from a Y4M buffer, or None."""
+def y4m_meta(data) -> tuple[int, int, float] | None:
+    """(width, height, fps) from a Y4M buffer (bytes/mmap/view), or None."""
     lib = _load()
     if lib is None:
         return None
+    # The header is tiny; a bytes copy of the first 4 KiB keeps the
+    # c_char_p ABI while the frame payload stays zero-copy.
+    head = bytes(memoryview(data)[:4096])
     w = ctypes.c_int32()
     h = ctypes.c_int32()
     num = ctypes.c_int32()
     den = ctypes.c_int32()
     header = lib.y4m_parse_header(
-        data, len(data), ctypes.byref(w), ctypes.byref(h),
+        head, len(head), ctypes.byref(w), ctypes.byref(h),
         ctypes.byref(num), ctypes.byref(den),
     )
     if header < 0:
@@ -98,12 +104,14 @@ def y4m_meta(data: bytes) -> tuple[int, int, float] | None:
 
 
 def y4m_decode_frames(
-    data: bytes, indices: np.ndarray, pooled: bool = False
+    data, indices: np.ndarray, pooled: bool = False
 ) -> np.ndarray | None:
     """Decode selected frames to RGB uint8; None when native path unusable.
 
-    pooled=True additionally 2x2-average-pools in the same pass (half
-    resolution, 4x fewer host->device bytes).
+    ``data`` is any buffer over the Y4M stream — bytes or an mmap view
+    (the zero-copy path: only the pages of the selected frames are ever
+    faulted in). pooled=True additionally 2x2-average-pools in the same
+    pass (half resolution, 4x fewer host->device bytes).
     """
     lib = _load()
     if lib is None:
@@ -116,10 +124,11 @@ def y4m_decode_frames(
         pooled = False
     out_w, out_h = (width // 2, height // 2) if pooled else (width, height)
 
+    buf = np.frombuffer(data, dtype=np.uint8)
     indices = np.ascontiguousarray(indices, dtype=np.int64)
     out = np.empty((len(indices), out_h, out_w, 3), dtype=np.uint8)
     fn = lib.y4m_decode_frames_pooled if pooled else lib.y4m_decode_frames
-    written = fn(data, len(data), indices, len(indices), out)
+    written = fn(buf, len(buf), indices, len(indices), out)
     if written != len(indices):
         return None
     return out
