@@ -16,14 +16,14 @@ export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 OUT=${1:-/tmp/hwq_r3b}
 DEADLINE=${2:-0}
 CKPT=data/checkpoints/base-zh-grounded-r3
-INSURANCE=data/checkpoints/base-zh-grounded-r3-insurance/params_1200
+INSURANCE=data/checkpoints/base-zh-grounded-r3-insurance/params_1800
 
 log() { echo "[r3c $(date +%H:%M:%S)] $*"; }
 
 if [ ! -d "$CKPT/params_3000" ]; then
-  log "resuming base-r3 from $INSURANCE (1800 steps to go)"
+  log "resuming base-r3 from $INSURANCE (1200 steps to go)"
   python -m video_transformer_tpu.train.run \
-    --preset base --steps 1800 --batch 8 --text-len 2048 \
+    --preset base --steps 1200 --batch 8 --text-len 2048 \
     --grounded --grounded-cache 4096 --grounded-composite 0.35 \
     --grounded-band 0.15 \
     --tokenizer data/tokenizers/bpe-zh-2048.json \
@@ -37,7 +37,7 @@ if [ ! -d "$CKPT/params_3000" ]; then
   # Preserve intermediate snapshots at 1800/2400 + the final checkpoint the
   # moment training exits — commits are the only recycle-proof storage.
   bash tools/preserve_checkpoints.sh "$TRAIN_PID" "$CKPT" \
-    data/checkpoints/base-zh-grounded-r3-insurance 1800 2400 \
+    data/checkpoints/base-zh-grounded-r3-insurance 2100 2400 2700 \
     >/tmp/preserve_r3c.log 2>&1 &
   PRESERVE_PID=$!
   wait "$TRAIN_PID"
