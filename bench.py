@@ -279,6 +279,15 @@ def main() -> int:
             "aborted instead of hanging",
             file=sys.stderr,
         )
+        # Machine-readable failure marker: downstream tooling that archives
+        # bench lines must never mistake an aborted run for a perf number
+        # (round-3 advisor finding — BENCH_r03.json was a tunnel-down rc=2
+        # with nothing parseable on stdout).
+        print(json.dumps({
+            "metric": "video_minutes_analyzed_per_min_per_chip",
+            "value": None, "unit": "min/min/chip", "vs_baseline": None,
+            "captured": False, "error": "device backend unreachable",
+        }))
         return 2
 
     import jax

@@ -169,3 +169,60 @@ class TestGroundingEval:
         # The miss records WHICH side landed (the secondary dying in
         # pooling is the known composite failure mode).
         assert report["per_composite"][one] == "primary"
+
+
+class TestPromptProfiles:
+    """Prompt-profile unification (round 4): one checkpoint, both profiles."""
+
+    def test_mixed_sampler_draws_both_profiles(self):
+        """'mixed' must emit BOTH the compact and the spec analysis prompt
+        across draws (per-row 50/50), and every draw must be one of the two
+        pure profiles — never a third variant."""
+        from video_transformer_tpu.analyzer.prompts import render_prompt
+        from video_transformer_tpu.train.run import make_prompt_sampler
+
+        sampler = make_prompt_sampler("mixed")
+        rng = np.random.default_rng(7)
+        drawn = {len(sampler(rng)) for _ in range(40)}
+        # The spec analysis prompt is ~6x the compact one; seeing both size
+        # classes proves both profiles are served.
+        compact_max = max(
+            len(render_prompt("analysis", {"duration_label": "01:00"},
+                              profile="compact")),
+            len(render_prompt(
+                "segment_analysis",
+                {"segment_index": 1, "segment_total": 2,
+                 "start_label": "00:00", "end_label": "01:00"},
+                profile="compact")),
+        ) + 32  # duration labels vary a few chars
+        assert any(length <= compact_max for length in drawn)
+        assert any(length > 2 * compact_max for length in drawn)
+
+    def test_run_eval_serves_requested_profile(self):
+        """run_eval(profile=...) must hand engine.generate the profile's
+        prompt — scoring a spec-finetuned checkpoint under compact (or vice
+        versa) silently measures the wrong distribution."""
+        import json as _json
+
+        from video_transformer_tpu.train.eval_grounding import run_eval
+
+        seen: list[str] = []
+
+        class StubEngine:
+            class config:
+                class encoder:
+                    num_frames = 2
+                    image_size = 16
+
+            class stats:
+                tokens_per_second = 0.0
+
+            def generate(self, frames, prompts):
+                seen.extend(prompts)
+                return [_json.dumps({"title": "x"})] * frames.shape[0]
+
+        run_eval(StubEngine(), [0], batch=1, profile="spec")
+        spec_len = len(seen[0])
+        seen.clear()
+        run_eval(StubEngine(), [0], batch=1)  # default stays compact
+        assert spec_len > 4 * len(seen[0])

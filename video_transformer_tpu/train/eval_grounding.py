@@ -49,6 +49,7 @@ def run_eval(
     composite_pairs: list[tuple[int, int]] | None = None,
     warmup: bool = False,
     shifts: list[str] | None = None,
+    profile: str = "compact",
 ) -> dict:
     """Score grounding hits for ``topic_ids`` through ``engine``.
 
@@ -67,12 +68,14 @@ def run_eval(
 
     rng = np.random.default_rng(seed)
     config = engine.config
-    # Compact profile: distilled checkpoints serve the training-time
-    # templates (the spec profile is out of their prompt distribution).
+    # Checkpoints must be scored under the profile they serve with: compact
+    # for the distilled line, spec for spec-finetuned / real instruction
+    # weights (serving the 3.7k-token spec to a compact-only checkpoint
+    # collapses grounding — the round-3 prompt-distribution regression).
     prompt = render_prompt(
         "analysis",
         {"duration_label": format_seconds(temperature_prompt_seconds)},
-        profile="compact",
+        profile=profile,
     )
     t_frames = config.encoder.num_frames
     size = config.encoder.image_size
@@ -211,6 +214,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--temperature", type=float, default=0.7)
     parser.add_argument("--quantize", default=None, choices=["int8", "int4"])
     parser.add_argument(
+        "--prompt-profile", default="compact", choices=["compact", "spec"],
+        help="prompt templates to evaluate under — must match the profile "
+             "the checkpoint was trained/finetuned against",
+    )
+    parser.add_argument(
         "--all-checkpoints",
         action="store_true",
         help="treat --checkpoint as a parent dir and score EVERY params_N "
@@ -294,9 +302,10 @@ def main(argv: list[str] | None = None) -> int:
         engine.restore(str(ckpt))
         report = run_eval(
             engine, topic_ids, args.batch, composite_pairs=pairs,
-            warmup=(idx == 0), shifts=shifts,
+            warmup=(idx == 0), shifts=shifts, profile=args.prompt_profile,
         )
         report["checkpoint"] = str(ckpt)
+        report["prompt_profile"] = args.prompt_profile
         print(json.dumps(report, ensure_ascii=False), flush=True)
         total = report["total"] + report.get("composite_total", 0)
         got = report["hits"] + report.get("composite_hits", 0)

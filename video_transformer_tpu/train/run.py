@@ -58,6 +58,44 @@ def _pack_row(tok, encode_note, text, text_len, prompt, prompt_len, rng):
     return row, block
 
 
+def make_prompt_sampler(prompt_profile: str):
+    """Per-row serving-prompt sampler for training.
+
+    Trains with the SAME prompt blocks the analyzer serves with (analysis +
+    segment prompts, randomized duration labels) so every serving prompt
+    stays in-distribution. ``"mixed"`` draws compact/spec 50/50 per row —
+    one checkpoint that serves BOTH profiles; _pack_row buckets each row's
+    prompt to its own 128-multiple block, so the two widths coexist in one
+    static-shape batch.
+    """
+    from ..analyzer.prompts import render_prompt
+    from ..contracts.timefmt import format_seconds
+
+    def sample_prompt(rng: np.random.Generator) -> str:
+        profile = prompt_profile
+        if profile == "mixed":
+            profile = "spec" if rng.random() < 0.5 else "compact"
+        if rng.random() < 0.7:
+            return render_prompt(
+                "analysis",
+                {"duration_label": format_seconds(float(rng.integers(30, 7200)))},
+                profile=profile,
+            )
+        start = float(rng.integers(0, 3600))
+        return render_prompt(
+            "segment_analysis",
+            {
+                "segment_index": int(rng.integers(1, 9)),
+                "segment_total": int(rng.integers(2, 10)),
+                "start_label": format_seconds(start),
+                "end_label": format_seconds(start + float(rng.integers(60, 600))),
+            },
+            profile=profile,
+        )
+
+    return sample_prompt
+
+
 def _frames_to_patches(frames, config):
     import jax.numpy as jnp
 
@@ -281,11 +319,15 @@ def main(argv: list[str] | None = None) -> int:
              "(masked from the loss; 0 disables)",
     )
     parser.add_argument(
-        "--prompt-profile", default="compact", choices=["compact", "spec"],
+        "--prompt-profile", default="compact",
+        choices=["compact", "spec", "mixed"],
         help="prompt templates to train against: compact (short templates — "
-             "what distilled checkpoints serve with) or spec (the full "
+             "what distilled checkpoints serve with), spec (the full "
              "reference behavioral spec, ~3.7k tokens; requires a matching "
-             "--prompt-len)",
+             "--prompt-len), or mixed (per-row 50/50 compact/spec — one "
+             "checkpoint that serves BOTH profiles; _pack_row buckets each "
+             "row's prompt to its own 128-multiple block, so the two widths "
+             "coexist in one static-shape batch)",
     )
     parser.add_argument(
         "--init-from",
@@ -372,32 +414,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
 
-    # Train with the SAME prompt blocks the analyzer serves with (analysis +
-    # segment prompts, randomized duration labels) so every serving prompt
-    # stays in-distribution.
-    from ..analyzer.prompts import render_prompt
-    from ..contracts.timefmt import format_seconds
-
-    def sample_prompt(rng: np.random.Generator) -> str:
-        if rng.random() < 0.7:
-            return render_prompt(
-                "analysis",
-                {"duration_label": format_seconds(float(rng.integers(30, 7200)))},
-                profile=args.prompt_profile,
-            )
-        start = float(rng.integers(0, 3600))
-        return render_prompt(
-            "segment_analysis",
-            {
-                "segment_index": int(rng.integers(1, 9)),
-                "segment_total": int(rng.integers(2, 10)),
-                "start_label": format_seconds(start),
-                "end_label": format_seconds(start + float(rng.integers(60, 600))),
-            },
-            profile=args.prompt_profile,
-        )
-
-    prompt = sample_prompt if args.prompt_len > 0 else None
+    prompt = make_prompt_sampler(args.prompt_profile) if args.prompt_len > 0 else None
 
     if args.data:
         batches = _staged_batches(
