@@ -81,7 +81,13 @@ class TokenGrammar:
 
     def _compute_allowed_bits(self, cache_dir) -> np.ndarray:
         if cache_dir is not None:
-            cache_path = Path(cache_dir) / f"bits_{self._cache_key()}.npz"
+            cache_dir = Path(cache_dir)
+            if not cache_dir.is_absolute():
+                # Anchor at the repo root, not the cwd: tools run from
+                # scratch dirs would otherwise re-pay the ~20 s (152k-vocab)
+                # bitset precompute into a throwaway location.
+                cache_dir = Path(__file__).resolve().parents[2] / cache_dir
+            cache_path = cache_dir / f"bits_{self._cache_key()}.npz"
             if cache_path.exists():
                 try:
                     return np.load(cache_path)["bits"]

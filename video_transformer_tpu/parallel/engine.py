@@ -49,15 +49,23 @@ def enable_compilation_cache(cache_dir: str) -> None:
 
     The full generate program costs minutes of XLA compile on first trace;
     the on-disk cache turns every later process start (serving restarts,
-    bench runs) into a cache hit.
+    bench runs, eval sweeps) into a ~40 ms deserialization — measured
+    working through the axon remote-compile plugin (jit_generate entries
+    round-trip, 2026-08-19). Relative ``cache_dir`` values are anchored at
+    the REPO root, not the cwd: tools and verify drives run from scratch
+    directories, and a cwd-relative cache would silently recompile the
+    whole engine there.
     """
     global _compilation_cache_enabled
     if _compilation_cache_enabled:
         return
     from pathlib import Path
 
-    Path(cache_dir).mkdir(parents=True, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    path = Path(cache_dir)
+    if not path.is_absolute():
+        path = Path(__file__).resolve().parents[2] / path
+    path.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(path))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     _compilation_cache_enabled = True
 
