@@ -153,6 +153,57 @@ class TestAnalyzeVideoEndToEnd:
         )
         assert all(s["status"] == "completed" for s in manifest["segments"])
 
+    def test_long_video_continuous_batching_with_draft(self, tmp_path):
+        """The PRODUCT composition of both serving levers: engine.draft
+        attached + continuous_batching on. The sweep must route through the
+        spec-composed batcher (segment_serving event) and produce the same
+        manifest lifecycle as the plain paths."""
+        import jax
+
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1]),
+            dfa=note_dfa(512, scale=0.25),
+            max_new_tokens=1400,
+            temperature=1.0,
+            structure_bias=2.5,
+            seed=0,
+        )
+        draft_cfg = micro_config()
+        from dataclasses import replace as _replace
+
+        draft_cfg = _replace(
+            draft_cfg, name="micro-draft",
+            decoder=_replace(draft_cfg.decoder, num_layers=1),
+        )
+        engine.attach_draft(draft_cfg, spec_tokens=4)
+        clip = write_clip(tmp_path / "specserved.npzv", seconds=30)
+        config = make_config(tmp_path)
+        config["analyzer"]["long_video"]["serving_slots_per_chip"] = 2
+        config["analyzer"]["long_video"]["continuous_batching"] = True
+        config["analyzer"]["max_continuations"] = 4
+        records: list[str] = []
+
+        class Capture(logging.Handler):
+            def emit(self, r):
+                records.append(r.getMessage())
+
+        logger = logging.getLogger("spec-serving-e2e")
+        logger.addHandler(Capture())
+        logger.setLevel(logging.INFO)
+        analyzer = ContentAnalyzer(
+            config, APICounter(max_calls=50), logger, engine=engine,
+        )
+        result = analyzer.analyze_video(clip)
+        assert any("event=segment_serving slots=2" in m for m in records)
+        assert result.metadata["segments"] == 3
+        assert result.metadata["segments_analyzed"] == 3
+        manifest = json.loads(
+            (tmp_path / "temp" / "segments" / "specserved"
+             / "manifest.json").read_text()
+        )
+        assert all(s["status"] == "completed" for s in manifest["segments"])
+
     def test_long_video_segmented(self, tmp_path, engine):
         clip = write_clip(tmp_path / "long.npzv", seconds=30)
         counter = APICounter(max_calls=50)

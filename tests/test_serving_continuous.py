@@ -270,3 +270,128 @@ class TestContinuousBatching:
         results = batcher.run()
         assert len(results) == 2
         assert all(not c.complete for c in results)
+
+
+def micro_draft_config() -> VLMConfig:
+    """A smaller drafting model with the SAME vocab but its own encoder
+    geometry (2 frames -> fewer video tokens than the target's 4), so the
+    draft pool's prefill indices genuinely differ from the target's."""
+    return VLMConfig(
+        name="micro-draft",
+        encoder=EncoderConfig(
+            hidden_dim=32, num_layers=1, num_heads=2, head_dim=16, mlp_dim=64,
+            image_size=32, patch_size=16, tubelet_t=2, num_frames=2,
+        ),
+        decoder=DecoderConfig(
+            vocab_size=512, hidden_dim=32, num_layers=1, num_heads=2,
+            num_kv_heads=2, head_dim=16, mlp_dim=64, max_seq_len=1024,
+        ),
+        dtype="float32",
+    )
+
+
+class TestSpeculativeBatching:
+    """Speculative decoding composed with continuous batching: the draft
+    rides the same paged pools (own KV pool, shared rows table)."""
+
+    def test_greedy_spec_batcher_matches_plain_engine(self):
+        """Greedy speculative acceptance is exact, so the spec batcher must
+        reproduce the PLAIN engine's run-to-completion output token for
+        token — one assertion pins draft parking, dual-pool refill
+        adoption, and the wide-verify step semantics. The random-init
+        draft mispredicts nearly everything, so the rejection path (not
+        the all-accept fast path) is what's being pinned."""
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1]),
+            dfa=tiny_dfa(),
+            max_new_tokens=96,
+            temperature=0.0,
+            seed=0,
+            compilation_cache_dir=None,
+        )
+        rng = np.random.default_rng(33)
+        frames = rng.integers(0, 255, (2, 4, 32, 32, 3), dtype=np.uint8)
+        prompts = ["分析第一段", "analyze the second clip in detail"]
+        _, _, plain_ids = engine.generate(
+            frames, prompts, return_status=True, return_tokens=True
+        )
+
+        engine.attach_draft(micro_draft_config(), spec_tokens=4)
+        batcher = ContinuousBatcher(
+            engine, slots=2, prompt_len=256, chunk_steps=8
+        )
+        batcher.submit(Request(0, frames[0], prompts[0]))
+        batcher.submit(Request(1, frames[1], prompts[1]))
+        by_id = {c.request_id: c for c in batcher.run()}
+        assert by_id[0].token_ids == plain_ids[0]
+        assert by_id[1].token_ids == plain_ids[1]
+
+    def test_spec_refills_more_requests_than_slots(self):
+        """6 requests through 2 slots with the draft attached: every
+        completion parses, so ring refills adopted BOTH pools' state
+        (a stale draft index would desync proposals and stall the
+        grammar)."""
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1]),
+            dfa=tiny_dfa(),
+            max_new_tokens=96,
+            temperature=1.0,
+            seed=0,
+            compilation_cache_dir=None,
+        )
+        engine.attach_draft(micro_draft_config(), spec_tokens=4)
+        batcher = ContinuousBatcher(
+            engine, slots=2, prompt_len=16, chunk_steps=8
+        )
+        for request in make_requests(6, seed=5):
+            batcher.submit(request)
+        results = batcher.run()
+        assert len(results) == 6
+        assert {c.request_id for c in results} == set(range(6))
+        for completion in results:
+            assert completion.complete
+            payload = json.loads(completion.text)
+            assert set(payload) == {"title"}
+
+    def test_spec_requires_device_refill(self):
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1]),
+            dfa=tiny_dfa(),
+            max_new_tokens=16,
+            temperature=0.0,
+            seed=0,
+            compilation_cache_dir=None,
+        )
+        engine.attach_draft(micro_draft_config(), spec_tokens=4)
+        with pytest.raises(ValueError, match="device_refill"):
+            ContinuousBatcher(
+                engine, slots=2, prompt_len=16, device_refill=False
+            )
+
+    def test_spec_batcher_runs_sharded(self):
+        """The composed program (draft scan + wide verify + dual-pool
+        refill) must compile and produce valid completions under dp x tp
+        GSPMD sharding — pools split over 'data', heads over 'model'."""
+        engine = InferenceEngine(
+            micro_config(),
+            mesh=build_mesh({"data": 4, "model": 2}),
+            dfa=tiny_dfa(),
+            max_new_tokens=64,
+            temperature=0.7,
+            seed=0,
+            compilation_cache_dir=None,
+        )
+        engine.attach_draft(micro_draft_config(), spec_tokens=4)
+        batcher = ContinuousBatcher(
+            engine, slots=4, prompt_len=16, chunk_steps=8
+        )
+        for request in make_requests(6, seed=11):
+            batcher.submit(request)
+        results = batcher.run()
+        assert len(results) == 6
+        for completion in results:
+            assert completion.complete
+            assert set(json.loads(completion.text)) == {"title"}

@@ -546,6 +546,10 @@ class ContentAnalyzer:
             or cached.slots != slots
             or cached.prompt_len != prompt_len
             or cached.dfa is not self.engine.dfa
+            # Speculative decoding composes into the batcher's chunk
+            # programs — attach/detach of a draft must rebuild them.
+            or cached.spec != (getattr(self.engine, "draft_model", None)
+                               is not None)
         ):
             self.engine._batcher_cache = ContinuousBatcher(
                 self.engine, slots=slots, prompt_len=prompt_len

@@ -34,6 +34,16 @@ Two refill modes:
 This is the TPU analog of vLLM-style continuous batching with the grammar
 as the stopping criterion; all shapes are static (slot count, queue depth,
 cache bucket, prompt bucket) so everything compiles once.
+
+**Speculative decoding composes** (device-refill mode): when the engine has
+a draft attached (engine.attach_draft), the chunk program runs the
+speculative cycle — draft proposes a K-token block, one wide target
+decode_block verifies — over the same paged pools. The draft model gets its
+own KV pool addressed through the SAME rows table (a refill repoints both
+pools with one int32 update), staging prefills both models, and greedy
+acceptance stays exact, so spec-batched output is token-identical to both
+the plain batcher and engine.generate. The two serving levers (refill
+keeping the pool full + more rows per matmul dispatch) multiply.
 """
 
 from __future__ import annotations
@@ -132,15 +142,18 @@ class ContinuousBatcher:
     def __post_init__(self):
         engine = self.engine
         cfg = engine.config
-        if getattr(engine, "draft_model", None) is not None:
-            # The batcher builds its own chunked decode loop; an attached
-            # speculative draft does not ride along (roadmap). Warn so an
-            # operator never believes speculation is on in this path.
-            import logging
-
-            logging.getLogger("video_transformer").warning(
-                "event=batcher_ignores_draft speculative decoding is not "
-                "wired into ContinuousBatcher; serving the plain loop"
+        # Speculative decoding rides along when the engine has a draft
+        # attached: the chunk program drafts K-token blocks with the draft
+        # model (its own paged KV pool, same rows table) and verifies each
+        # block in one wide target forward — the two serving levers
+        # (continuous refill + more rows per matmul dispatch) stack.
+        self.spec = getattr(engine, "draft_model", None) is not None
+        self.spec_k = int(getattr(engine, "spec_tokens", 0)) if self.spec else 0
+        if self.spec and not self.device_refill:
+            raise ValueError(
+                "speculative decoding requires device_refill=True (the "
+                "host-driven loop is the plain-path parity oracle); "
+                "detach_draft or use the default mode"
             )
         self.max_new = self.max_new_tokens or engine.max_new_tokens
         self.dfa = engine.dfa
@@ -155,17 +168,33 @@ class ContinuousBatcher:
             self._forced = None
             self.block_width = 1
 
-        # + block_width + 16: tail slack for the fused decode kernel's
+        # Step width: the widest multi-token append one iteration can issue
+        # — the grammar fast-forward block (plain) or the draft block
+        # (speculative; forced runs are subsumed by the grammar-constrained
+        # draft, see engine._spec_decode_loop_fn).
+        self.step_width = max(self.block_width, self.spec_k) \
+            if self.spec else self.block_width
+        # + step_width + 16: tail slack for the fused decode kernel's
         # aligned in-place row writes (see engine._build_generate).
         self.cache_len = _round_up(
             cfg.video_tokens + self.prompt_len + self.max_new
-            + 2 * self.block_width + 17,
+            + 2 * self.step_width + 17,
             128,
         )
         if self.cache_len > cfg.decoder.max_seq_len:
             raise ValueError("slot cache exceeds max_seq_len")
-        self.out_width = self.max_new + 2 * self.block_width
+        self.out_width = self.max_new + 2 * self.step_width
         self.park_len = cfg.video_tokens + self.prompt_len
+        if self.spec:
+            dcfg = engine.draft_config
+            self.draft_cache_len = _round_up(
+                dcfg.video_tokens + self.prompt_len + self.max_new
+                + 2 * self.step_width + 17,
+                128,
+            )
+            if self.draft_cache_len > dcfg.decoder.max_seq_len:
+                raise ValueError("draft slot cache exceeds draft max_seq_len")
+            self.draft_park_len = dcfg.video_tokens + self.prompt_len
         self._slots = [_Slot() for _ in range(self.slots)]
         if self.queue_depth <= 0:
             self.queue_depth = 2 * self.slots
@@ -224,6 +253,30 @@ class ContinuousBatcher:
                 jnp.zeros((self.slots,), jnp.int32), data_sharding
             ),
         }
+        if self.spec:
+            # Draft KV pool: same physical row numbering (the rows table is
+            # shared — a refill repoints both pools with one int32 update),
+            # its own per-slot index (the draft's prefill length differs:
+            # its encoder emits its own video-token count).
+            dcfg = engine.draft_config
+            dcache = init_kv_cache(
+                dcfg.decoder, self.total_rows, self.draft_cache_len,
+                jnp.dtype(dcfg.dtype),
+            )
+            if model_axis > 1 and dcfg.decoder.num_kv_heads % model_axis == 0:
+                dkv_spec = P(DATA_AXIS, MODEL_AXIS)
+            else:
+                dkv_spec = P(DATA_AXIS)
+            dkv_sharding = NamedSharding(mesh, dkv_spec)
+            self.dcache = {
+                "k": [jax.device_put(l, dkv_sharding) for l in dcache["k"]],
+                "v": [jax.device_put(l, dkv_sharding) for l in dcache["v"]],
+                "index": jax.device_put(
+                    jnp.zeros((self.slots,), jnp.int32), data_sharding
+                ),
+            }
+        else:
+            self.dcache = {"k": [], "v": [], "index": jnp.zeros((0,), jnp.int32)}
         # Initial logical -> physical mapping: group-local identity.
         self._rows_host = np.asarray(
             [self._group_rows(i // (self.slots // self.n_groups))[
@@ -311,6 +364,173 @@ class ContinuousBatcher:
             )
 
         return jax.jit(prefill, donate_argnums=(1, 2, 3, 4, 5, 6))
+
+    def _process(self, logits, state):
+        """Raw logits -> processed next-token log-distribution (grammar
+        mask + close bias + temperature), the spec step's carry form —
+        mirrors engine._spec_decode_loop_fn.process."""
+        engine = self.engine
+        if self.table is not None:
+            logits = self.dfa.constrain(logits, state, self.table)
+        close_bias = engine.close_bias_array()
+        if close_bias is not None:
+            logits = logits + close_bias
+        scale = engine.temperature if engine.temperature > 0 else 1.0
+        return jax.nn.log_softmax(logits / scale, axis=-1)
+
+    def _make_spec_step(self, params, draft_params):
+        """One speculative decode cycle over all slots (traceable).
+
+        The paged twin of engine._spec_decode_loop_fn's loop body: the
+        draft autoregressively proposes a K-token block (t0 sampled from
+        the target's carried distribution), ONE wide target decode_block
+        verifies every position, and the longest accepted prefix is
+        emitted. Greedy acceptance is exact — bit-identical to the plain
+        chunk loop — so the batcher's grammar/eviction semantics carry
+        over unchanged. Both caches are paged (shared ``rows`` table);
+        forced-run fast-forward is subsumed by the grammar-constrained
+        draft (single-support q == single-support p).
+
+        carry: (cache, dcache, state, logp, tokens, out_pos, done)
+        ``logp`` is the PROCESSED per-slot distribution (_process) — a
+        rejection's residual has no raw-logits form.
+        """
+        engine = self.engine
+        model = engine.model
+        draft = engine.draft_model
+        dfa = self.dfa
+        table = self.table
+        temperature = engine.temperature
+        eos = engine.tokenizer.EOS
+        max_new = self.max_new
+        spec_k = self.spec_k
+        greedy = temperature <= 0
+        process = self._process
+
+        def pick(logp, frozen, key):
+            if greedy:
+                tok = jnp.argmax(logp, axis=-1)
+            else:
+                tok = jax.random.categorical(key, logp, axis=-1)
+            return jnp.where(frozen, eos, tok).astype(jnp.int32)
+
+        def advance_live(state, tok, live):
+            if table is None:
+                return state
+            return jnp.where(live, dfa.advance(state, tok, table), state)
+
+        write_rows = jax.vmap(
+            lambda row, block, pos: jax.lax.dynamic_update_slice(
+                row, block, (pos,)
+            )
+        )
+
+        def step(carry, key):
+            cache, dcache, state, logp, tokens, out_pos, done = carry
+            frozen = done | (out_pos >= max_new)
+            b = logp.shape[0]
+            k0, kd, ka = jax.random.split(key, 3)
+
+            # t0 comes from the target's own distribution — always correct,
+            # so a cycle emits at least one token per live row.
+            t0 = pick(logp, frozen, k0)
+            s1 = advance_live(state, t0, ~frozen)
+
+            dindex_before = dcache["index"]
+
+            def dstep(c, key_i):
+                dc, prev, ds = c
+                dlogits, dc = draft.apply(
+                    draft_params, prev[:, None], dc, method=VideoLM.decode_step
+                )
+                lq = process(dlogits, ds)
+                x = pick(lq, frozen, key_i)
+                return (dc, x, advance_live(ds, x, ~frozen)), (
+                    x, (lq if not greedy else jnp.zeros((b, 0))), ds,
+                )
+
+            (dcache2, _, _), (prop, slq, sst) = jax.lax.scan(
+                dstep, (dcache, t0, s1), jax.random.split(kd, spec_k)
+            )
+            block = jnp.concatenate(
+                [t0[:, None], jnp.moveaxis(prop, 0, 1)[:, : spec_k - 1]],
+                axis=1,
+            )  # [B, K]
+
+            # One wide target forward verifies every position.
+            index_before = cache["index"]
+            all_logits, cache = model.apply(
+                params, block, cache, method=VideoLM.decode_block
+            )  # [B, K, V]
+
+            if not greedy:
+                log_u = jnp.log(jax.random.uniform(ka, (b, spec_k)))
+            accs = []
+            for i in range(1, spec_k):
+                p_i = process(all_logits[:, i - 1], sst[i - 1])
+                tok_i = block[:, i]
+                if greedy:
+                    accs.append(tok_i == jnp.argmax(p_i, axis=-1))
+                else:
+                    lp = jnp.take_along_axis(p_i, tok_i[:, None], 1)[:, 0]
+                    lq = jnp.take_along_axis(
+                        slq[i - 1], tok_i[:, None], 1
+                    )[:, 0]
+                    accs.append(log_u[:, i] < lp - lq)
+
+            # Emit the longest accepted prefix; an emitted EOS (or grammar
+            # accept edge) finishes the row without counting toward out_pos.
+            alive = ~frozen
+            adv = jnp.zeros((b,), jnp.int32)
+            new_state = state
+            new_fin = done
+            for i in range(spec_k):
+                tok_i = block[:, i]
+                emit = alive if i == 0 else (alive & accs[i - 1])
+                is_eos = tok_i == eos
+                ended = is_eos
+                if table is not None:
+                    ended = ended | (sst[i] == dfa.accept)
+                adv = adv + (emit & ~is_eos)
+                new_state = jnp.where(emit, sst[i], new_state)
+                new_fin = new_fin | (emit & ended)
+                alive = emit & ~ended
+
+            # Next distribution: target's after the emitted prefix, or the
+            # rejection residual norm(max(p - q, 0)) for a rejected position.
+            next_idx = jnp.maximum(adv - 1, 0)
+            p_raw = jnp.take_along_axis(
+                all_logits, next_idx[:, None, None], axis=1
+            )[:, 0]
+            s_next = jnp.take_along_axis(
+                jnp.moveaxis(sst, 0, 1), next_idx[:, None], axis=1
+            )[:, 0]
+            p_next = process(p_raw, s_next)
+            if greedy:
+                new_logp = p_next
+            else:
+                q_next = jnp.take_along_axis(
+                    jnp.moveaxis(slq, 0, 1), next_idx[:, None, None], axis=1
+                )[:, 0]
+                resid = jnp.maximum(jnp.exp(p_next) - jnp.exp(q_next), 0.0)
+                total = resid.sum(axis=-1, keepdims=True)
+                resid = jnp.where(
+                    total > 0, resid / jnp.maximum(total, 1e-30),
+                    jnp.exp(p_next),
+                )
+                rejected = (adv < spec_k)[:, None]
+                new_logp = jnp.where(rejected, jnp.log(resid + 1e-30), p_next)
+            logp = jnp.where(frozen[:, None], logp, new_logp)
+
+            tokens = write_rows(tokens, block, out_pos)
+            out_pos = out_pos + adv
+            new_fin = new_fin | (out_pos >= max_new)
+            cache = dict(cache, index=index_before + adv)
+            dcache = dict(dcache2, index=dindex_before + adv)
+            return (cache, dcache, new_state, logp, tokens, out_pos,
+                    new_fin), None
+
+        return step
 
     def _make_step(self, params):
         """One grammar-constrained decode iteration over all slots
@@ -451,8 +671,14 @@ class ContinuousBatcher:
         self._q_index = jax.device_put(
             jnp.zeros((depth,), jnp.int32), replicated
         )
+        # Speculative mode: q_logits parks the PROCESSED start-state
+        # log-distribution (grammar mask + close bias + temperature) — the
+        # spec step's carry has no raw-logits form (rejection residuals).
         self._q_logits = jax.device_put(
             jnp.zeros((depth, dec.vocab_size), jnp.float32), replicated
+        )
+        self._q_dindex = jax.device_put(
+            jnp.zeros((depth if self.spec else 0,), jnp.int32), replicated
         )
         self._q_req = jax.device_put(
             jnp.full((depth,), -1, jnp.int32), replicated
@@ -496,10 +722,12 @@ class ContinuousBatcher:
         cfg = engine.config
         model = engine.model
         depth = self.queue_depth
+        spec = self.spec
         from ..ops.decode_attention import adopt_rows
 
-        def enqueue(params, pool_k, pool_v, q_index, q_logits, q_req,
-                    q_phys, patches, prompt, lengths, new_req, target_rows,
+        def enqueue(params, draft_params, pool_k, pool_v, dpool_k, dpool_v,
+                    q_index, q_dindex, q_logits, q_req, q_phys, patches,
+                    draft_patches, prompt, lengths, new_req, target_rows,
                     count):
             scratch = init_kv_cache(
                 cfg.decoder, lanes, self.park_len, jnp.dtype(cfg.dtype)
@@ -526,13 +754,45 @@ class ContinuousBatcher:
                 return jnp.concatenate([head, old[lanes:]]) \
                     if lanes < depth else head
 
+            if spec:
+                # Park the DRAFT's prefill alongside (its own pool, same
+                # physical row ids), and store the processed start-state
+                # distribution — the spec chunk's carry form.
+                dcfg = engine.draft_config
+                dscratch = init_kv_cache(
+                    dcfg.decoder, lanes, self.draft_park_len,
+                    jnp.dtype(dcfg.dtype),
+                )
+                _, dscratch = engine.draft_model.apply(
+                    draft_params, draft_patches, prompt, dscratch, lengths,
+                    method=VideoLM.prefill,
+                )
+                dpool_k = [
+                    adopt_rows(pool, filled, target_rows, count,
+                               self.draft_park_len)
+                    for pool, filled in zip(dpool_k, dscratch["k"])
+                ]
+                dpool_v = [
+                    adopt_rows(pool, filled, target_rows, count,
+                               self.draft_park_len)
+                    for pool, filled in zip(dpool_v, dscratch["v"])
+                ]
+                q_dindex = merge(dscratch["index"], q_dindex)
+                start = jnp.full(
+                    (lanes,), self.dfa.start if self.dfa else 0, jnp.int32
+                )
+                first_logits = self._process(
+                    first_logits.astype(jnp.float32), start
+                )
+
             q_index = merge(scratch["index"], q_index)
             q_logits = merge(first_logits.astype(jnp.float32), q_logits)
             q_req = merge(new_req, q_req)
             q_phys = merge(target_rows, q_phys)
-            return pool_k, pool_v, q_index, q_logits, q_req, q_phys
+            return (pool_k, pool_v, dpool_k, dpool_v, q_index, q_dindex,
+                    q_logits, q_req, q_phys)
 
-        return jax.jit(enqueue, donate_argnums=(1, 2, 3, 4, 5, 6))
+        return jax.jit(enqueue, donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
 
     def _build_decode_refill(self):
         """The combined chunk program: decode all slots, refilling finished
@@ -570,15 +830,22 @@ class ContinuousBatcher:
             (self.queue_depth + 1) * (self.max_new + 1) + self.slots
         )
 
-        def chunk(params, k_pool, v_pool, rows, index, state, logits, tokens,
-                  out_pos, done, slot_req, q_index, q_logits, q_req, q_phys,
-                  q_head, q_tail, comp_tokens, comp_meta, rng, n_steps):
+        spec = self.spec
+
+        def chunk(params, draft_params, k_pool, v_pool, dk_pool, dv_pool,
+                  rows, index, dindex, state, logits, tokens,
+                  out_pos, done, slot_req, q_index, q_dindex, q_logits,
+                  q_req, q_phys, q_head, q_tail, comp_tokens, comp_meta,
+                  rng, n_steps):
             keys = jax.random.split(rng, self._device_steps)
-            step = self._make_step(params)
+            step = (
+                self._make_spec_step(params, draft_params)
+                if spec else self._make_step(params)
+            )
 
             def refill_one(st):
-                (rows, index, state, logits, tokens, out_pos, done, slot_req,
-                 q_head, comp_tokens, comp_meta, comp_count) = st
+                (rows, index, dindex, state, logits, tokens, out_pos, done,
+                 slot_req, q_head, comp_tokens, comp_meta, comp_count) = st
                 slot = jnp.argmax(done).astype(jnp.int32)
                 live = slot_req[slot] >= 0
                 # Eviction record (masked: never-occupied slots write their
@@ -614,38 +881,40 @@ class ContinuousBatcher:
                 qi = q_head % depth
                 rows = rows.at[slot].set(q_phys[qi])
                 index = index.at[slot].set(q_index[qi])
+                if spec:
+                    dindex = dindex.at[slot].set(q_dindex[qi])
                 state = state.at[slot].set(dfa.start if dfa else 0)
                 logits = logits.at[slot].set(q_logits[qi])
                 tokens = tokens.at[slot].set(self.engine.tokenizer.EOS)
                 out_pos = out_pos.at[slot].set(0)
                 done = done.at[slot].set(False)
                 slot_req = slot_req.at[slot].set(q_req[qi])
-                return (rows, index, state, logits, tokens, out_pos, done,
-                        slot_req, q_head + 1, comp_tokens, comp_meta,
+                return (rows, index, dindex, state, logits, tokens, out_pos,
+                        done, slot_req, q_head + 1, comp_tokens, comp_meta,
                         comp_count)
 
             period = max(1, int(self.refill_period))
 
             def cond(carry):
                 i, kv, st = carry
-                done_now = st[6]
-                q_head_now = st[8]
+                done_now = st[7]
+                q_head_now = st[9]
                 return (i < n_steps) & ~(
                     jnp.all(done_now) & (q_head_now >= q_tail)
                 )
 
             def can_refill(s):
-                return jnp.any(s[6]) & (s[8] < q_tail)
+                return jnp.any(s[7]) & (s[9] < q_tail)
 
             def body(carry):
-                i, (ks, vs), st = carry
+                i, (ks, vs, dks, dvs), st = carry
                 # Drain every eligible refill at the boundary, then run
                 # ``period`` plain steps before checking again: the per-step
                 # refill cond measured ~0.4 ms/step at width 8 (vs a 3.4 ms
                 # step) — at period 8 it amortizes to noise, while a
                 # finished slot idles at most period-1 steps (~30 ms).
                 st = jax.lax.while_loop(can_refill, refill_one, st)
-                (rows, index, state, logits, tokens, out_pos, done,
+                (rows, index, dindex, state, logits, tokens, out_pos, done,
                  slot_req, q_head, comp_tokens, comp_meta, comp_count) = st
                 cache = {"k": ks, "v": vs, "index": index, "rows": rows}
 
@@ -655,24 +924,37 @@ class ContinuousBatcher:
                     )
                     return out
 
-                cache, state, logits, tokens, out_pos, done = (
-                    jax.lax.fori_loop(
-                        0, period, substep,
-                        (cache, state, logits, tokens, out_pos, done),
+                if spec:
+                    dcache = {"k": dks, "v": dvs, "index": dindex,
+                              "rows": rows}
+                    (cache, dcache, state, logits, tokens, out_pos, done) = (
+                        jax.lax.fori_loop(
+                            0, period, substep,
+                            (cache, dcache, state, logits, tokens, out_pos,
+                             done),
+                        )
                     )
-                )
-                st = (rows, cache["index"], state, logits, tokens, out_pos,
-                      done, slot_req, q_head, comp_tokens, comp_meta,
+                    dks, dvs, dindex = dcache["k"], dcache["v"], dcache["index"]
+                else:
+                    cache, state, logits, tokens, out_pos, done = (
+                        jax.lax.fori_loop(
+                            0, period, substep,
+                            (cache, state, logits, tokens, out_pos, done),
+                        )
+                    )
+                st = (rows, cache["index"], dindex, state, logits, tokens,
+                      out_pos, done, slot_req, q_head, comp_tokens, comp_meta,
                       comp_count)
-                return i + period, (cache["k"], cache["v"]), st
+                return i + period, (cache["k"], cache["v"], dks, dvs), st
 
-            st = (rows, index, state, logits, tokens, out_pos, done,
+            st = (rows, index, dindex, state, logits, tokens, out_pos, done,
                   slot_req, q_head, comp_tokens, comp_meta, jnp.int32(0))
-            steps, (k_pool, v_pool), st = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), (k_pool, v_pool), st)
+            steps, (k_pool, v_pool, dk_pool, dv_pool), st = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), (k_pool, v_pool, dk_pool, dv_pool),
+                             st)
             )
-            (rows, index, state, logits, tokens, out_pos, done, slot_req,
-             q_head, comp_tokens, comp_meta, comp_count) = st
+            (rows, index, dindex, state, logits, tokens, out_pos, done,
+             slot_req, q_head, comp_tokens, comp_meta, comp_count) = st
             # Packed status: one device->host transfer tells the scheduler
             # everything (per-slot done/out_pos/state/request id/physical
             # row; row 4 broadcasts the executed step count).
@@ -680,17 +962,21 @@ class ContinuousBatcher:
                 [done.astype(jnp.int32), out_pos, state.astype(jnp.int32),
                  slot_req, jnp.full_like(out_pos, steps), rows]
             )
-            return (k_pool, v_pool, rows, index, state, logits, tokens,
-                    out_pos, done, slot_req, q_head, comp_tokens, comp_meta,
-                    comp_count, status)
+            return (k_pool, v_pool, dk_pool, dv_pool, rows, index, dindex,
+                    state, logits, tokens, out_pos, done, slot_req, q_head,
+                    comp_tokens, comp_meta, comp_count, status)
 
-        # Donate only buffers the program returns (pool + small decode state
-        # + completion buffers); the ring metadata is read-only inside the
-        # chunk and stays resident across calls. Arg order: params(0),
-        # k_pool..slot_req(1-10), q_index..q_phys(11-14), q_head/q_tail
-        # (15-16), comp_tokens/comp_meta(17-18), rng(19), n_steps(20).
+        # Donate only buffers the program returns (pools + small decode
+        # state + completion buffers); the ring metadata is read-only inside
+        # the chunk and stays resident across calls. Arg order: params(0),
+        # draft_params(1), k/v/dk/dv pools(2-5), rows(6), index(7),
+        # dindex(8), state..slot_req(9-14), q_index(15), q_dindex(16),
+        # q_logits(17), q_req(18), q_phys(19), q_head/q_tail(20-21),
+        # comp_tokens/comp_meta(22-23), rng(24), n_steps(25).
         return jax.jit(
-            chunk, donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 17, 18)
+            chunk,
+            donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                            22, 23),
         )
 
     def _free_rows(self) -> list[int]:
@@ -734,6 +1020,10 @@ class ContinuousBatcher:
             )
             frames = np.concatenate([frames, pad], axis=0)
         patches = engine.preprocess(frames)
+        draft_patches = (
+            engine._draft_patches(frames) if self.spec
+            else jnp.zeros((lanes, 0), jnp.float32)
+        )
         prompts = np.zeros((lanes, self.prompt_len), np.int32)
         buckets = np.full((lanes,), 128, np.int32)
         reqs = np.full((lanes,), -1, np.int32)
@@ -766,10 +1056,15 @@ class ContinuousBatcher:
         self._q_head = jnp.int32(0)
         self._q_tail = jnp.int32(take)
         self._q_head_host = 0
-        (self.cache["k"], self.cache["v"], self._q_index, self._q_logits,
+        (self.cache["k"], self.cache["v"], self.dcache["k"],
+         self.dcache["v"], self._q_index, self._q_dindex, self._q_logits,
          self._q_req, self._q_phys) = enqueue(
-            engine.params, self.cache["k"], self.cache["v"], self._q_index,
-            self._q_logits, self._q_req, self._q_phys, patches,
+            engine.params,
+            engine.draft_params if self.spec else {},
+            self.cache["k"], self.cache["v"],
+            self.dcache["k"], self.dcache["v"],
+            self._q_index, self._q_dindex, self._q_logits,
+            self._q_req, self._q_phys, patches, draft_patches,
             jnp.asarray(prompts), jnp.asarray(buckets), jnp.asarray(reqs),
             jnp.asarray(targets), jnp.int32(take),
         )
@@ -839,15 +1134,21 @@ class ContinuousBatcher:
             self._stage()
             self._rng, key = jax.random.split(self._rng)
             chunk_start = time.perf_counter()
-            (self.cache["k"], self.cache["v"], self.rows,
-             self.cache["index"], self.state, self.logits, self.tokens_out,
+            (self.cache["k"], self.cache["v"], self.dcache["k"],
+             self.dcache["v"], self.rows, self.cache["index"],
+             self.dcache["index"], self.state, self.logits, self.tokens_out,
              self.out_pos, self.done, self._slot_req, self._q_head,
              self._comp_tokens, self._comp_meta, comp_count, status) = (
                 self._decode_refill(
-                    self.engine.params, self.cache["k"], self.cache["v"],
-                    self.rows, self.cache["index"], self.state, self.logits,
+                    self.engine.params,
+                    self.engine.draft_params if self.spec else {},
+                    self.cache["k"], self.cache["v"],
+                    self.dcache["k"], self.dcache["v"],
+                    self.rows, self.cache["index"], self.dcache["index"],
+                    self.state, self.logits,
                     self.tokens_out, self.out_pos, self.done, self._slot_req,
-                    self._q_index, self._q_logits, self._q_req, self._q_phys,
+                    self._q_index, self._q_dindex, self._q_logits,
+                    self._q_req, self._q_phys,
                     self._q_head, self._q_tail,
                     self._comp_tokens, self._comp_meta, key,
                     jnp.int32(self._device_steps),
@@ -910,6 +1211,12 @@ class ContinuousBatcher:
     def _fill_slots(self) -> None:
         import heapq
 
+        if self.spec:
+            raise RuntimeError(
+                "host-path slot prefill has no draft prefill; speculative "
+                "batching stages requests through the device ring (submit + "
+                "run)"
+            )
         engine = self.engine
         for i, slot in enumerate(self._slots):
             if slot.request_id is not None or not self._queue:
