@@ -71,7 +71,7 @@ stage decode_spec_b16_k10 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
 stage decode_ablate_b32 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int8 \
   VTX_DB_VARIANTS=full,nogrammar,noforce,force4 python tools/decode_bench.py
 
-CKPT_DIR=data/checkpoints/base-zh-grounded-r3
+CKPT_DIR=${VTX_BASE_CKPT:-data/checkpoints/base-zh-grounded-r3}
 if [ -d "$CKPT_DIR" ]; then
   # One process, newest checkpoint first: restore() swaps params in place so
   # the minutes-long generate compile is paid once for the whole sweep, and
