@@ -40,7 +40,7 @@ log "tunnel UP: $(cat "$OUT/devices.txt")"
 
 # Optional wall-clock deadline (epoch seconds): stages are skipped once
 # passed, so the queue never collides with the driver's end-of-round bench.
-DEADLINE=${VTX_QUEUE_DEADLINE:-0}
+DEADLINE=${VTX_QUEUE_DEADLINE:-$(cat /root/repo/data/output/queue_deadline 2>/dev/null || echo 0)}
 
 stage() { # stage NAME TIMEOUT_S CMD...
   local name=$1 tmo=$2; shift 2

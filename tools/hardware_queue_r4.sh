@@ -35,7 +35,7 @@ then
 fi
 log "tunnel UP: $(cat "$OUT/devices.txt")"
 
-DEADLINE=${VTX_QUEUE_DEADLINE:-0}
+DEADLINE=${VTX_QUEUE_DEADLINE:-$(cat /root/repo/data/output/queue_deadline 2>/dev/null || echo 0)}
 
 stage() { # stage NAME TIMEOUT_S CMD...
   local name=$1 tmo=$2; shift 2
