@@ -237,6 +237,37 @@ def _decode_microbench(engine, batch: int = 16, repeats: int = 3) -> dict:
             "hbm_bw_util": round(bw_util, 4)}
 
 
+def _recent_decode_bench(backend: str, max_runs: int = 8) -> list[dict]:
+    """Compact view of the latest tools/decode_bench.py runs (appended to
+    data/output/decode_bench_runs.jsonl) so the official bench artifact
+    carries the ablation table, not just the fixed microbench row. Rows
+    from a different backend (e.g. a CPU smoke run) are excluded."""
+    path = Path(__file__).resolve().parent / "data/output/decode_bench_runs.jsonl"
+    if not path.exists():
+        return []
+    rows = []
+    for line in path.read_text().splitlines():
+        try:
+            run = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if run.get("backend") != backend:
+            continue
+        rows.append({
+            "batch": run.get("batch"),
+            "quant": run.get("quant"),
+            "spec_k": run.get("spec_k"),
+            "unix_time": run.get("unix_time"),
+            "variants": [
+                {k: v.get(k) for k in
+                 ("variant", "tok_per_s", "steps_per_s", "tok_per_step_row",
+                  "hbm_bw_util")}
+                for v in run.get("variants", [])
+            ],
+        })
+    return rows[-max_runs:]
+
+
 def run_once(engine, work_dir: Path, label: str):
     clip = work_dir / f"bench_{label}.y4m"
     synth_video(clip, VIDEO_SECONDS, FPS)
@@ -398,6 +429,7 @@ def main() -> int:
                         "model_params": n_params,
                         "mfu_decode": round(mfu_decode, 5),
                         "prompt_truncations": len(truncations),
+                        "decode_bench_recent": _recent_decode_bench(backend),
                     },
                 },
                 ensure_ascii=False,

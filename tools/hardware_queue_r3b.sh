@@ -70,6 +70,11 @@ stage decode_spec_b16_k10 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
   VTX_DB_VARIANTS=specself VTX_DB_SPEC_K=10 python tools/decode_bench.py
 stage decode_ablate_b32 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int8 \
   VTX_DB_VARIANTS=full,nogrammar,noforce,force4 python tools/decode_bench.py
+# Wide batch x speculative: the two levers compose — if neither alone
+# clears 8k tok/s (r3 verdict #5), this is the row that decides whether
+# the serving default becomes batch32+draft.
+stage decode_spec_b32 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=specself,spectiny VTX_DB_SPEC_K=6 python tools/decode_bench.py
 
 CKPT_DIR=${VTX_BASE_CKPT:-data/checkpoints/base-zh-grounded-r3}
 if [ -d "$CKPT_DIR" ]; then
@@ -150,31 +155,8 @@ if [ -e "$OUT/eval_base_r3.done" ]; then
     "$OUT/eval_base_r3.log"
 fi
 
-# Spare-time stages: resume the tiny-r3 retrain (killed at step 800 when a
-# prior container died — scores 0/16 undertrained) on the chip, then score
-# it. checkpoint-every 300 keeps partial progress if the timeout hits.
-stage train_tiny_r3 3300 python -m video_transformer_tpu.train.run \
-  --preset tiny --steps 2200 --batch 8 --text-len 2048 \
-  --grounded --grounded-cache 4096 --grounded-composite 0.35 \
-  --grounded-band 0.15 \
-  --tokenizer data/tokenizers/bpe-zh-2048.json \
-  --prompt-profile compact \
-  --init-from data/checkpoints/tiny-zh-grounded-r3/params_800 \
-  --out data/checkpoints/tiny-zh-grounded-r3b \
-  --checkpoint-every 300 --log-dir data/output/logs
-stage eval_tiny_r3 3600 bash -c "python -m video_transformer_tpu.train.eval_grounding \
-  --preset tiny --checkpoint data/checkpoints/tiny-zh-grounded-r3b \
-  --all-checkpoints \
-  --tokenizer data/tokenizers/bpe-zh-2048.json \
-  --topics 16 --composites 8 --batch 8 || true"
-# Re-measure speculative acceptance with the fresh 48-topic tiny draft:
-# the shipped tiny predates the topic-bank extension, so its proposals on
-# appended-topic content may under-accept against base-r3.
-if [ -d "$CKPT_DIR" ] && [ -d data/checkpoints/tiny-zh-grounded-r3b ]; then
-  stage spec_eval_r3b_draft 4800 env VTX_SPEC_K=6 VTX_SPEC_BATCH=8 \
-    VTX_SPEC_CLIPS=16 python tools/spec_eval.py \
-    --target "$CKPT_DIR" \
-    --draft data/checkpoints/tiny-zh-grounded-r3b \
-    --tokenizer data/tokenizers/bpe-zh-2048.json
-fi
+# (The tiny-r3 retrain + its eval + the fresh-draft spec_eval moved to the
+# END of tools/hardware_queue_r4.sh: they are spare-time stages, and with
+# one chip they must not starve the round-4 prompt-unification finetunes
+# and the final bench out of the deadline window.)
 log "queue complete"

@@ -108,4 +108,32 @@ fi
 
 stage bench_final 6000 python bench.py
 cp -f /tmp/bench_extras.json "$OUT/bench_final_extras.json" 2>/dev/null || true
+
+# ---- Spare-time stages (moved from hardware_queue_r3b.sh so they never
+# starve the finetunes/bench above): resume the tiny-r3 retrain (killed at
+# step 800 when a prior container died — scores 0/16 undertrained), score
+# it, and re-measure speculative acceptance with the fresh 48-topic draft
+# (the shipped tiny predates the topic-bank extension, so its proposals on
+# appended-topic content may under-accept against base-r3).
+stage train_tiny_r3 3300 python -m video_transformer_tpu.train.run \
+  --preset tiny --steps 2200 --batch 8 --text-len 2048 \
+  --grounded --grounded-cache 4096 --grounded-composite 0.35 \
+  --grounded-band 0.15 \
+  --tokenizer $TOK \
+  --prompt-profile compact \
+  --init-from data/checkpoints/tiny-zh-grounded-r3/params_800 \
+  --out data/checkpoints/tiny-zh-grounded-r3b \
+  --checkpoint-every 300 --log-dir data/output/logs
+stage eval_tiny_r3 3600 bash -c "python -m video_transformer_tpu.train.eval_grounding \
+  --preset tiny --checkpoint data/checkpoints/tiny-zh-grounded-r3b \
+  --all-checkpoints \
+  --tokenizer $TOK \
+  --topics 16 --composites 8 --batch 8 || true"
+if [ -d "$BASE_INIT" ] && [ -d data/checkpoints/tiny-zh-grounded-r3b ]; then
+  stage spec_eval_r3b_draft 4800 env VTX_SPEC_K=6 VTX_SPEC_BATCH=8 \
+    VTX_SPEC_CLIPS=16 python tools/spec_eval.py \
+    --target "$BASE_INIT" \
+    --draft data/checkpoints/tiny-zh-grounded-r3b \
+    --tokenizer $TOK
+fi
 log "queue complete"
