@@ -48,7 +48,27 @@ stage() { # stage NAME TIMEOUT_S CMD...
     touch "$OUT/$name.done"; log "done $name: $(tail -1 "$OUT/$name.log")"
   else
     log "FAIL $name (exit $?; tail): $(tail -3 "$OUT/$name.log" | tr '\n' ' ')"
+    # A downed tunnel hangs jax.devices() in every later stage, burning each
+    # stage's FULL timeout. After any failure, probe once; if the tunnel is
+    # down, poll until it answers (or the deadline passes) so the queue
+    # resumes the moment the chip is back instead of bleeding hours.
+    until probe_tunnel; do
+      if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -gt "$DEADLINE" ]; then
+        log "tunnel down after $name and deadline passed; abandoning queue"
+        return 1
+      fi
+      log "tunnel down after $name; re-probing in 300s"
+      sleep 300
+    done
   fi
+}
+
+probe_tunnel() {
+  timeout 240 python - >/dev/null 2>&1 <<'PROBE'
+import jax
+ds = jax.devices()
+assert ds and ds[0].platform != "cpu", ds
+PROBE
 }
 
 TOK=data/tokenizers/bpe-zh-2048.json
