@@ -166,18 +166,28 @@ class TestQuantizedEngine:
         import orbax.checkpoint as ocp
 
         config = __graft_entry__._tiny_config()
+        # The donor stands in for the trainer: checkpoints on disk carry the
+        # UNFUSED f32 layout (projection fusion is a serve-time transform),
+        # so the donor must not fuse or its saved tree would not match the
+        # engine's restore template.
         donor = InferenceEngine(
-            config, max_new_tokens=8, seed=5, compilation_cache_dir=None
+            config, max_new_tokens=8, seed=5, compilation_cache_dir=None,
+            fuse_projections=False,
         )
         ckpt = tmp_path / "params_1"
         with ocp.StandardCheckpointer() as checkpointer:
             checkpointer.save(str(ckpt), donor.params)
 
         engine.restore(str(tmp_path))
-        k = engine.params["params"]["decoder"]["layer_0"]["attn"]["q"]["kernel"]
+        # The serving engine re-applies BOTH transforms on restore: int8
+        # quantization and the projection fusion (q columns are the first
+        # q_dim of the fused qkv kernel).
+        attn = engine.params["params"]["decoder"]["layer_0"]["attn"]
+        q_dim = config.decoder.num_heads * config.decoder.head_dim
+        k = attn["qkv_kernel"][:, :q_dim]
         assert k.dtype == jnp.int8
         donor_k = donor.params["params"]["decoder"]["layer_0"]["attn"]["q"]["kernel"]
-        scale = engine.params["quant"]["decoder"]["layer_0"]["attn"]["q"]["scale"]
+        scale = engine.params["quant"]["decoder"]["layer_0"]["attn"]["qkv_scale"][:q_dim]
         dequant = np.asarray(k, np.float32) * np.asarray(scale)[None, :]
         np.testing.assert_allclose(
             dequant, np.asarray(donor_k, np.float32), atol=np.asarray(scale).max()

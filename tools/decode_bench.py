@@ -5,6 +5,8 @@ Times the engine's real constrained decode at a fixed token budget (argmax
 sampling, grammar on), then ablates one ingredient at a time:
 
   full        : grammar + forced fast-forward + sampling (the serving path)
+  nofuse      : full path with serve-time projection fusion disabled
+                (models/fuse.py — quantifies the dispatch-count win)
   nogrammar   : plain EOS-terminated sampling (table=None, block_width=1)
   noforce     : grammar but max_forced_run=0 (block_width=1)
   forceN      : grammar with max_forced_run=N (e.g. force4) — the block
@@ -60,7 +62,12 @@ PEAK_HBM = float(os.environ.get("VTX_HBM_PEAK_GBPS", "478")) * 1e9
 SPEC_K = int(os.environ.get("VTX_DB_SPEC_K", "6"))
 
 
-def build_engine(max_forced_run: int, use_dfa: bool, spec: str | None = None):
+def build_engine(
+    max_forced_run: int,
+    use_dfa: bool,
+    spec: str | None = None,
+    fuse: bool | None = None,
+):
     import jax
 
     from video_transformer_tpu.analyzer.schema import note_dfa
@@ -82,6 +89,7 @@ def build_engine(max_forced_run: int, use_dfa: bool, spec: str | None = None):
         seed=0,
         param_dtype="bfloat16",
         quantize=QUANT,
+        fuse_projections=fuse,
     )
     if spec == "self":
         # Full acceptance ceiling: the draft serves the target's own
@@ -106,12 +114,25 @@ def build_engine(max_forced_run: int, use_dfa: bool, spec: str | None = None):
 
 
 def weight_bytes(engine) -> int:
+    """Bytes one decode step streams from HBM: the DECODER subtree only
+    (int8 kernels + scales + bf16 norms/embeds). The vision encoder
+    (0.41 GB at base) is resident but never read during decode — counting
+    it (as this tool did through round 3) inflated hbm_bw_util ~2.1x;
+    measured at base/int8 the true stream is 0.367 GB/step, so the
+    weight-stream floor is ~1,300 steps/s, not ~613 (docs/roofline.md)."""
     import jax
 
     total = 0
-    for leaf in jax.tree_util.tree_leaves(engine.params):
-        if hasattr(leaf, "nbytes"):
-            total += int(leaf.nbytes)
+    for collection in engine.params.values():
+        if not isinstance(collection, dict):
+            continue
+        decoder = collection.get("decoder")
+        if decoder is not None:
+            total += sum(
+                int(leaf.nbytes)
+                for leaf in jax.tree_util.tree_leaves(decoder)
+                if hasattr(leaf, "nbytes")
+            )
     return total
 
 
@@ -151,7 +172,12 @@ def run_variant(name: str) -> dict:
 def _run_variant_body(name: str, forced: int, use_dfa: bool, spec: str | None) -> dict:
     import jax
 
-    engine = build_engine(max_forced_run=forced, use_dfa=use_dfa, spec=spec)
+    # "nofuse": serving path with the per-projection (unfused) matmuls —
+    # quantifies the models/fuse.py dispatch-count win on hardware.
+    engine = build_engine(
+        max_forced_run=forced, use_dfa=use_dfa, spec=spec,
+        fuse=False if name == "nofuse" else None,
+    )
 
     prompt = "请根据视频内容生成结构化笔记。" * 4
     prompts = [prompt] * BATCH

@@ -79,7 +79,7 @@ PROBE
 # Block-width ablation FIRST: fast, and its result decides the serving
 # max_forced_run default before the official bench stages run.
 stage decode_ablate_b16 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
-  VTX_DB_VARIANTS=full,nogrammar,noforce,force4,ref_attn \
+  VTX_DB_VARIANTS=full,nofuse,nogrammar,noforce,force4,ref_attn \
   python tools/decode_bench.py
 # Speculative-decoding mechanism bounds (random weights): specself is the
 # acceptance~1 ceiling, spectiny the acceptance~0 floor. The real

@@ -112,6 +112,34 @@ class QDense(nn.Module):
         return y
 
 
+def _fused_dense(
+    mod: nn.Module,
+    x: jax.Array,
+    dtype: Any,
+    kernel_name: str,
+    scale_name: str,
+    bias_name: str | None = None,
+) -> jax.Array:
+    """One wide matmul over a serve-time fused kernel (models/fuse.py).
+
+    Mirrors QDense exactly — int4 packed-carrier dispatch, per-output-channel
+    dequant scale epilogue, bias after the scale — just reading the fused
+    leaf installed at the caller's scope instead of a per-projection
+    submodule."""
+    kernel = mod.get_variable("params", kernel_name)
+    if kernel.dtype == jnp.uint8:  # packed int4 (models/quant.py)
+        from ..ops.int4_matmul import int4_matmul
+
+        y = int4_matmul(x.astype(dtype), kernel).astype(dtype)
+    else:
+        y = x.astype(dtype) @ kernel.astype(dtype)
+    if mod.has_variable("quant", scale_name):
+        y = y * mod.get_variable("quant", scale_name).astype(dtype)
+    if bias_name is not None and mod.has_variable("params", bias_name):
+        y = y + mod.get_variable("params", bias_name).astype(dtype)
+    return y
+
+
 class Attention(nn.Module):
     config: DecoderConfig
     layer_idx: int
@@ -134,11 +162,21 @@ class Attention(nn.Module):
         # split incorrectly under tensor parallelism).
         q_dim = cfg.num_heads * cfg.head_dim
         kv_dim = cfg.num_kv_heads * cfg.head_dim
-        # Qwen2-family checkpoints add q/k/v biases BEFORE RoPE: the k-bias
-        # gets rotated per position, so it must live here, not be folded.
-        q = QDense(q_dim, dtype=dtype, use_bias=cfg.qkv_bias, name="q")(x)
-        k = QDense(kv_dim, dtype=dtype, use_bias=cfg.qkv_bias, name="k")(x)
-        v = QDense(kv_dim, dtype=dtype, use_bias=cfg.qkv_bias, name="v")(x)
+        if self.has_variable("params", "qkv_kernel"):
+            # Serve-time fused projection (models/fuse.py): one wide matmul
+            # dispatch instead of three narrow ones. Column-wise identical
+            # math; split recovers q/k/v.
+            qkv = _fused_dense(
+                self, x, dtype, "qkv_kernel", "qkv_scale", "qkv_bias"
+            )
+            q, k, v = jnp.split(qkv, [q_dim, q_dim + kv_dim], axis=-1)
+        else:
+            # Qwen2-family checkpoints add q/k/v biases BEFORE RoPE: the
+            # k-bias gets rotated per position, so it must live here, not
+            # be folded.
+            q = QDense(q_dim, dtype=dtype, use_bias=cfg.qkv_bias, name="q")(x)
+            k = QDense(kv_dim, dtype=dtype, use_bias=cfg.qkv_bias, name="k")(x)
+            v = QDense(kv_dim, dtype=dtype, use_bias=cfg.qkv_bias, name="v")(x)
         q = q.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -199,8 +237,12 @@ class SwiGLU(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.config
         dtype = x.dtype
-        gate = QDense(cfg.mlp_dim, dtype=dtype, name="gate")(x)
-        up = QDense(cfg.mlp_dim, dtype=dtype, name="up")(x)
+        if self.has_variable("params", "gateup_kernel"):
+            gateup = _fused_dense(self, x, dtype, "gateup_kernel", "gateup_scale")
+            gate, up = jnp.split(gateup, [cfg.mlp_dim], axis=-1)
+        else:
+            gate = QDense(cfg.mlp_dim, dtype=dtype, name="gate")(x)
+            up = QDense(cfg.mlp_dim, dtype=dtype, name="up")(x)
         return QDense(cfg.hidden_dim, dtype=dtype, name="down")(
             nn.silu(gate) * up
         )

@@ -15,6 +15,7 @@ round-trip.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Any
@@ -149,6 +150,7 @@ class InferenceEngine:
         tokenizer: Any = None,
         param_dtype: str | None = None,
         quantize: str | None = None,
+        fuse_projections: bool | None = None,
     ):
         """``structure_bias`` is a length-control logit bias added to JSON
         closing tokens (quote/bracket/brace/EOS) — positive values steer
@@ -187,6 +189,19 @@ class InferenceEngine:
         if quantize not in (None, "int8", "int4"):
             raise ValueError(f"unsupported quantize mode: {quantize!r}")
         self.quantize = quantize
+        # Serve-time projection fusion (models/fuse.py): one qkv and one
+        # gate/up matmul dispatch per block instead of three/two — decode is
+        # per-op-launch bound, not bandwidth bound (docs/roofline.md). Only
+        # legal when the 'model' mesh axis is trivial (the fused concat does
+        # not shard under tensor parallelism). Default (None) = auto: fuse
+        # whenever legal; VTX_FUSE_PROJ=0/1 overrides for ablations.
+        model_axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get(
+            "model", 1
+        )
+        if fuse_projections is None:
+            env = os.environ.get("VTX_FUSE_PROJ", "")
+            fuse_projections = env != "0" if env else True
+        self.fuse_projections = bool(fuse_projections) and model_axis == 1
 
         if params is None:
             params = self.model.init_variables(jax.random.PRNGKey(seed))
@@ -283,9 +298,17 @@ class InferenceEngine:
 
     def _place_draft(self, params: Any) -> Any:
         """Serve the draft bf16/f32 (no quantization — it is small enough
-        that the unpack would cost more than the stream it saves)."""
+        that the unpack would cost more than the stream it saves). The
+        projection fusion DOES apply: the draft's sequential decode steps
+        are the most op-launch-bound programs in speculative serving."""
         params = self._cast_params(params)
-        return jax.device_put(params, param_shardings(self.mesh, params))
+        if not self.fuse_projections:
+            return jax.device_put(params, param_shardings(self.mesh, params))
+        from ..models.fuse import fuse_projections
+
+        struct = jax.eval_shape(fuse_projections, params)
+        shardings = param_shardings(self.mesh, struct)
+        return jax.jit(fuse_projections, out_shardings=shardings)(params)
 
     def restore_draft(self, checkpoint_path: str) -> None:
         """Restore draft parameters from an orbax checkpoint (params_N dir
@@ -332,18 +355,21 @@ class InferenceEngine:
         at any executable boundary; see models/quant.py.)
         """
         params = self._cast_params(params)
-        if not self.quantize:
+        if not self.quantize and not self.fuse_projections:
             return jax.device_put(params, param_shardings(self.mesh, params))
+        from ..models.fuse import fuse_projections
         from ..models.quant import quantize_decoder
 
-        struct = jax.eval_shape(
-            lambda p: quantize_decoder(p, self.quantize), params
-        )
+        def transform(p):
+            if self.quantize:
+                p = quantize_decoder(p, self.quantize)
+            if self.fuse_projections:
+                p = fuse_projections(p)
+            return p
+
+        struct = jax.eval_shape(transform, params)
         shardings = param_shardings(self.mesh, struct)
-        return jax.jit(
-            lambda p: quantize_decoder(p, self.quantize),
-            out_shardings=shardings,
-        )(params)
+        return jax.jit(transform, out_shardings=shardings)(params)
 
     def close_bias_array(self) -> jax.Array | None:
         """Length-control logit bias toward JSON closing tokens (or None).
