@@ -179,15 +179,21 @@ class TestQuantizedEngine:
             checkpointer.save(str(ckpt), donor.params)
 
         engine.restore(str(tmp_path))
-        # The serving engine re-applies BOTH transforms on restore: int8
-        # quantization and the projection fusion (q columns are the first
-        # q_dim of the fused qkv kernel).
+        # The serving engine re-applies its transforms on restore. When
+        # projection fusion is active (engine.fuse_projections) the q
+        # columns are the first q_dim of the fused qkv kernel; otherwise
+        # the per-projection layout survives.
         attn = engine.params["params"]["decoder"]["layer_0"]["attn"]
+        qattn = engine.params["quant"]["decoder"]["layer_0"]["attn"]
         q_dim = config.decoder.num_heads * config.decoder.head_dim
-        k = attn["qkv_kernel"][:, :q_dim]
+        if engine.fuse_projections:
+            k = attn["qkv_kernel"][:, :q_dim]
+            scale = qattn["qkv_scale"][:q_dim]
+        else:
+            k = attn["q"]["kernel"]
+            scale = qattn["q"]["scale"]
         assert k.dtype == jnp.int8
         donor_k = donor.params["params"]["decoder"]["layer_0"]["attn"]["q"]["kernel"]
-        scale = engine.params["quant"]["decoder"]["layer_0"]["attn"]["qkv_scale"][:q_dim]
         dequant = np.asarray(k, np.float32) * np.asarray(scale)[None, :]
         np.testing.assert_allclose(
             dequant, np.asarray(donor_k, np.float32), atol=np.asarray(scale).max()

@@ -5,8 +5,8 @@ Times the engine's real constrained decode at a fixed token budget (argmax
 sampling, grammar on), then ablates one ingredient at a time:
 
   full        : grammar + forced fast-forward + sampling (the serving path)
-  nofuse      : full path with serve-time projection fusion disabled
-                (models/fuse.py — quantifies the dispatch-count win)
+  fused/nofuse: full path with serve-time projection fusion (models/
+                fuse.py) forced on/off — measured neutral at b16, default off
   nogrammar   : plain EOS-terminated sampling (table=None, block_width=1)
   noforce     : grammar but max_forced_run=0 (block_width=1)
   forceN      : grammar with max_forced_run=N (e.g. force4) — the block
@@ -172,11 +172,13 @@ def run_variant(name: str) -> dict:
 def _run_variant_body(name: str, forced: int, use_dfa: bool, spec: str | None) -> dict:
     import jax
 
-    # "nofuse": serving path with the per-projection (unfused) matmuls —
-    # quantifies the models/fuse.py dispatch-count win on hardware.
+    # "fused"/"nofuse": force projection fusion (models/fuse.py) on/off
+    # regardless of the engine default — measured NEUTRAL at base/int8 b16
+    # (296.6 fused vs 301.0 unfused steps/s, 2026-08-20), so the default is
+    # off; the variants keep the ablation reproducible.
     engine = build_engine(
         max_forced_run=forced, use_dfa=use_dfa, spec=spec,
-        fuse=False if name == "nofuse" else None,
+        fuse={"fused": True, "nofuse": False}.get(name),
     )
 
     prompt = "请根据视频内容生成结构化笔记。" * 4

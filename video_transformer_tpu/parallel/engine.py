@@ -190,17 +190,20 @@ class InferenceEngine:
             raise ValueError(f"unsupported quantize mode: {quantize!r}")
         self.quantize = quantize
         # Serve-time projection fusion (models/fuse.py): one qkv and one
-        # gate/up matmul dispatch per block instead of three/two — decode is
-        # per-op-launch bound, not bandwidth bound (docs/roofline.md). Only
-        # legal when the 'model' mesh axis is trivial (the fused concat does
-        # not shard under tensor parallelism). Default (None) = auto: fuse
-        # whenever legal; VTX_FUSE_PROJ=0/1 overrides for ablations.
+        # gate/up matmul dispatch per block instead of three/two. MEASURED
+        # NEUTRAL on-chip (decode_ablate_b16, 2026-08-20: fused 296.6 vs
+        # unfused 301.0 steps/s at base/int8 b16) — within-program op launch
+        # is NOT the decode residual; narrow-M matmul streaming occupancy
+        # is (docs/roofline.md). Default OFF; kept as an opt-in
+        # (VTX_FUSE_PROJ=1 or kwarg) so the ablation stays reproducible on
+        # future parts where launch overhead may differ. Only legal when
+        # the 'model' mesh axis is trivial (the fused concat does not shard
+        # under tensor parallelism).
         model_axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get(
             "model", 1
         )
         if fuse_projections is None:
-            env = os.environ.get("VTX_FUSE_PROJ", "")
-            fuse_projections = env != "0" if env else True
+            fuse_projections = os.environ.get("VTX_FUSE_PROJ", "") == "1"
         self.fuse_projections = bool(fuse_projections) and model_axis == 1
 
         if params is None:
