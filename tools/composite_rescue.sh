@@ -14,6 +14,9 @@ cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 EVAL_LOG=$1
 OUT=${2:-data/checkpoints/base-zh-grounded-r3c}
+# Deadline pressure knob: fewer steps trades rescue depth for leaving room
+# for the round-4 finetunes behind it on the one chip (~11 s/step at base).
+STEPS=${VTX_RESCUE_STEPS:-600}
 
 read -r BEST_CKPT COMP_HITS COMP_TOTAL <<EOF
 $(python - "$EVAL_LOG" <<'PY'
@@ -53,7 +56,7 @@ if [ "$COMP_HITS" -ge 6 ]; then
 fi
 
 python -m video_transformer_tpu.train.run \
-  --preset base --steps 600 --batch 8 --text-len 2048 --lr 1e-4 \
+  --preset base --steps "$STEPS" --batch 8 --text-len 2048 --lr 1e-4 \
   --grounded --grounded-cache 4096 --grounded-composite 0.6 \
   --grounded-band 0.2 \
   --tokenizer data/tokenizers/bpe-zh-2048.json \

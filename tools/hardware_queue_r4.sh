@@ -79,6 +79,22 @@ TOK=data/tokenizers/bpe-zh-2048.json
 SPEC_LEN=3712
 TEXT_LEN=4736
 
+# Wide-batch decode rows FIRST (fast, and they are the r3-verdict-#5 "8k
+# tok/s" decision data): aggregate tok/s kept climbing 16->32 (5637->6379)
+# while decode stays op-bound, so the remaining lever is rows per dispatch.
+stage decode_ablate_b64 4800 env VTX_DB_BATCH=64 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=full,force4,nogrammar python tools/decode_bench.py
+stage decode_ablate_b128 4800 env VTX_DB_BATCH=128 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=full,force4 python tools/decode_bench.py
+
+# Composite-grounding rescue next (moved from hardware_queue_r3b.sh so the
+# one chip serves the round's biggest quality gap before the nice-to-have
+# finetunes): base-r3 params_3000 scored 13/16 single but 1/8 composite —
+# the rescue doubles the composite mix from the best checkpoint.
+stage composite_rescue 7200 env VTX_RESCUE_STEPS=450 \
+  bash tools/composite_rescue.sh \
+  /root/repo/data/output/hwq_r4drive/r3b/eval_base_r3.log
+
 TINY_INIT=data/checkpoints/tiny-zh-grounded
 [ -d data/checkpoints/tiny-zh-grounded-r3b ] && TINY_INIT=data/checkpoints/tiny-zh-grounded-r3b
 stage train_spec_tiny 3600 python -m video_transformer_tpu.train.run \
@@ -101,6 +117,12 @@ if [ -d data/checkpoints/tiny-zh-grounded-r4mix ]; then
     --all-checkpoints --prompt-profile compact \
     --tokenizer $TOK --topics 16 --composites 8 --batch 8 || true"
 fi
+
+# Official bench BEFORE the base finetune: the serving defaults are decided
+# by this point and the record must not be hostage to a 75-minute training
+# stage racing the deadline.
+stage bench_final 6000 python bench.py
+cp -f /tmp/bench_extras.json "$OUT/bench_final_extras.json" 2>/dev/null || true
 
 BASE_INIT=${VTX_BASE_CKPT:-data/checkpoints/base-zh-grounded-r3}
 if [ -d "$BASE_INIT" ]; then
@@ -125,9 +147,6 @@ if [ -d data/checkpoints/base-zh-grounded-r4mix ]; then
     --all-checkpoints --prompt-profile compact \
     --tokenizer $TOK --topics 16 --composites 8 --batch 8 || true"
 fi
-
-stage bench_final 6000 python bench.py
-cp -f /tmp/bench_extras.json "$OUT/bench_final_extras.json" 2>/dev/null || true
 
 # ---- Spare-time stages (moved from hardware_queue_r3b.sh so they never
 # starve the finetunes/bench above): resume the tiny-r3 retrain (killed at
