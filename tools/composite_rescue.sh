@@ -55,6 +55,19 @@ if [ "$COMP_HITS" -ge 6 ]; then
   exit 0
 fi
 
+# Teacher COMPOSITE notes run to 1,189 BPE tokens (extra secondary-topic
+# chapter; measured 2026-08-20), above eval_grounding's default 1024-token
+# generation cap — a cap-truncated note scores "parse" no matter how well
+# it grounds. Score composites at 1536 so the measurement sees the whole
+# note, and score the UNRESCUED init checkpoint at the same cap first: the
+# rescue delta must not be confounded with the cap change.
+EVAL_CAP=1536
+
+python -m video_transformer_tpu.train.eval_grounding \
+  --preset base --checkpoint "$BEST_CKPT" --max-new-tokens $EVAL_CAP \
+  --tokenizer data/tokenizers/bpe-zh-2048.json \
+  --topics 16 --composites 8 --batch 8 || true
+
 python -m video_transformer_tpu.train.run \
   --preset base --steps "$STEPS" --batch 8 --text-len 2048 --lr 1e-4 \
   --grounded --grounded-cache 4096 --grounded-composite 0.6 \
@@ -66,6 +79,6 @@ python -m video_transformer_tpu.train.run \
   --checkpoint-every 300 --log-dir data/output/logs
 
 python -m video_transformer_tpu.train.eval_grounding \
-  --preset base --checkpoint "$OUT" --all-checkpoints \
+  --preset base --checkpoint "$OUT" --all-checkpoints --max-new-tokens $EVAL_CAP \
   --tokenizer data/tokenizers/bpe-zh-2048.json \
   --topics 16 --composites 8 --batch 8 || true
