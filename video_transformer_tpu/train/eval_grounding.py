@@ -210,7 +210,12 @@ def main(argv: list[str] | None = None) -> int:
              "'all': re-score every topic on out-of-distribution clips",
     )
     parser.add_argument("--batch", type=int, default=4)
-    parser.add_argument("--max-new-tokens", type=int, default=1024)
+    # Generation cap 1536, NOT 1024: teacher composite notes run to 1,189
+    # BPE tokens and models free-run longer than their teachers — at 1024
+    # the cap truncated notes into "parse" misses (base-r3 params_3000
+    # scored 13/16 single at 1024 vs 15/16 at 1536 on identical clips,
+    # 2026-08-20). Scores at different caps are not comparable.
+    parser.add_argument("--max-new-tokens", type=int, default=1536)
     parser.add_argument("--temperature", type=float, default=0.7)
     parser.add_argument("--quantize", default=None, choices=["int8", "int4"])
     parser.add_argument(
