@@ -38,8 +38,14 @@ stage() {
 }
 
 stage decode_b32_force 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int8 \
-  VTX_DB_VARIANTS=full,force4,force8 python tools/decode_bench.py
+  VTX_DB_VARIANTS=full,force2,force4,force8 python tools/decode_bench.py
 stage decode_b32_spec 4800 env VTX_DB_BATCH=32 VTX_DB_QUANT=int8 \
   VTX_DB_VARIANTS=specself VTX_DB_SPEC_K=6 python tools/decode_bench.py
+
+# The b64/b128 rows showed narrower forced blocks winning more the wider
+# the batch (force4 +25% at b128); if force2 beats force4 at b32 above,
+# this row is the aggregate-throughput headline candidate.
+stage decode_b128_force2 4800 env VTX_DB_BATCH=128 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=force2 python tools/decode_bench.py
 
 log "extras complete"
