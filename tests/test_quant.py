@@ -312,3 +312,87 @@ class TestInt4:
         spread = float(jnp.std(f32))
         assert err8 < 0.2 * spread
         assert err4 < 0.6 * spread
+
+
+class TestHostQuantPlacement:
+    """Huge host trees are quantized on the HOST before placement.
+
+    The fused-jit _place path stages the full-precision source on the chip
+    next to its quantized result; at 7b geometry that is ~24 GB of HBM and
+    dies with RESOURCE_EXHAUSTED on a 16 GB part (observed by the round-4
+    on-chip 152k-grammar gate). models/quant.py therefore handles numpy
+    leaves without touching the device, and InferenceEngine._place routes
+    host trees above _HOST_QUANT_BYTES through it. These tests pin the two
+    paths to IDENTICAL served parameters.
+    """
+
+    def _host_variables(self, config):
+        from video_transformer_tpu.models.vlm import VideoLM
+
+        variables = VideoLM(config).init_variables(jax.random.PRNGKey(0))
+        return jax.tree_util.tree_map(np.asarray, variables)
+
+    @pytest.mark.parametrize("mode", ["int8", "int4"])
+    def test_host_numpy_quantize_matches_device(self, mode):
+        from video_transformer_tpu.models.quant import quantize_decoder
+
+        config = __graft_entry__._tiny_config()
+        host = self._host_variables(config)
+        device = jax.tree_util.tree_map(jnp.asarray, host)
+        q_host = quantize_decoder(host, mode)
+        q_dev = quantize_decoder(device, mode)
+        flat_host, def_host = jax.tree_util.tree_flatten(q_host)
+        flat_dev, def_dev = jax.tree_util.tree_flatten(q_dev)
+        assert def_host == def_dev
+        for a, b in zip(flat_host, flat_dev):
+            # The host path must never create device arrays (that is the
+            # whole point: no HBM is committed before placement).
+            assert not isinstance(a, jax.Array)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_place_host_path_serves_identical_params(self, monkeypatch):
+        import video_transformer_tpu.parallel.engine as engine_mod
+
+        config = __graft_entry__._tiny_config()
+        host = self._host_variables(config)
+
+        def build():
+            return InferenceEngine(
+                config,
+                dfa=_compact_dfa(),
+                max_new_tokens=64,
+                temperature=0.7,
+                seed=0,
+                compilation_cache_dir=None,
+                quantize="int8",
+                params=jax.tree_util.tree_map(np.copy, host),
+            )
+
+        jit_engine = build()
+        monkeypatch.setattr(engine_mod, "_HOST_QUANT_BYTES", 0)
+        host_engine = build()
+
+        flat_jit, def_jit = jax.tree_util.tree_flatten(jit_engine.params)
+        flat_host, def_host = jax.tree_util.tree_flatten(host_engine.params)
+        assert def_jit == def_host
+        for a, b in zip(flat_jit, flat_host):
+            assert a.dtype == b.dtype
+            if np.issubdtype(a.dtype, np.integer):
+                # Quantized kernels must agree exactly.
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            else:
+                # Scales may differ in the last float32 bit: XLA rewrites
+                # the jitted /qmax into a reciprocal multiply.
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32),
+                    np.asarray(b, np.float32),
+                    rtol=2e-6,
+                    atol=0,
+                )
+
+        # And the host-placed engine actually serves.
+        frames = np.random.default_rng(0).integers(
+            0, 255, (1, 4, 64, 64, 3), dtype=np.uint8
+        )
+        texts = host_engine.generate(frames, ["分析"], prompt_len=16)
+        assert len(texts) == 1

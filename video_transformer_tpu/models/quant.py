@@ -43,6 +43,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "quantize_decoder_int8",
@@ -64,7 +65,17 @@ _QUANT_QMAX = {"int8": 127, "int4": 7}
 def _quantize_kernel(
     kernel: jax.Array, dtype=jnp.int8, qmax: int = 127
 ) -> tuple[jax.Array, jax.Array]:
-    """[in, out] kernel -> (quantized kernel, f32 scale [out])."""
+    """[in, out] kernel -> (quantized kernel, f32 scale [out]).
+
+    Works on host numpy arrays WITHOUT touching the device: quantizing a
+    multi-GB checkpoint must be possible before any HBM is committed (the
+    7b-on-one-chip path OOMs if the bf16 source tree ever lands on the
+    chip alongside its int8 result — see InferenceEngine._place)."""
+    if isinstance(kernel, np.ndarray):
+        w = kernel.astype(np.float32)
+        scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / qmax
+        q = np.clip(np.round(w / scale[None, :]), -qmax, qmax).astype(dtype)
+        return q, scale.astype(np.float32)
     w = kernel.astype(jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / qmax
     q = jnp.clip(jnp.round(w / scale[None, :]), -qmax, qmax).astype(dtype)
@@ -76,8 +87,11 @@ def pack_int4(q: jax.Array) -> jax.Array:
 
     Row 2k lands in the LOW nibble, row 2k+1 in the HIGH nibble (two's
     complement). ``in`` must be even (every decoder dim is a multiple of
-    128)."""
+    128). Host numpy input stays on the host (see _quantize_kernel)."""
     assert q.shape[0] % 2 == 0, q.shape
+    if isinstance(q, np.ndarray):
+        u = q.astype(np.uint8) & 0xF
+        return u[0::2] | (u[1::2] << 4)
     u = q.astype(jnp.uint8) & 0xF
     return u[0::2] | (u[1::2] << 4)
 

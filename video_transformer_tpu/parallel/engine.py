@@ -37,6 +37,13 @@ from .sharding import param_shardings
 
 __all__ = ["InferenceEngine", "EngineStats", "EngineSession"]
 
+# Above this many bytes, a host-resident tree is quantized on the HOST
+# before placement (see _place): the fused-jit path stages source + result
+# on the chip simultaneously, which a 7b bf16 tree cannot afford.
+_HOST_QUANT_BYTES = int(
+    os.environ.get("VTX_HOST_QUANT_BYTES", str(4 * 1024**3))
+)
+
 
 def _round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
@@ -356,12 +363,40 @@ class InferenceEngine:
         quantizes and places everything device-side. (int4 avoids XLA's
         sub-byte s4 dtype entirely — the axon backend cannot relayout s4
         at any executable boundary; see models/quant.py.)
+
+        EXCEPT for huge host trees: the jit stages the full-precision
+        source onto the chip next to its quantized result, so a 7b bf16
+        tree (~15 GB) peaks at ~24 GB of HBM and dies with
+        RESOURCE_EXHAUSTED on a 16 GB part (observed: the 152k-grammar
+        on-chip gate, round 4). When the source leaves are host numpy and
+        the cast tree exceeds _HOST_QUANT_BYTES, quantize on the HOST
+        (models/quant.py handles numpy leaves without touching the device)
+        and device_put only the quantized result — which also halves the
+        bytes pushed through the tunnel.
         """
         params = self._cast_params(params)
         if not self.quantize and not self.fuse_projections:
             return jax.device_put(params, param_shardings(self.mesh, params))
         from ..models.fuse import fuse_projections
         from ..models.quant import quantize_decoder
+
+        leaves = jax.tree_util.tree_leaves(params)
+        if (
+            self.quantize
+            and sum(getattr(leaf, "nbytes", 0) for leaf in leaves)
+            > _HOST_QUANT_BYTES
+            and all(isinstance(leaf, np.ndarray) for leaf in leaves)
+        ):
+            params = quantize_decoder(params, self.quantize)  # host-side
+            if not self.fuse_projections:
+                return jax.device_put(
+                    params, param_shardings(self.mesh, params)
+                )
+            struct = jax.eval_shape(fuse_projections, params)
+            shardings = param_shardings(self.mesh, struct)
+            return jax.jit(
+                fuse_projections, out_shardings=shardings, donate_argnums=0
+            )(params)
 
         def transform(p):
             if self.quantize:
