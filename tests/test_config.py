@@ -28,6 +28,13 @@ def test_default_config_loads():
     assert "base-zh-grounded-r3c" in config["engine"]["checkpoint_dir"]
     assert config["engine"]["mesh"]["model"] == 1
     assert config["analyzer"]["long_video"]["default_segment_seconds"] == 480
+    # Serving defaults decided by the round-4 on-chip ablations
+    # (docs/roofline.md): narrow grammar fast-forward blocks, speculative
+    # draft off at batch serving, auto continuous batching.
+    assert config["engine"]["max_forced_run"] == 2
+    assert config["engine"]["draft"]["model_preset"] is None
+    assert config["engine"]["draft"]["spec_tokens"] == 6
+    assert config["analyzer"]["long_video"]["continuous_batching"] == "auto"
 
 
 def test_production_note_style_defaults():

@@ -150,7 +150,7 @@ class InferenceEngine:
         max_new_tokens: int = 1024,
         temperature: float = 0.7,
         structure_bias: float = 0.0,
-        max_forced_run: int = 12,
+        max_forced_run: int = 2,
         seed: int = 0,
         params: Any = None,
         compilation_cache_dir: str | None = "./data/cache/jax",
@@ -162,7 +162,17 @@ class InferenceEngine:
         """``structure_bias`` is a length-control logit bias added to JSON
         closing tokens (quote/bracket/brace/EOS) — positive values steer
         generation toward compact output, bounding expected length under the
-        token cap (essential for untrained or high-temperature sampling)."""
+        token cap (essential for untrained or high-temperature sampling).
+
+        ``max_forced_run`` (grammar fast-forward block width minus one)
+        defaults to 2 from the round-4 on-chip forceN ablation at base/int8
+        (tools/decode_bench.py, 2026-08-20): narrower blocks trade a sliver
+        of tokens/step (1.15 vs 1.19 at width 13) for materially cheaper
+        steps, and the gap WIDENS with batch — b32: force2 6,670 tok/s vs
+        full 6,362 / force4 6,327 / force8 6,473; b128: force2 7,088 vs
+        force4 6,850 vs full 5,496 (+29%). With BPE vocabularies the JSON
+        skeleton's forced runs are short, so wide blocks mostly buy unused
+        verify columns."""
         if compilation_cache_dir:
             enable_compilation_cache(compilation_cache_dir)
         self.config = config
