@@ -208,6 +208,14 @@ def _grounded_batches(config, batch, text_len, logger, prompt=None,
         out += rng.normal(0.0, rng.uniform(0.0, 6.0), out.shape)  # sensor noise
         shift = int(rng.integers(0, frames.shape[0]))  # temporal phase
         out = np.roll(out, shift, axis=0)
+        # Temporal reversal: the signature channels (hue pair, stripe
+        # orientation/frequency, shape count) are direction-free, so the
+        # label survives playing the clip backwards — and the round-4 OOD
+        # sweep showed time_reverse is the weakest shift (11/16 vs 15-16/16
+        # for photometric shifts on base-r3): the model had latched onto
+        # drift direction it never needed.
+        if rng.random() < 0.2:
+            out = out[::-1]
         # Spatial translation (wrap-around): shifts every sample off the
         # patch grid so the model cannot memorize per-position pixels
         # (round-2 collapse driver); signatures survive — stripes only
