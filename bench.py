@@ -346,13 +346,17 @@ def main() -> int:
         # Warmup: compile every shape bucket (prefill + decode + preprocess).
         run_once(engine, work_dir, "warmup")
 
-        # Three measured runs (fresh manifest dirs so nothing is cached):
+        # Five measured runs (fresh manifest dirs so nothing is cached):
         # sampled note lengths gate wall time through the batch's slowest
-        # row, so single runs swing ~±15%. The OFFICIAL number is the
-        # median pass (best-of-N biases upward; cross-round comparisons
-        # need an unbiased statistic); all walls ride in extras.
+        # row, so single runs swing ~±15% (round-4 medians of 3 spread
+        # 282-305 min/min across identical configs). The OFFICIAL number is
+        # the median pass (best-of-N biases upward; cross-round comparisons
+        # need an unbiased statistic); all walls ride in extras. A pass is
+        # ~2 s at base/seg60, so the extra two runs cost nothing next to
+        # the warmup compile.
         runs = []
-        for label in ("measured", "measured2", "measured3"):
+        for label in ("measured", "measured2", "measured3", "measured4",
+                      "measured5"):
             engine.stats.__init__()
             result, elapsed = run_once(engine, work_dir, label)
             runs.append((elapsed, result, engine.stats.as_dict()))
