@@ -1,8 +1,8 @@
 #!/bin/bash
 # Round-4 session-3 post-drive extras: the int8 quality gate on the
-# SHIPPED checkpoint. config.yaml serves base-r3c at quantize: null
+# SHIPPED checkpoint. config.yaml serves base-r3d at quantize: null
 # (bf16); the official bench runs int8 at 2x the decode throughput. If
-# int8 holds the r3c quality line (16/16 single + 5/8 composite — int4
+# int8 holds the r3d quality line (16/16 single + 7/8 composite — int4
 # already measured a composite drop to 2/8 on params_3000, so this is
 # not a foregone conclusion), the product default flips to int8.
 #
@@ -36,8 +36,8 @@ stage() {
 
 TOK=data/tokenizers/bpe-zh-2048.json
 
-stage eval_r3c_int8 5400 bash -c "python -m video_transformer_tpu.train.eval_grounding \
-  --preset base --checkpoint data/checkpoints/base-zh-grounded-r3c-bf16 \
+stage eval_r3d_int8 5400 bash -c "python -m video_transformer_tpu.train.eval_grounding \
+  --preset base --checkpoint data/checkpoints/base-zh-grounded-r3d-bf16 \
   --quantize int8 \
   --tokenizer $TOK --topics 16 --composites 8 --batch 8 || true"
 
