@@ -396,3 +396,63 @@ class TestHostQuantPlacement:
         )
         texts = host_engine.generate(frames, ["分析"], prompt_len=16)
         assert len(texts) == 1
+
+    def test_orbax_restore_host_path_matches_device(self, monkeypatch, tmp_path):
+        """Huge ORBAX restores must also route through host quantization.
+
+        restore() built its template with device shardings, so a big
+        checkpoint landed on-chip as full f32 BEFORE _place quantized —
+        the 7b RESOURCE_EXHAUSTED class survived on the orbax path even
+        after the HF-load fix (round-4 advisor). Above _HOST_QUANT_BYTES
+        the template now targets the host CPU backend and the numpy leaves
+        take the host-quantize branch; served params must be identical to
+        the small-checkpoint device path.
+        """
+        import orbax.checkpoint as ocp
+
+        import video_transformer_tpu.parallel.engine as engine_mod
+
+        config = __graft_entry__._tiny_config()
+        donor = InferenceEngine(
+            config, max_new_tokens=8, seed=5, compilation_cache_dir=None,
+            fuse_projections=False,
+        )
+        ckpt = tmp_path / "params_1"
+        with ocp.StandardCheckpointer() as checkpointer:
+            checkpointer.save(str(ckpt), donor.params)
+
+        def build():
+            return InferenceEngine(
+                config,
+                dfa=_compact_dfa(),
+                max_new_tokens=64,
+                temperature=0.7,
+                seed=0,
+                compilation_cache_dir=None,
+                quantize="int8",
+            )
+
+        device_engine = build()
+        device_engine.restore(str(tmp_path))
+
+        monkeypatch.setattr(engine_mod, "_HOST_QUANT_BYTES", 0)
+        host_engine = build()
+        host_engine.restore(str(tmp_path))
+
+        flat_dev, def_dev = jax.tree_util.tree_flatten(device_engine.params)
+        flat_host, def_host = jax.tree_util.tree_flatten(host_engine.params)
+        assert def_dev == def_host
+        for a, b in zip(flat_dev, flat_host):
+            assert a.dtype == b.dtype
+            if np.issubdtype(a.dtype, np.integer):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32),
+                    np.asarray(b, np.float32),
+                    rtol=2e-6,
+                    atol=0,
+                )
+
+        texts = host_engine.generate_text(["分析要点"])
+        assert len(texts) == 1

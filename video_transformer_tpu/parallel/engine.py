@@ -404,9 +404,9 @@ class InferenceEngine:
                 )
             struct = jax.eval_shape(fuse_projections, params)
             shardings = param_shardings(self.mesh, struct)
-            return jax.jit(
-                fuse_projections, out_shardings=shardings, donate_argnums=0
-            )(params)
+            # No donate_argnums: the argument is host numpy here, and JAX
+            # ignores donation of uncommitted host buffers (it only warns).
+            return jax.jit(fuse_projections, out_shardings=shardings)(params)
 
         def transform(p):
             if self.quantize:
@@ -577,14 +577,40 @@ class InferenceEngine:
         # Checkpoints are written f32 by the trainer; restore against the
         # engine's pre-transform f32 structure, then re-apply the serving
         # transform (dtype cast / int8 quantization / shardings).
-        shardings = param_shardings(self.mesh, self._f32_struct)
-        template = jax.tree_util.tree_map(
-            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
-            self._f32_struct,
-            shardings,
+        #
+        # Big quantized restores go through HOST memory first: a device
+        # template would land the full f32 tree on-chip BEFORE _place
+        # quantizes, peaking at ~3x the served bytes — the same
+        # RESOURCE_EXHAUSTED class the host-quant branch fixed for HF
+        # loads (round 4) would survive on the orbax path otherwise.
+        f32_bytes = sum(
+            int(np.prod(s.shape)) * s.dtype.itemsize
+            for s in jax.tree_util.tree_leaves(self._f32_struct)
         )
+        cpu0 = None
+        if self.quantize and f32_bytes > _HOST_QUANT_BYTES:
+            try:
+                cpu0 = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu0 = None  # no host backend: keep the device path
+        if cpu0 is not None:
+            host = jax.sharding.SingleDeviceSharding(cpu0)
+            template = jax.tree_util.tree_map(
+                lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=host),
+                self._f32_struct,
+            )
+        else:
+            shardings = param_shardings(self.mesh, self._f32_struct)
+            template = jax.tree_util.tree_map(
+                lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+                self._f32_struct,
+                shardings,
+            )
         with ocp.StandardCheckpointer() as checkpointer:
             restored = checkpointer.restore(str(path.resolve()), template)
+        if cpu0 is not None:
+            # numpy leaves route _place through the host-quantize branch.
+            restored = jax.tree_util.tree_map(np.asarray, restored)
         self.params = self._place(restored)
         self._generate_cache.clear()
 
