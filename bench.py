@@ -278,13 +278,16 @@ def run_once(engine, work_dir: Path, label: str):
     return result, elapsed
 
 
-def _probe_device(timeout_s: float = 300.0) -> bool:
+def _probe_device(timeout_s: float = 480.0) -> bool:
     """Bounded-time device liveness check in a subprocess.
 
     A wedged accelerator tunnel hangs jax.devices() FOREVER (observed:
     multi-hour axon outage) — better to fail the bench fast with a clear
     message than to hang the caller's pipeline. Timeout must clear a HEALTHY
-    tunnel's cold backend init, measured at 80-150 s per fresh process.
+    tunnel's cold backend init, measured at 80-150 s per fresh process —
+    and leave slack for a busy host core: a 300 s budget was observed to
+    fail on a LIVE tunnel twice (round 5) when CPU test runs were
+    competing with the init.
     """
     import subprocess
 
