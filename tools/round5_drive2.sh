@@ -1,0 +1,96 @@
+#!/bin/bash
+# Round-5 on-chip drive, phase 2 — perf decomposition + product rehearsal
+# (VERDICT round-4 #1b, #4, #5, #6, #7):
+#   1 bench_early2        official bench (in-repo capture; driver artifact
+#                         insurance after two null BENCH rounds)
+#   2 stream_bench        decode-step component probes: weights-only matmul
+#                         chain + KV-length sweep -> step_time(B, L) fit
+#   3 decode_force1_b16   force1 (W=2) — the one force width the round-4
+#     decode_force1_b128  ablation never measured; at b128 it cuts verify
+#                         rows 384->256 vs force2
+#   4 content_r3d         note-CONTENT eval of the shipped checkpoint
+#                         (coverage of gloss/terms/action + validator
+#                         rubric per clip)
+#   5 audit_corpus_engine matched/mismatched blueprint discrimination with
+#                         the on-device vision judge
+#   6 rehearse_7b         main.py --url end-to-end at qwen2vl-7b geometry
+#                         (synthetic 152k vocab, int8, synthetic weights)
+#
+#   bash tools/round5_drive2.sh [OUT_DIR] (default data/measurements/r5)
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+OUT=${1:-/root/repo/data/measurements/r5}
+mkdir -p "$OUT"
+
+log() { echo "[r5b $(date +%H:%M:%S)] $*" | tee -a "$OUT/drive.log"; }
+
+probe_tunnel() {
+  timeout 240 python - >/dev/null 2>&1 <<'PROBE'
+import jax
+ds = jax.devices()
+assert ds and ds[0].platform != "cpu", ds
+PROBE
+}
+
+if ! probe_tunnel; then
+  log "tunnel DOWN at start"
+  exit 3
+fi
+log "tunnel UP (phase 2)"
+
+DEADLINE=${VTX_QUEUE_DEADLINE:-0}
+
+commit_stage() {
+  git add "$OUT" data/output/stream_bench_runs.jsonl \
+    data/output/decode_bench_runs.jsonl docs/audit_corpus.json \
+    >/dev/null 2>&1 || true
+  git commit -q -m "Record on-chip measurement: $1 (round 5)" >/dev/null 2>&1 || true
+}
+
+stage() { # stage NAME TIMEOUT_S CMD...
+  local name=$1 tmo=$2; shift 2
+  if [ -e "$OUT/$name.done" ]; then log "skip $name (done)"; return 0; fi
+  if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -gt "$DEADLINE" ]; then
+    log "skip $name (past deadline)"; return 0
+  fi
+  log "start $name"
+  if timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1; then
+    touch "$OUT/$name.done"; log "done $name: $(tail -1 "$OUT/$name.log")"
+    commit_stage "$name"
+  else
+    log "FAIL $name (exit $?; tail): $(tail -3 "$OUT/$name.log" | tr '\n' ' ')"
+    commit_stage "$name (failed)"
+    until probe_tunnel; do
+      if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -gt "$DEADLINE" ]; then
+        log "tunnel down after $name and deadline passed; abandoning queue"
+        return 1
+      fi
+      log "tunnel down after $name; re-probing in 300s"
+      sleep 300
+    done
+  fi
+}
+
+TOK=data/tokenizers/bpe-zh-2048.json
+R3D=data/checkpoints/base-zh-grounded-r3d-bf16/params_3700
+
+stage bench_early2 6000 python bench.py
+
+stage stream_bench 6000 python tools/stream_bench.py
+
+stage decode_force1_b16 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=force1,force2 python tools/decode_bench.py
+stage decode_force1_b128 4800 env VTX_DB_BATCH=128 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=force1,force2 python tools/decode_bench.py
+
+stage content_r3d 5400 bash -c "python -m video_transformer_tpu.train.eval_content \
+  --preset base --checkpoint $R3D --quantize int8 \
+  --tokenizer $TOK --topics 16 --batch 8 --coverage-floor 0 || true"
+
+stage audit_corpus_engine 5400 python tools/audit_corpus.py --engine \
+  --quantize int8 --checkpoint "$R3D"
+
+stage rehearse_7b 7200 bash tools/rehearse_7b.sh
+
+log "round-5 phase-2 drive complete"

@@ -151,8 +151,44 @@ class ContentAnalyzer:
                     ),
                 )
             byte_vocab = 512 if tokenizer else preset.decoder.vocab_size
+            params = None
+            if self.engine_config.get("synthetic_weights"):
+                # Rehearsal-only (full-pipeline dry runs at real geometry,
+                # e.g. qwen2vl-7b before actual safetensors exist): constant
+                # bf16 params built on the HOST via eval_shape — no RNG
+                # program, no device allocation — so the engine's
+                # host-quantize branch places int8 directly and the chip
+                # never stages the f32 tree. Mirrors the on-chip 152k
+                # grammar gate's setup (tests/test_tpu_integration.py).
+                import ml_dtypes
+                import numpy as np
+
+                from ..models.vlm import VideoLM
+
+                import jax
+
+                struct = jax.eval_shape(
+                    lambda: VideoLM(preset).init_variables(
+                        jax.random.PRNGKey(0)
+                    )
+                )
+                params = jax.tree_util.tree_map(
+                    lambda s: np.full(
+                        s.shape,
+                        0.01,
+                        ml_dtypes.bfloat16
+                        if s.dtype == np.float32
+                        else s.dtype,
+                    ),
+                    struct,
+                )
+                self.logger.info(
+                    "event=engine_synthetic_weights preset="
+                    f"{self.engine_config.get('model_preset')}"
+                )
             self._engine = InferenceEngine(
                 preset,
+                params=params,
                 mesh=build_mesh(self.engine_config.get("mesh")),
                 max_new_tokens=int(self.engine_config.get("max_new_tokens", 3072)),
                 temperature=float(self.engine_config.get("temperature", 0.7)),
@@ -172,7 +208,15 @@ class ContentAnalyzer:
                     else {}
                 ),
             )
-            self._engine.dfa = self._engine.wrap_grammar(note_dfa(byte_vocab))
+            # grammar_scale shrinks the note DFA's field budgets (schema.py)
+            # — big-vocab rehearsals keep the S x V/32 bitset and its
+            # precompute proportional (the 152k bitset is 35.6 MB at 0.25).
+            self._engine.dfa = self._engine.wrap_grammar(
+                note_dfa(
+                    byte_vocab,
+                    scale=float(self.engine_config.get("grammar_scale", 1.0)),
+                )
+            )
             checkpoint_dir = self.engine_config.get("checkpoint_dir")
             if checkpoint_dir:
                 try:

@@ -587,18 +587,19 @@ class InferenceEngine:
             int(np.prod(s.shape)) * s.dtype.itemsize
             for s in jax.tree_util.tree_leaves(self._f32_struct)
         )
-        cpu0 = None
         if self.quantize and f32_bytes > _HOST_QUANT_BYTES:
-            try:
-                cpu0 = jax.local_devices(backend="cpu")[0]
-            except RuntimeError:
-                cpu0 = None  # no host backend: keep the device path
-        if cpu0 is not None:
-            host = jax.sharding.SingleDeviceSharding(cpu0)
-            template = jax.tree_util.tree_map(
-                lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=host),
-                self._f32_struct,
-            )
+            # Pure-HOST restore (numpy leaves, no device placement): works
+            # even where the accelerator plugin exposes no CPU jax backend
+            # (axon does not), and the numpy leaves route _place through
+            # the host-quantize branch.
+            with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+                restored = ckptr.restore(
+                    str(path.resolve()),
+                    restore_args=jax.tree_util.tree_map(
+                        lambda s: ocp.RestoreArgs(restore_type=np.ndarray),
+                        self._f32_struct,
+                    ),
+                )
         else:
             shardings = param_shardings(self.mesh, self._f32_struct)
             template = jax.tree_util.tree_map(
@@ -606,11 +607,8 @@ class InferenceEngine:
                 self._f32_struct,
                 shardings,
             )
-        with ocp.StandardCheckpointer() as checkpointer:
-            restored = checkpointer.restore(str(path.resolve()), template)
-        if cpu0 is not None:
-            # numpy leaves route _place through the host-quantize branch.
-            restored = jax.tree_util.tree_map(np.asarray, restored)
+            with ocp.StandardCheckpointer() as checkpointer:
+                restored = checkpointer.restore(str(path.resolve()), template)
         self.params = self._place(restored)
         self._generate_cache.clear()
 
