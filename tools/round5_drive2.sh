@@ -75,6 +75,21 @@ stage() { # stage NAME TIMEOUT_S CMD...
 TOK=data/tokenizers/bpe-zh-2048.json
 R3D=data/checkpoints/base-zh-grounded-r3d-bf16/params_3700
 
+# --- 0: int8-vs-bf16 disambiguation -------------------------------------
+# The int8 gate scored 15/16 + 7/8 (seed 99): one single-topic miss
+# (对比学习) below the committed bf16 16/16. Same checkpoint without
+# quantization at the same seed separates an int8 quality cost from
+# run-to-run sampling noise; a second seed sizes the noise itself.
+stage eval_bf16_r3d 3600 bash -c "python -m video_transformer_tpu.train.eval_grounding \
+  --preset base --checkpoint $R3D \
+  --tokenizer $TOK --topics 16 --composites 8 --batch 8 || true"
+stage eval_int8_r3d_s7 3600 bash -c "python -m video_transformer_tpu.train.eval_grounding \
+  --preset base --checkpoint $R3D --quantize int8 --seed 7 \
+  --tokenizer $TOK --topics 16 --composites 8 --batch 8 || true"
+stage eval_bf16_r3d_s7 3600 bash -c "python -m video_transformer_tpu.train.eval_grounding \
+  --preset base --checkpoint $R3D --seed 7 \
+  --tokenizer $TOK --topics 16 --composites 8 --batch 8 || true"
+
 stage bench_early2 6000 python bench.py
 
 stage stream_bench 6000 python tools/stream_bench.py

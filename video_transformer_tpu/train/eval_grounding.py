@@ -219,6 +219,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--temperature", type=float, default=0.7)
     parser.add_argument("--quantize", default=None, choices=["int8", "int4"])
     parser.add_argument(
+        "--seed", type=int, default=99,
+        help="clip-sampling seed; vary to separate a real quality cliff "
+             "from single-seed sampling noise (scores at different seeds "
+             "draw different unseen clips and are only comparable to the "
+             "same seed)",
+    )
+    parser.add_argument(
         "--prompt-profile", default="compact", choices=["compact", "spec"],
         help="prompt templates to evaluate under — must match the profile "
              "the checkpoint was trained/finetuned against",
@@ -306,11 +313,13 @@ def main(argv: list[str] | None = None) -> int:
     for idx, ckpt in enumerate(ckpts):
         engine.restore(str(ckpt))
         report = run_eval(
-            engine, topic_ids, args.batch, composite_pairs=pairs,
+            engine, topic_ids, args.batch, seed=args.seed,
+            composite_pairs=pairs,
             warmup=(idx == 0), shifts=shifts, profile=args.prompt_profile,
         )
         report["checkpoint"] = str(ckpt)
         report["prompt_profile"] = args.prompt_profile
+        report["seed"] = args.seed
         print(json.dumps(report, ensure_ascii=False), flush=True)
         total = report["total"] + report.get("composite_total", 0)
         got = report["hits"] + report.get("composite_hits", 0)
