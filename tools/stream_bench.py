@@ -46,7 +46,10 @@ sys.path.insert(0, str(REPO))
 PRESET = os.environ.get("VTX_SB_PRESET", "base")
 QUANT = os.environ.get("VTX_SB_QUANT", "int8") or None
 PROBES = os.environ.get("VTX_SB_PROBES", "weights,kv").split(",")
-ROWS = [int(r) for r in os.environ.get("VTX_SB_ROWS", "16,48,128,384").split(",")]
+ROWS = [
+    int(r)
+    for r in os.environ.get("VTX_SB_ROWS", "16,48,128,384,640,1664").split(",")
+]
 BATCHES = [int(b) for b in os.environ.get("VTX_SB_BATCHES", "16,128").split(",")]
 TOKENS = int(os.environ.get("VTX_SB_TOKENS", "256"))
 PEAK_HBM = float(os.environ.get("VTX_HBM_PEAK_GBPS", "478")) * 1e9

@@ -77,6 +77,115 @@ def content_checks(note: dict, topic) -> dict[str, bool]:
     }
 
 
+_ORIENT_RE = None
+_COUNT_RE = None
+
+
+def stated_attrs(note: dict) -> tuple[int | None, int | None]:
+    """(orient, n_shapes) the note claims, or None per unstated/ambiguous.
+
+    Looks for the teacher phrasing patterns ("X向条纹", "N个[移动]方块",
+    train/grounded.py attrs) anywhere in takeaways+glossary; multiple
+    CONFLICTING claims parse as None — a model listing every orientation
+    must not score a hit.
+    """
+    import re
+
+    global _ORIENT_RE, _COUNT_RE
+    from .grounded import COUNT_NAMES, ORIENT_NAMES
+
+    if _ORIENT_RE is None:
+        _ORIENT_RE = re.compile(f"({'|'.join(ORIENT_NAMES)})条纹")
+        _COUNT_RE = re.compile(f"({'|'.join(COUNT_NAMES)})个(?:移动)?方块")
+    blob = " ".join(
+        str(t) for t in (note.get("key_takeaways") or [])
+    ) + " " + " ".join(str(v) for v in (note.get("glossary") or {}).values())
+    orients = {m.group(1) for m in _ORIENT_RE.finditer(blob)}
+    counts = {m.group(1) for m in _COUNT_RE.finditer(blob)}
+    orient = (
+        ORIENT_NAMES.index(next(iter(orients))) if len(orients) == 1 else None
+    )
+    count = (
+        COUNT_NAMES.index(next(iter(counts))) + 1 if len(counts) == 1 else None
+    )
+    return orient, count
+
+
+def run_attr_eval(
+    engine,
+    n_clips: int,
+    batch: int,
+    seed: int = 311,
+    profile: str = "compact",
+) -> dict:
+    """Frame-attribute grounding: random (topic, orient, shape-count)
+    clips; a hit requires the note to state THIS clip's attribute. Since
+    attributes are drawn independently of the topic, class identity cannot
+    shortcut the answer — this measures per-clip pixel reading."""
+    from ..analyzer.prompts import render_prompt
+    from ..contracts.timefmt import format_seconds
+    from .grounded import TOPIC_BANK, render_topic_clip
+
+    rng = np.random.default_rng(seed)
+    config = engine.config
+    prompt = render_prompt(
+        "analysis", {"duration_label": format_seconds(120)}, profile=profile
+    )
+    t_frames = config.encoder.num_frames
+    size = config.encoder.image_size
+
+    draws = [
+        (
+            int(rng.integers(len(TOPIC_BANK))),
+            int(rng.integers(3)),
+            int(rng.integers(1, 6)),
+        )
+        for _ in range(n_clips)
+    ]
+    rows = []
+    for i in range(0, len(draws), batch):
+        chunk = draws[i : i + batch]
+        frames = np.stack(
+            [
+                render_topic_clip(
+                    t, t_frames, size, rng, orient=o, n_shapes=c
+                )
+                for t, o, c in chunk
+            ]
+        )
+        texts = engine.generate(frames, [prompt] * len(chunk))
+        for (t, o, c), text in zip(chunk, texts):
+            try:
+                note = json.loads(text)
+            except json.JSONDecodeError:
+                rows.append({"topic": t, "parse": False})
+                continue
+            so, sc = stated_attrs(note)
+            rows.append(
+                {
+                    "topic": t,
+                    "parse": True,
+                    "stated": so is not None or sc is not None,
+                    "orient_hit": so == o,
+                    "count_hit": sc == c,
+                    "topic_hit": TOPIC_BANK[t].name in str(note.get("title", "")),
+                }
+            )
+    parsed = [r for r in rows if r.get("parse")]
+    n = max(len(parsed), 1)
+    return {
+        "clips": len(draws),
+        "parse_rate": round(len(parsed) / max(len(rows), 1), 3),
+        "stated_rate": round(sum(r["stated"] for r in parsed) / n, 3),
+        "orient_acc": round(sum(r["orient_hit"] for r in parsed) / n, 3),
+        "count_acc": round(sum(r["count_hit"] for r in parsed) / n, 3),
+        "both_acc": round(
+            sum(r["orient_hit"] and r["count_hit"] for r in parsed) / n, 3
+        ),
+        "topic_acc": round(sum(r["topic_hit"] for r in parsed) / n, 3),
+    }
+
+
 def _contamination(note_text: str, topic, bank) -> int:
     """How many OTHER topics' names the note mentions — content confusion
     that topic-naming hit rates cannot see."""
@@ -244,6 +353,14 @@ def main(argv: list[str] | None = None) -> int:
         default=0.75,
         help="exit 1 when mean content coverage lands below this",
     )
+    parser.add_argument(
+        "--attrs",
+        type=int,
+        default=0,
+        help="additionally score N frame-attribute clips (randomized "
+             "orientation/shape count stated in the note; requires an "
+             "attrs-trained checkpoint to score above chance)",
+    )
     args = parser.parse_args(argv)
 
     from dataclasses import replace
@@ -286,6 +403,10 @@ def main(argv: list[str] | None = None) -> int:
         profile=args.prompt_profile,
         use_model_judge=not args.no_model_judge,
     )
+    if args.attrs:
+        report["attr_grounding"] = run_attr_eval(
+            engine, args.attrs, args.batch, profile=args.prompt_profile
+        )
     report["checkpoint"] = args.checkpoint
     report["prompt_profile"] = args.prompt_profile
     print(json.dumps(report, ensure_ascii=False), flush=True)

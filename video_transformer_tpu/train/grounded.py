@@ -118,11 +118,20 @@ def _topic_palette(idx: int) -> tuple[np.ndarray, np.ndarray]:
     return fg.astype(np.float32), bg.astype(np.float32)
 
 
+#: Attribute vocabulary for frame-attribute grounding (names appear in
+#: teacher notes and are checked by train/eval_content.py --attrs):
+#: stripe orientation 0/1/2 and moving-shape count 1..5.
+ORIENT_NAMES = ("横向", "纵向", "斜向")
+COUNT_NAMES = ("一", "二", "三", "四", "五")
+
+
 def render_topic_clip(
     topic_idx: int,
     num_frames: int,
     size: int,
     rng: np.random.Generator | None = None,
+    orient: int | None = None,
+    n_shapes: int | None = None,
 ) -> np.ndarray:
     """uint8 [T, size, size, 3] clip carrying topic ``topic_idx``'s signature.
 
@@ -132,13 +141,21 @@ def render_topic_clip(
       frequency 2 + idx % 4, drifting over time (motion cue);
     - shape count: 1 + idx % 5 moving square highlights.
     Small additive noise keeps samples distinct without hiding the signal.
+
+    ``orient``/``n_shapes`` override the idx-derived defaults for
+    FRAME-ATTRIBUTE grounding: when an attribute is decoupled from the
+    topic identity and the teacher note states it (grounded_note attrs),
+    the model can only get it right by reading THIS clip's pixels — class
+    identity no longer predicts it. Defaults (None) keep the historical
+    idx-bound rendering byte-identical, so existing checkpoints/evals are
+    untouched.
     """
     rng = rng or np.random.default_rng(topic_idx)
     idx = topic_idx % len(TOPIC_BANK)
     fg, bg = _topic_palette(idx)
-    orient = idx % 3
+    orient = idx % 3 if orient is None else int(orient) % 3
     freq = 2 + idx % 4
-    n_shapes = 1 + idx % 5
+    n_shapes = 1 + idx % 5 if n_shapes is None else int(n_shapes)
 
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     field = {0: yy, 1: xx, 2: (xx + yy) / 2}[orient]
@@ -199,7 +216,11 @@ def _section(
     }
 
 
-def grounded_note(topic: Topic, rng: np.random.Generator) -> dict:
+def grounded_note(
+    topic: Topic,
+    rng: np.random.Generator,
+    attrs: tuple[int, int] | None = None,
+) -> dict:
     """A schema-valid note whose content names ``topic`` and its terms.
 
     Field lengths fit the note grammar at scale 1.0; phrasing varies so the
@@ -207,6 +228,12 @@ def grounded_note(topic: Topic, rng: np.random.Generator) -> dict:
     chapters (principle / practice / pitfalls) with 2 sections each give the
     rendered note enough material that segment merges reach the 400
     lines-per-hour budget floor (utils/refiner_contract.py).
+
+    ``attrs`` = (orient, n_shapes) as rendered by render_topic_clip's
+    overrides: the note then STATES the clip's visual attributes (a
+    takeaway + a 画面特征 glossary entry) — frame-determined content that
+    topic identity cannot predict, so eval can verify the model actually
+    read this clip (train/eval_content.py --attrs).
     """
     t1, t2 = topic.terms
     openers = ("本讲解析", "重点讲解", "系统梳理", "深入剖析")
@@ -248,16 +275,24 @@ def grounded_note(topic: Topic, rng: np.random.Generator) -> dict:
                 start + 120,
             )
         )
+    takeaways = [
+        f"{topic.name}{topic.action}",
+        f"{t1}是理解{topic.name}的基础",
+        f"{t2}配合{topic.name}使用效果更好",
+    ][: int(rng.integers(2, 4))]
+    glossary = {topic.name[:8]: topic.gloss, t1[:8]: f"{t1}支撑{topic.name}"}
+    if attrs is not None:
+        orient, n_shapes = attrs
+        o_name = ORIENT_NAMES[int(orient) % 3]
+        c_name = COUNT_NAMES[int(n_shapes) - 1]
+        takeaways.append(f"画面以{o_name}条纹展示{c_name}个移动方块")
+        glossary["画面特征"] = f"{o_name}条纹配{c_name}个方块高亮"
     return {
         "title": f"{topic.name}{openers[int(rng.integers(len(openers)))]}",
         "one_sentence_summary": f"{topic.name}{topic.action}",
-        "key_takeaways": [
-            f"{topic.name}{topic.action}",
-            f"{t1}是理解{topic.name}的基础",
-            f"{t2}配合{topic.name}使用效果更好",
-        ][: int(rng.integers(2, 4))],
+        "key_takeaways": takeaways,
         "deep_dive": chapters,
-        "glossary": {topic.name[:8]: topic.gloss, t1[:8]: f"{t1}支撑{topic.name}"},
+        "glossary": glossary,
         "visual_schemas": [
             {
                 "type": "overview",

@@ -142,7 +142,8 @@ def _staged_batches(data_dir, config, batch, text_len, logger, prompt=None,
 
 def _grounded_batches(config, batch, text_len, logger, prompt=None,
                       prompt_len=0, tok=None, encode_note=None, seed=0,
-                      cache_size=384, composite_p=0.0, band_p=0.0):
+                      cache_size=384, composite_p=0.0, band_p=0.0,
+                      attrs_p=0.0):
     """Grounded pairs: frames carry the note's topic signature.
 
     Rendering + host preprocessing dominates training wall-clock at large
@@ -187,10 +188,20 @@ def _grounded_batches(config, batch, text_len, logger, prompt=None,
             )
             note = grounded_note(TOPIC_BANK[idx], rng)
         else:
+            attrs = None
+            if attrs_p > 0 and rng.random() < attrs_p:
+                # Frame-attribute grounding: orientation/shape-count drawn
+                # INDEPENDENTLY of the topic and STATED in the note, so
+                # class identity cannot predict them — the model must read
+                # this clip's pixels (train/grounded.py attrs docstring).
+                attrs = (int(rng.integers(3)), int(rng.integers(1, 6)))
             frames = render_topic_clip(
-                idx, config.encoder.num_frames, config.encoder.image_size, rng
+                idx, config.encoder.num_frames, config.encoder.image_size,
+                rng,
+                orient=None if attrs is None else attrs[0],
+                n_shapes=None if attrs is None else attrs[1],
             )
-            note = grounded_note(TOPIC_BANK[idx], rng)
+            note = grounded_note(TOPIC_BANK[idx], rng, attrs=attrs)
         text = json.dumps(note, ensure_ascii=False)
         row, block = _pack_row(
             tok, encode_note, text, text_len, prompt, prompt_len, rng
@@ -305,6 +316,12 @@ def main(argv: list[str] | None = None) -> int:
         "--grounded-composite", type=float, default=0.0,
         help="probability of compositional two-signature pairs (the note "
              "must cover BOTH topics in the frames)",
+    )
+    parser.add_argument(
+        "--grounded-attrs", type=float, default=0.0,
+        help="probability a single-topic sample randomizes its stripe "
+             "orientation / shape count and the note STATES them — "
+             "frame-attribute grounding the class identity cannot shortcut",
     )
     parser.add_argument(
         "--grounded-band", type=float, default=0.0,
@@ -438,6 +455,7 @@ def main(argv: list[str] | None = None) -> int:
             cache_size=args.grounded_cache,
             composite_p=args.grounded_composite,
             band_p=args.grounded_band,
+            attrs_p=args.grounded_attrs,
         )
     else:
         logger.info("no --data given: training on schema-valid synthetic pairs")
