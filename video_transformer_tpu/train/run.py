@@ -143,7 +143,7 @@ def _staged_batches(data_dir, config, batch, text_len, logger, prompt=None,
 def _grounded_batches(config, batch, text_len, logger, prompt=None,
                       prompt_len=0, tok=None, encode_note=None, seed=0,
                       cache_size=384, composite_p=0.0, band_p=0.0,
-                      attrs_p=0.0):
+                      attrs_p=0.0, hard_pairs_p=0.0):
     """Grounded pairs: frames carry the note's topic signature.
 
     Rendering + host preprocessing dominates training wall-clock at large
@@ -172,8 +172,22 @@ def _grounded_batches(config, batch, text_len, logger, prompt=None,
         draw = rng.random()
         if composite_p > 0 and draw < composite_p:
             # Compositional pair: two signatures in one clip, note covers both.
-            other = int(rng.integers(len(TOPIC_BANK) - 1))
-            other += other >= idx
+            if hard_pairs_p > 0 and rng.random() < hard_pairs_p:
+                # Hard negatives: the persistent composite miss
+                # (优化器+降维方法, primary-only through two rescue rounds)
+                # is the pair with the SMALLEST circular hue distance in
+                # the eval set — the band hue reads as a variant of the
+                # primary's. Oversample near-hue partners so the band
+                # detector learns the fine hue margins.
+                hues = (np.arange(len(TOPIC_BANK)) * 0.618034) % 1.0
+                d = np.abs(hues - hues[idx])
+                d = np.minimum(d, 1.0 - d)
+                d[idx] = np.inf
+                near = np.argsort(d)[:4]
+                other = int(near[int(rng.integers(len(near)))])
+            else:
+                other = int(rng.integers(len(TOPIC_BANK) - 1))
+                other += other >= idx
             frames = render_composite_clip(
                 idx, other, config.encoder.num_frames,
                 config.encoder.image_size, rng,
@@ -318,6 +332,12 @@ def main(argv: list[str] | None = None) -> int:
              "must cover BOTH topics in the frames)",
     )
     parser.add_argument(
+        "--grounded-hard-pairs", type=float, default=0.0,
+        help="within composite draws: probability the partner topic is one "
+             "of the 4 nearest-hue topics (hard negatives for the band "
+             "detector) instead of uniform",
+    )
+    parser.add_argument(
         "--grounded-attrs", type=float, default=0.0,
         help="probability a single-topic sample randomizes its stripe "
              "orientation / shape count and the note STATES them — "
@@ -456,6 +476,7 @@ def main(argv: list[str] | None = None) -> int:
             composite_p=args.grounded_composite,
             band_p=args.grounded_band,
             attrs_p=args.grounded_attrs,
+            hard_pairs_p=args.grounded_hard_pairs,
         )
     else:
         logger.info("no --data given: training on schema-valid synthetic pairs")
