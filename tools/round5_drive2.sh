@@ -90,7 +90,10 @@ stage eval_bf16_r3d_s7 3600 bash -c "python -m video_transformer_tpu.train.eval_
   --preset base --checkpoint $R3D --seed 7 \
   --tokenizer $TOK --topics 16 --composites 8 --batch 8 || true"
 
-stage bench_early2 6000 python bench.py
+# Pinned int8 for cross-round comparability with the r4 captures; the
+# round-end bench_final reads the SHIPPED engine.quantize (bench.py now
+# defaults to the config value) after the disambiguation decides it.
+stage bench_early2 6000 env VTX_BENCH_QUANT=int8 python bench.py
 
 stage stream_bench 6000 python tools/stream_bench.py
 
