@@ -193,3 +193,97 @@ class TestRowTable:
         )
         assert (out[1] == 1.0).all() and (out[3] == 2.0).all()
         assert out[0].sum() == 0 and out[2].sum() == 0
+
+
+class TestBatchRowWrite:
+    """_batch_row_write_pallas: the split-write ablation path must produce
+    byte-identical caches to the scatter oracle and, chained with the
+    read-only kernel, the same attention output as the fused kernel."""
+
+    def _run(self, b=2, hq=4, hkv=2, w=8, d=32, s=1024, idx=(99, 800),
+             rows=None):
+        from video_transformer_tpu.ops.decode_attention import (
+            _batch_row_write_pallas,
+            update_cache_rows,
+        )
+
+        keys = jax.random.split(jax.random.PRNGKey(7), 5)
+        q = jax.random.normal(keys[0], (b, hq, w, d), jnp.float32)
+        r = b if rows is None else int(np.max(rows)) + 1
+        k_cache = jax.random.normal(keys[1], (r, hkv, s, d), jnp.float32)
+        v_cache = jax.random.normal(keys[2], (r, hkv, s, d), jnp.float32)
+        k_new = jax.random.normal(keys[3], (b, hkv, w, d), jnp.float32)
+        v_new = jax.random.normal(keys[4], (b, hkv, w, d), jnp.float32)
+        index = jnp.asarray(idx, jnp.int32)
+        rows_arr = None if rows is None else jnp.asarray(rows, jnp.int32)
+
+        k_ref = update_cache_rows(k_cache, k_new, index, rows_arr)
+        v_ref = update_cache_rows(v_cache, v_new, index, rows_arr)
+        k_out, v_out = _batch_row_write_pallas(
+            k_cache, v_cache, k_new, v_new, index, rows_arr, interpret=True
+        )
+        return q, index, rows_arr, k_ref, v_ref, k_out, v_out
+
+    def test_written_regions_match_scatter(self):
+        _, index, _, k_ref, v_ref, k_out, v_out = self._run()
+        w = 8
+        for row, base in enumerate(np.asarray(index)):
+            hi = base + w
+            np.testing.assert_allclose(
+                np.asarray(k_out)[row, :, :hi], np.asarray(k_ref)[row, :, :hi]
+            )
+            np.testing.assert_allclose(
+                np.asarray(v_out)[row, :, :hi], np.asarray(v_ref)[row, :, :hi]
+            )
+
+    def test_chained_attention_matches_fused(self):
+        from video_transformer_tpu.ops.decode_attention import (
+            _decode_attention_pallas,
+        )
+
+        q, index, rows_arr, k_ref, v_ref, k_out, v_out = self._run(
+            w=13, idx=(5, 1000)
+        )
+        expected = decode_attention_reference(q, k_ref, v_ref, index + 1)
+        got = _decode_attention_pallas(
+            q, k_out, v_out, index + 1, interpret=True
+        )
+        np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+    def test_paged_rows_and_odd_items(self):
+        """3 logical rows over 5 physical rows: chunked item loop handles a
+        non-multiple-of-chunk item count and the row table indirection."""
+        _, index, rows_arr, k_ref, v_ref, k_out, v_out = self._run(
+            b=3, idx=(17, 512, 900), rows=(4, 0, 2)
+        )
+        w = 8
+        for logical, phys in enumerate(np.asarray(rows_arr)):
+            hi = int(np.asarray(index)[logical]) + w
+            np.testing.assert_allclose(
+                np.asarray(k_out)[phys, :, :hi],
+                np.asarray(k_ref)[phys, :, :hi],
+            )
+
+    def test_bfloat16_cache(self):
+        from video_transformer_tpu.ops.decode_attention import (
+            _batch_row_write_pallas,
+            update_cache_rows,
+        )
+
+        keys = jax.random.split(jax.random.PRNGKey(9), 4)
+        b, hkv, w, d, s = 2, 2, 8, 32, 1024
+        k_cache = jax.random.normal(keys[0], (b, hkv, s, d), jnp.bfloat16)
+        v_cache = jax.random.normal(keys[1], (b, hkv, s, d), jnp.bfloat16)
+        k_new = jax.random.normal(keys[2], (b, hkv, w, d), jnp.float32)
+        v_new = jax.random.normal(keys[3], (b, hkv, w, d), jnp.float32)
+        index = jnp.asarray((99, 800), jnp.int32)
+        k_ref = update_cache_rows(k_cache, k_new.astype(jnp.bfloat16), index)
+        k_out, _ = _batch_row_write_pallas(
+            k_cache, v_cache, k_new, v_new, index, interpret=True
+        )
+        for row, base in enumerate(np.asarray(index)):
+            hi = base + w
+            np.testing.assert_allclose(
+                np.asarray(k_out, np.float32)[row, :, :hi],
+                np.asarray(k_ref, np.float32)[row, :, :hi],
+            )

@@ -153,6 +153,8 @@ def run_variant(name: str) -> dict:
         spec = name[4:] or "self"
     if name.startswith("force") and name[5:].isdigit():
         forced = int(name[5:])
+    elif name == "splitwrite":
+        forced = 2  # serving default width: comparable with force2 rows
     else:
         forced = 0 if name in ("nogrammar", "noforce") else 12
     # The ref_attn ablation flips the decode-attention dispatcher to the
@@ -162,11 +164,15 @@ def run_variant(name: str) -> dict:
     # variants.
     if name == "ref_attn":
         os.environ["VTX_FORCE_REF_ATTN"] = "1"
+    if name == "splitwrite":
+        os.environ["VTX_SPLIT_WRITE"] = "1"
     try:
         return _run_variant_body(name, forced, use_dfa, spec)
     finally:
         if name == "ref_attn":
             os.environ.pop("VTX_FORCE_REF_ATTN", None)
+        if name == "splitwrite":
+            os.environ.pop("VTX_SPLIT_WRITE", None)
 
 
 def _run_variant_body(name: str, forced: int, use_dfa: bool, spec: str | None) -> dict:

@@ -434,6 +434,210 @@ def _fused_kernel(
     o_ref[0, 0] = (acc / jnp.maximum(l_final, 1e-30)).astype(o_ref.dtype)
 
 
+def _batch_write_kernel(
+    len_ref,  # scalar prefetch [B]: valid positions for query row 0
+    rows_ref,  # scalar prefetch [B]: logical row -> physical cache row
+    k_new_ref,  # [B, Hkv, Wpad, D] VMEM (whole array)
+    v_new_ref,
+    k_hbm,  # [R, Hkv, S, D] ANY, aliased with k_out
+    v_hbm,
+    k_out,  # ANY, aliased — duplicate writes keep interpret mode honest
+    v_out,
+    k_stage,  # [chunk, region, D] VMEM staging
+    v_stage,
+    sems,  # DMA sems (chunk, 4)
+    *,
+    w_pad: int,
+    hkv: int,
+    chunk: int,
+    items: int,
+):
+    """All (row, head) cache-row writes with ``chunk`` RMWs in flight.
+
+    The fused attention kernel serializes 2 DMA round trips (region read,
+    region write) at the head of EVERY (row, head) program — 2*B*Hkv
+    round trips per decode step before any attention math. Batching the
+    read-modify-writes here cuts that to ~2*ceil(B*Hkv/chunk): within a
+    grid step every item's read (then write) is in flight concurrently.
+    The attention kernel then runs read-only (_kernel), which also drops
+    its per-program RMW scratch."""
+    g = pl.program_id(0)
+    region = w_pad + 8
+    d = k_stage.shape[-1]
+
+    def item_coords(j):
+        item = g * chunk + j
+        row = item // hkv
+        head = item % hkv
+        phys = rows_ref[row]
+        length = len_ref[row]
+        base = length - 1
+        region_start = (base // 8) * 8
+        return item, row, head, phys, region_start, base - region_start
+
+    # Phase 1: all region reads in flight.
+    for j in range(chunk):
+        item, _, head, phys, region_start, _ = item_coords(j)
+
+        @pl.when(item < items)
+        def _(j=j, head=head, phys=phys, region_start=region_start):
+            pltpu.make_async_copy(
+                k_hbm.at[phys, head, pl.ds(region_start, region), :],
+                k_stage.at[j], sems.at[j, 0],
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[phys, head, pl.ds(region_start, region), :],
+                v_stage.at[j], sems.at[j, 1],
+            ).start()
+
+    # Phase 2: merge each region and start both write DMAs.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (region, d), 0)
+    for j in range(chunk):
+        item, row, head, phys, region_start, offset = item_coords(j)
+
+        @pl.when(item < items)
+        def _(j=j, row=row, head=head, phys=phys,
+              region_start=region_start, offset=offset):
+            pltpu.make_async_copy(
+                k_hbm.at[phys, head, pl.ds(region_start, region), :],
+                k_stage.at[j], sems.at[j, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[phys, head, pl.ds(region_start, region), :],
+                v_stage.at[j], sems.at[j, 1],
+            ).wait()
+            for new_ref, stage in ((k_new_ref, k_stage), (v_new_ref, v_stage)):
+                # Rotate in f32 (Mosaic dynamic rotate is 32-bit only).
+                padded = jnp.concatenate(
+                    [
+                        new_ref[row, head].astype(jnp.float32),
+                        jnp.zeros((8, d), jnp.float32),
+                    ],
+                    axis=0,
+                )
+                rolled = pltpu.roll(padded, offset, axis=0)
+                stage[j] = jnp.where(
+                    row_ids >= offset, rolled, stage[j].astype(jnp.float32)
+                ).astype(stage.dtype)
+            pltpu.make_async_copy(
+                k_stage.at[j],
+                k_hbm.at[phys, head, pl.ds(region_start, region), :],
+                sems.at[j, 0],
+            ).start()
+            pltpu.make_async_copy(
+                v_stage.at[j],
+                v_hbm.at[phys, head, pl.ds(region_start, region), :],
+                sems.at[j, 1],
+            ).start()
+            pltpu.make_async_copy(
+                k_stage.at[j],
+                k_out.at[phys, head, pl.ds(region_start, region), :],
+                sems.at[j, 2],
+            ).start()
+            pltpu.make_async_copy(
+                v_stage.at[j],
+                v_out.at[phys, head, pl.ds(region_start, region), :],
+                sems.at[j, 3],
+            ).start()
+
+    # Phase 3: drain the writes.
+    for j in range(chunk):
+        item, _, head, phys, region_start, _ = item_coords(j)
+
+        @pl.when(item < items)
+        def _(j=j, head=head, phys=phys, region_start=region_start):
+            pltpu.make_async_copy(
+                k_stage.at[j],
+                k_hbm.at[phys, head, pl.ds(region_start, region), :],
+                sems.at[j, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                v_stage.at[j],
+                v_hbm.at[phys, head, pl.ds(region_start, region), :],
+                sems.at[j, 1],
+            ).wait()
+            pltpu.make_async_copy(
+                k_stage.at[j],
+                k_out.at[phys, head, pl.ds(region_start, region), :],
+                sems.at[j, 2],
+            ).wait()
+            pltpu.make_async_copy(
+                v_stage.at[j],
+                v_out.at[phys, head, pl.ds(region_start, region), :],
+                sems.at[j, 3],
+            ).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _batch_row_write_pallas(
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [B, Hkv, W, D]
+    v_new: jax.Array,
+    index: jax.Array,  # [B]
+    rows: jax.Array | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    b, hkv, w, d = k_new.shape
+    if rows is None:
+        rows = jnp.arange(b, dtype=jnp.int32)
+    w_pad = ((w + 7) // 8) * 8
+    kn = k_new.astype(k_cache.dtype)
+    vn = v_new.astype(v_cache.dtype)
+    if w_pad != w:
+        kn = jnp.pad(kn, ((0, 0), (0, 0), (0, w_pad - w), (0, 0)))
+        vn = jnp.pad(vn, ((0, 0), (0, 0), (0, w_pad - w), (0, 0)))
+
+    items = b * hkv
+    chunk = min(4, items)
+    region = w_pad + 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=((items + chunk - 1) // chunk,),
+        in_specs=[
+            pl.BlockSpec(
+                kn.shape, lambda g, *_: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                vn.shape, lambda g, *_: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((chunk, region, d), k_cache.dtype),
+            pltpu.VMEM((chunk, region, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((chunk, 4)),
+        ],
+    )
+    lengths = (index + 1).astype(jnp.int32)
+    k_out, v_out = pl.pallas_call(
+        functools.partial(
+            _batch_write_kernel, w_pad=w_pad, hkv=hkv, chunk=chunk,
+            items=items,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        grid_spec=grid_spec,
+        # Operands: lengths=0, rows=1, k_new=2, v_new=3, k_cache=4,
+        # v_cache=5.
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(lengths, rows.astype(jnp.int32), kn, vn, k_cache, v_cache)
+    return k_out, v_out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _decode_attention_update_pallas(
     q: jax.Array,
@@ -566,6 +770,16 @@ def decode_attention_update(
             v_cache, v_new.astype(v_cache.dtype), index, rows
         )
         out = decode_attention_reference(q, k_cache, v_cache, index + 1, rows)
+        return out, k_cache, v_cache
+    if os.environ.get("VTX_SPLIT_WRITE"):
+        # Ablation path: batched row writes (all RMW DMAs overlapped)
+        # followed by the read-only attention kernel — isolates the fused
+        # kernel's per-program RMW round trips (tools/decode_bench.py
+        # splitwrite variant).
+        k_cache, v_cache = _batch_row_write_pallas(
+            k_cache, v_cache, k_new, v_new, index, rows
+        )
+        out = _decode_attention_pallas(q, k_cache, v_cache, index + 1, rows)
         return out, k_cache, v_cache
     return _decode_attention_update_pallas(
         q, k_cache, v_cache, k_new, v_new, index, rows
