@@ -98,9 +98,9 @@ stage bench_early2 6000 env VTX_BENCH_QUANT=int8 python bench.py
 stage stream_bench 6000 python tools/stream_bench.py
 
 stage decode_force1_b16 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
-  VTX_DB_VARIANTS=force1,force2,ref_attn python tools/decode_bench.py
+  VTX_DB_VARIANTS=force1,force2,ref_attn,splitwrite python tools/decode_bench.py
 stage decode_force1_b128 4800 env VTX_DB_BATCH=128 VTX_DB_QUANT=int8 \
-  VTX_DB_VARIANTS=force1,force2,ref_attn python tools/decode_bench.py
+  VTX_DB_VARIANTS=force1,force2,ref_attn,splitwrite python tools/decode_bench.py
 
 stage content_r3d 5400 bash -c "python -m video_transformer_tpu.train.eval_content \
   --preset base --checkpoint $R3D --quantize int8 \
