@@ -287,3 +287,54 @@ class TestBatchRowWrite:
                 np.asarray(k_out, np.float32)[row, :, :hi],
                 np.asarray(k_ref, np.float32)[row, :, :hi],
             )
+
+
+class TestPipelinedKernel:
+    """Cross-program block-0 prefetch (_kernel_pipelined) must be
+    numerically identical to the plain kernel — the handoff only moves
+    WHEN the first DMA starts, never what lands."""
+
+    def test_matches_plain_varied_lengths(self):
+        q, k, v = setup(b=3, s=1024)
+        lengths = jnp.array([100, 900, 513], jnp.int32)
+        plain = _decode_attention_pallas(q, k, v, lengths, interpret=True)
+        piped = _decode_attention_pallas(
+            q, k, v, lengths, interpret=True, pipelined=True
+        )
+        np.testing.assert_allclose(piped, plain, atol=0, rtol=0)
+
+    def test_matches_reference_with_rows(self):
+        q, _, _ = setup(b=3, s=1024)
+        keys = jax.random.split(jax.random.PRNGKey(5), 2)
+        big_k = jax.random.normal(keys[0], (5, 2, 1024, 32), jnp.float32)
+        big_v = jax.random.normal(keys[1], (5, 2, 1024, 32), jnp.float32)
+        lengths = jnp.array([64, 1000, 300], jnp.int32)
+        perm = jnp.array([4, 0, 2], jnp.int32)
+        expected = decode_attention_reference(q, big_k, big_v, lengths, perm)
+        got = _decode_attention_pallas(
+            q, big_k, big_v, lengths, perm, interpret=True, pipelined=True
+        )
+        np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+    def test_single_program_grid(self):
+        """b=1, hkv=1: no successor to prefetch for — the cold-start branch
+        alone must carry the whole kernel."""
+        q, k, v = setup(b=1, hq=2, hkv=1, s=1024)
+        q, k, v = q[:1], k[:1, :1], v[:1, :1]
+        lengths = jnp.array([777], jnp.int32)
+        expected = decode_attention_reference(q, k, v, lengths)
+        got = _decode_attention_pallas(
+            q, k, v, lengths, interpret=True, pipelined=True
+        )
+        np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+    def test_bfloat16_cache_pipelined(self):
+        q, k, v = setup(b=2, s=1024)
+        k = k.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
+        lengths = jnp.array([300, 1020], jnp.int32)
+        plain = _decode_attention_pallas(q, k, v, lengths, interpret=True)
+        piped = _decode_attention_pallas(
+            q, k, v, lengths, interpret=True, pipelined=True
+        )
+        np.testing.assert_allclose(piped, plain, atol=0, rtol=0)

@@ -153,7 +153,7 @@ def run_variant(name: str) -> dict:
         spec = name[4:] or "self"
     if name.startswith("force") and name[5:].isdigit():
         forced = int(name[5:])
-    elif name == "splitwrite":
+    elif name in ("splitwrite", "xprog"):
         forced = 2  # serving default width: comparable with force2 rows
     else:
         forced = 0 if name in ("nogrammar", "noforce") else 12
@@ -166,13 +166,19 @@ def run_variant(name: str) -> dict:
         os.environ["VTX_FORCE_REF_ATTN"] = "1"
     if name == "splitwrite":
         os.environ["VTX_SPLIT_WRITE"] = "1"
+    if name == "xprog":
+        # Candidate serving path: batched row writes + cross-program
+        # block-0 prefetch in the read-only attention kernel.
+        os.environ["VTX_SPLIT_WRITE"] = "1"
+        os.environ["VTX_XPROG_PREFETCH"] = "1"
     try:
         return _run_variant_body(name, forced, use_dfa, spec)
     finally:
         if name == "ref_attn":
             os.environ.pop("VTX_FORCE_REF_ATTN", None)
-        if name == "splitwrite":
+        if name in ("splitwrite", "xprog"):
             os.environ.pop("VTX_SPLIT_WRITE", None)
+            os.environ.pop("VTX_XPROG_PREFETCH", None)
 
 
 def _run_variant_body(name: str, forced: int, use_dfa: bool, spec: str | None) -> dict:

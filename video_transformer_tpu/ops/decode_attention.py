@@ -161,7 +161,127 @@ def _kernel(
     o_ref[0, 0] = (acc / jnp.maximum(l_final, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kernel_pipelined(
+    len_ref,  # scalar prefetch [B]
+    rows_ref,  # scalar prefetch [B]: logical row -> physical cache row
+    q_ref,  # [1, 1, GW, D] VMEM
+    k_hbm,  # [R, Hkv, S, D] ANY
+    v_hbm,
+    o_ref,  # [1, 1, GW, D] VMEM
+    k_scratch,  # [4, BLK, D] — slots {2p, 2p+1} per program parity p
+    v_scratch,
+    sems,  # DMA sems (4, 2)
+    *,
+    block: int,
+    width: int,
+    group: int,
+    scale: float,
+    hkv: int,
+):
+    """_kernel with CROSS-PROGRAM block-0 prefetch.
+
+    The plain kernel starts its first cache-block DMA at program entry and
+    waits — B x Hkv cold DMA latencies per layer per decode step, unhidden
+    because Mosaic only auto-pipelines VMEM-blocked operands, not manual
+    ANY-space DMAs. Here program P starts program P+1's block-0 fetch
+    before its own compute loop, so in steady state there is always a DMA
+    in flight across program boundaries. Slot discipline: program parity p
+    owns scratch slots {2p, 2p+1}; its block b lives in slot 2p + b%2, so
+    the prefetch into the OTHER parity's slot 2*(1-p) never collides
+    (sequential grid: programs P-1 and P+1 share parity but never overlap
+    in time). Scratch and semaphores persist across grid steps on TPU (and
+    in interpret mode — probed), which is what makes the handoff legal.
+    """
+    row = pl.program_id(0)
+    head = pl.program_id(1)
+    f = row * hkv + head
+    total = pl.num_programs(0) * pl.num_programs(1)
+    parity = f % 2
+    phys = rows_ref[row]
+    length = len_ref[row]
+    max_len = length + width - 1
+    num_blocks = (max_len + block - 1) // block
+
+    def get_dma_pair(slot, phys_row, head_idx, blk_idx):
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[phys_row, head_idx, pl.ds(blk_idx * block, block), :],
+                k_scratch.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[phys_row, head_idx, pl.ds(blk_idx * block, block), :],
+                v_scratch.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    # Cold start: only the very first program fetches its own block 0 —
+    # every later program's block 0 was started by its predecessor.
+    @pl.when(f == 0)
+    def _():
+        k0, v0 = get_dma_pair(2 * parity, phys, head, 0)
+        k0.start()
+        v0.start()
+
+    # Hand off: start the NEXT program's block 0 before computing.
+    @pl.when(f + 1 < total)
+    def _():
+        nf = f + 1
+        nrow = nf // hkv
+        nhead = nf % hkv
+        nk, nv = get_dma_pair(2 * (nf % 2), rows_ref[nrow], nhead, 0)
+        nk.start()
+        nv.start()
+
+    gw, d = q_ref.shape[2], q_ref.shape[3]
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [GW, D]
+    q_extra = jax.lax.broadcasted_iota(jnp.int32, (gw, block), 0) % width
+
+    def body(blk_idx, carry):
+        acc, m_prev, l_prev = carry
+        slot = 2 * parity + blk_idx % 2
+
+        @pl.when(blk_idx + 1 < num_blocks)
+        def _():
+            kn, vn = get_dma_pair(
+                2 * parity + (blk_idx + 1) % 2, phys, head, blk_idx + 1
+            )
+            kn.start()
+            vn.start()
+
+        kc, vc = get_dma_pair(slot, phys, head, blk_idx)
+        kc.wait()
+        vc.wait()
+
+        k_blk = k_scratch[slot].astype(jnp.float32)
+        v_blk = v_scratch[slot].astype(jnp.float32)
+
+        logits = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_pos = blk_idx * block + jax.lax.broadcasted_iota(
+            jnp.int32, (gw, block), 1
+        )
+        logits = jnp.where(k_pos < length + q_extra, logits, _NEG_INF)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32
+        )
+        return acc_new, m_new, l_new
+
+    acc = jnp.zeros((gw, d), jnp.float32)
+    m0 = jnp.full((gw, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((gw, 1), jnp.float32)
+    acc, _, l_final = jax.lax.fori_loop(0, num_blocks, body, (acc, m0, l0))
+
+    o_ref[0, 0] = (acc / jnp.maximum(l_final, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "pipelined"))
 def _decode_attention_pallas(
     q: jax.Array,
     k_cache: jax.Array,
@@ -169,6 +289,7 @@ def _decode_attention_pallas(
     lengths: jax.Array,
     rows: jax.Array | None = None,
     interpret: bool = False,
+    pipelined: bool = False,
 ) -> jax.Array:
     b, hq, w, d = q.shape
     hkv, s = k_cache.shape[1], k_cache.shape[2]
@@ -207,20 +328,32 @@ def _decode_attention_pallas(
         scratch_shapes=[
             # Scratch keeps the cache dtype: blocks stream at native width
             # and cast to fp32 on-chip (no full-cache cast in HBM).
-            pltpu.VMEM((2, block, d), k_cache.dtype),
-            pltpu.VMEM((2, block, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            # The pipelined kernel doubles the slots (parity handoff).
+            pltpu.VMEM((4 if pipelined else 2, block, d), k_cache.dtype),
+            pltpu.VMEM((4 if pipelined else 2, block, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((4 if pipelined else 2, 2)),
         ],
     )
 
-    out = pl.pallas_call(
-        functools.partial(
+    if pipelined:
+        kernel = functools.partial(
+            _kernel_pipelined, block=block, width=w, group=group,
+            scale=scale, hkv=hkv,
+        )
+        # The cross-program DMA handoff requires the documented sequential
+        # grid order — "parallel" would license reordering that breaks it.
+        semantics = ("arbitrary", "arbitrary")
+    else:
+        kernel = functools.partial(
             _kernel, block=block, width=w, group=group, scale=scale
-        ),
+        )
+        semantics = ("parallel", "parallel")
+    out = pl.pallas_call(
+        kernel,
         out_shape=jax.ShapeDtypeStruct(qg.shape, q.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=semantics,
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), rows.astype(jnp.int32), qg, k_cache, v_cache)
@@ -779,7 +912,10 @@ def decode_attention_update(
         k_cache, v_cache = _batch_row_write_pallas(
             k_cache, v_cache, k_new, v_new, index, rows
         )
-        out = _decode_attention_pallas(q, k_cache, v_cache, index + 1, rows)
+        out = _decode_attention_pallas(
+            q, k_cache, v_cache, index + 1, rows,
+            pipelined=bool(os.environ.get("VTX_XPROG_PREFETCH")),
+        )
         return out, k_cache, v_cache
     return _decode_attention_update_pallas(
         q, k_cache, v_cache, k_new, v_new, index, rows
@@ -806,7 +942,10 @@ def decode_attention(
         or _pick_cache_block(k_cache.shape[2]) is None
     ):
         return decode_attention_reference(q, k_cache, v_cache, lengths, rows)
-    return _decode_attention_pallas(q, k_cache, v_cache, lengths, rows)
+    return _decode_attention_pallas(
+        q, k_cache, v_cache, lengths, rows,
+        pipelined=bool(os.environ.get("VTX_XPROG_PREFETCH")),
+    )
 
 
 def _adopt_kernel(rows_ref, count_ref, src_hbm, dst_hbm, dst_out, sem, *,
