@@ -181,7 +181,11 @@ def main() -> int:
     if "kv" in PROBES:
         record["kv"] = {}
         for b in BATCHES:
-            record["kv"][str(b)] = probe_kv(engine, b, [1, 4, 12, 24])
+            # Long prompts at wide batch blow the KV cache budget (bf16
+            # cache bytes = 2 x layers x B x Hkv x S x D x 2; b128 at a
+            # 1.9k bucket is ~12 GB on a 16 GB part) — cap the sweep.
+            mults = [1, 4, 12, 24] if b <= 32 else [1, 4, 8, 12]
+            record["kv"][str(b)] = probe_kv(engine, b, mults)
 
     # Component fit: step_ms(B, L) ~= a_B + kv_ms_per_token_row * L.
     if "kv" in record and record["kv"]:
