@@ -118,6 +118,14 @@ if [ -d data/checkpoints/base-zh-grounded-r5b ]; then
     --coverage-floor 0 || true"
 fi
 
+# On-chip quality parity for the split-write + cross-program-prefetch
+# kernel path: same checkpoint/seed as the phase-1 int8 gate — per-topic
+# results must match it exactly before the path can become a default.
+stage eval_xprog_parity 3600 bash -c "env VTX_SPLIT_WRITE=1 VTX_XPROG_PREFETCH=1 \
+  python -m video_transformer_tpu.train.eval_grounding \
+  --preset base --checkpoint $R3D --quantize int8 \
+  --tokenizer $TOK --topics 16 --composites 8 --batch 8 || true"
+
 stage bench_final 6000 python bench.py
 
 log "round-5 phase-3 drive complete"
