@@ -21,11 +21,11 @@ image_generator: {}
 def test_default_config_loads():
     config = load_config(DEFAULT_CONFIG_PATH)
     assert config["system"]["note_profile"] == "pdf"
-    # The out-of-box checkpoint is the round-2 composite-rescued base-r3d
-    # (16/16 single + 7/8 composite on the 48-topic harness); tiny remains
-    # the speculative draft.
+    # The out-of-box checkpoint is the round-5 reversal-augmented rescue
+    # base-r5 (16/16 single + 8/8 composite + 94/96 OOD on the 48-topic
+    # harness); tiny remains the speculative draft.
     assert config["engine"]["model_preset"] == "base"
-    assert "base-zh-grounded-r3d" in config["engine"]["checkpoint_dir"]
+    assert "base-zh-grounded-r5" in config["engine"]["checkpoint_dir"]
     assert config["engine"]["mesh"]["model"] == 1
     assert config["analyzer"]["long_video"]["default_segment_seconds"] == 480
     # Serving defaults decided by the round-4 on-chip ablations
@@ -52,7 +52,7 @@ def test_production_note_style_defaults():
     assert system["quality_gates"]["enabled"] is True
     assert system["render"]["include_concept_index"] is False  # pdf profile
     assert config["engine"]["checkpoint_dir"] == (
-        "./data/checkpoints/base-zh-grounded-r3d-bf16"
+        "./data/checkpoints/base-zh-grounded-r5-bf16"
     )
     assert config["engine"]["tokenizer"]["type"] == "bpe"
 

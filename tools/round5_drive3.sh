@@ -75,6 +75,7 @@ stage() { # stage NAME TIMEOUT_S CMD...
 
 TOK=data/tokenizers/bpe-zh-2048.json
 R3D=data/checkpoints/base-zh-grounded-r3d-bf16/params_3700
+R5BF=data/checkpoints/base-zh-grounded-r5-bf16/params_4100
 DRAFT=data/checkpoints/tiny-zh-grounded-r5mix/params_4500
 # The quality-rescue output when it exists and scored well; set by hand
 # before launching phase 3 if eval_r5 picked a different step.
@@ -82,11 +83,11 @@ R5=${VTX_R5_CKPT:-data/checkpoints/base-zh-grounded-r5/params_4100}
 
 stage spec_r5mix_b8 4800 env VTX_SPEC_K=6 VTX_SPEC_BATCH=8 \
   VTX_SPEC_CLIPS=16 VTX_SPEC_QUANT=int8 python tools/spec_eval.py \
-  --target "$R3D" --draft "$DRAFT" --tokenizer "$TOK"
+  --target "$R5BF" --draft "$DRAFT" --tokenizer "$TOK"
 
 stage spec_r5mix_b16k3 4800 env VTX_SPEC_K=3 VTX_SPEC_BATCH=16 \
   VTX_SPEC_CLIPS=16 VTX_SPEC_QUANT=int8 python tools/spec_eval.py \
-  --target "$R3D" --draft "$DRAFT" --tokenizer "$TOK"
+  --target "$R5BF" --draft "$DRAFT" --tokenizer "$TOK"
 
 INIT=$R5
 if [ ! -d "$INIT" ]; then
@@ -121,9 +122,16 @@ fi
 # On-chip quality parity for the split-write + cross-program-prefetch
 # kernel path: same checkpoint/seed as the phase-1 int8 gate — per-topic
 # results must match it exactly before the path can become a default.
+# int8 gate on the NEW shipped checkpoint (r5): quantize flips only if
+# this holds 16/16 + 8/8 (or matches the bf16 seed behavior from the
+# phase-2 disambiguation).
+stage eval_int8_r5 3600 bash -c "python -m video_transformer_tpu.train.eval_grounding \
+  --preset base --checkpoint $R5BF --quantize int8 \
+  --tokenizer $TOK --topics 16 --composites 8 --batch 8 || true"
+
 stage eval_xprog_parity 3600 bash -c "env VTX_SPLIT_WRITE=1 VTX_XPROG_PREFETCH=1 \
   python -m video_transformer_tpu.train.eval_grounding \
-  --preset base --checkpoint $R3D --quantize int8 \
+  --preset base --checkpoint $R5BF --quantize int8 \
   --tokenizer $TOK --topics 16 --composites 8 --batch 8 || true"
 
 stage bench_final 6000 python bench.py
