@@ -96,7 +96,7 @@ def test_no_print_in_library_code():
     cli_allowed = {
         "cli.py", "run.py", "validate_note.py", "add_p_params.py",
         "export_pdf.py", "compressor.py", "service.py", "eval_grounding.py",
-        "eval_real.py",
+        "eval_real.py", "eval_content.py",
     }
     offenders = []
     for path in PACKAGE.rglob("*.py"):
