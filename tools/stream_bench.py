@@ -32,6 +32,7 @@ Env: VTX_SB_PRESET (base), VTX_SB_QUANT (int8), VTX_SB_PROBES
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -81,32 +82,37 @@ def probe_weights(engine, rows: list[int], inner_steps: int = 64) -> list[dict]:
     mats = _dense_mats(engine)
     stream_bytes = sum(int(k.nbytes) + int(s.nbytes) for k, s in mats)
 
-    results = []
-    for m in rows:
-        xs = [
-            jnp.ones((m, int(k.shape[0])), jnp.bfloat16) for k, _ in mats
-        ]
-
+    # mats/xs are ARGUMENTS of the jitted chain, never captured constants:
+    # closure capture would embed the 0.4 GB weight tree into the
+    # serialized program and blow the remote compiler's request limit
+    # (observed: HTTP 413 through the axon tunnel).
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def chain(xs, kernels, scales, steps):
         def body(_, acc):
             # acc feeds each input so XLA cannot hoist the matmuls out of
             # the loop as loop-invariant; the perturbation is numerically
             # invisible (acc ~ O(1e5), eps 1e-20).
             eps = (acc * 1e-20).astype(jnp.bfloat16)
             total = jnp.float32(0)
-            for x, (k, s) in zip(xs, mats):
+            for x, k, s in zip(xs, kernels, scales):
                 y = (x + eps) @ k.astype(jnp.bfloat16)
                 total += jnp.sum(y.astype(jnp.float32) * s[None, :])
             return total
 
-        @jax.jit
-        def chain():
-            return jax.lax.fori_loop(0, inner_steps, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
-        float(chain())  # compile + warm
+    kernels = [k for k, _ in mats]
+    scales = [s for _, s in mats]
+    results = []
+    for m in rows:
+        xs = [
+            jnp.ones((m, int(k.shape[0])), jnp.bfloat16) for k, _ in mats
+        ]
+        float(chain(xs, kernels, scales, inner_steps))  # compile + warm
         walls = []
         for _ in range(3):
             start = time.perf_counter()
-            float(chain())
+            float(chain(xs, kernels, scales, inner_steps))
             walls.append(time.perf_counter() - start)
         wall = sorted(walls)[1]
         step = wall / inner_steps
