@@ -81,6 +81,11 @@ DRAFT=data/checkpoints/tiny-zh-grounded-r5mix/params_4500
 # before launching phase 3 if eval_r5 picked a different step.
 R5=${VTX_R5_CKPT:-data/checkpoints/base-zh-grounded-r5/params_4100}
 
+# Re-run: the phase-2 attempt failed with HTTP 413 (weights captured as
+# jit constants blew the remote compiler's request limit; fixed to pass
+# them as arguments). The .done marker was cleared.
+stage stream_bench 6000 python tools/stream_bench.py
+
 stage spec_r5mix_b8 4800 env VTX_SPEC_K=6 VTX_SPEC_BATCH=8 \
   VTX_SPEC_CLIPS=16 VTX_SPEC_QUANT=int8 python tools/spec_eval.py \
   --target "$R5BF" --draft "$DRAFT" --tokenizer "$TOK"
