@@ -86,6 +86,14 @@ R5=${VTX_R5_CKPT:-data/checkpoints/base-zh-grounded-r5/params_4100}
 # them as arguments). The .done marker was cleared.
 stage stream_bench 6000 python tools/stream_bench.py
 
+# splitwrite measured +13% over force2 at b16 (6,970 vs 6,165 tok/s,
+# decode_force1_b16); xprog adds the cross-program block-0 prefetch on
+# top — the candidate new serving default.
+stage decode_xprog_b16 4800 env VTX_DB_BATCH=16 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=xprog python tools/decode_bench.py
+stage decode_xprog_b128 4800 env VTX_DB_BATCH=128 VTX_DB_QUANT=int8 \
+  VTX_DB_VARIANTS=xprog python tools/decode_bench.py
+
 stage spec_r5mix_b8 4800 env VTX_SPEC_K=6 VTX_SPEC_BATCH=8 \
   VTX_SPEC_CLIPS=16 VTX_SPEC_QUANT=int8 python tools/spec_eval.py \
   --target "$R5BF" --draft "$DRAFT" --tokenizer "$TOK"
