@@ -149,4 +149,10 @@ stage eval_xprog_parity 3600 bash -c "env VTX_SPLIT_WRITE=1 VTX_XPROG_PREFETCH=1
 
 stage bench_final 6000 python bench.py
 
+# Official line with the split-write + prefetch kernel path: if the
+# parity gate above holds and this wins, the path becomes the default
+# and this row is its first official capture.
+stage bench_final_split 6000 env VTX_SPLIT_WRITE=1 VTX_XPROG_PREFETCH=1 \
+  python bench.py
+
 log "round-5 phase-3 drive complete"
