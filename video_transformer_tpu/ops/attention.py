@@ -290,6 +290,13 @@ def flash_attention(
         or q.shape[2] != k.shape[2]
         or _pick_block(q.shape[2], 512) is None
         or _pick_block(k.shape[2], 512) is None
+        # Lane (head) dim must be 128-aligned for Mosaic VMEM tiling.
+        # Qwen2-VL's VISION tower has head_dim 80 (hidden 1280 / 16
+        # heads): the 7b full-pipeline rehearsal failed exactly here
+        # ("Slice shape along dimension 3 must be aligned to tiling
+        # (128), but is 80", 2026-08-21) — text-only gates never touched
+        # the vision encode path. XLA handles 80 fine.
+        or q.shape[3] % 128 != 0
     ):
         return mha_reference(q, k, v, causal=causal)
     return _flash_attention_diff(q, k, v, causal)

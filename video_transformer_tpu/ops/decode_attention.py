@@ -895,6 +895,8 @@ def decode_attention_update(
         or os.environ.get("VTX_FORCE_REF_ATTN")
         or jax.default_backend() != "tpu"
         or _pick_cache_block(s) is None
+        or q.shape[3] % 128 != 0  # Mosaic lane tiling (vision towers
+        # can carry head_dim 80 — see ops/attention.py dispatch)
     ):
         k_cache = update_cache_rows(
             k_cache, k_new.astype(k_cache.dtype), index, rows
@@ -940,6 +942,7 @@ def decode_attention(
         or os.environ.get("VTX_FORCE_REF_ATTN")
         or jax.default_backend() != "tpu"
         or _pick_cache_block(k_cache.shape[2]) is None
+        or q.shape[3] % 128 != 0
     ):
         return decode_attention_reference(q, k_cache, v_cache, lengths, rows)
     return _decode_attention_pallas(
