@@ -26,7 +26,11 @@ Cache = dict[str, Any]
 
 
 def init_kv_cache(
-    config: DecoderConfig, batch: int, max_len: int, dtype: jnp.dtype
+    config: DecoderConfig,
+    batch: int,
+    max_len: int,
+    dtype: jnp.dtype,
+    quant: bool = False,
 ) -> Cache:
     """Allocate an empty KV cache: per-layer k/v LISTS of [B, Hkv, max_len, D].
 
@@ -38,13 +42,38 @@ def init_kv_cache(
 
     ``index`` is PER ROW ([B]) so batch rows can advance asynchronously —
     grammar fast-forward appends different run lengths per row.
+
+    ``quant=True`` stores K/V as int8 with per-(layer, head) f32 scales —
+    halving the decode step's dominant HBM stream (the measured KV-length
+    slope, tools/stream_bench.py 2026-08-21: 3.4 us/prompt-token at b16 —
+    over half the step at serving note lengths). Scales start at a tiny
+    epsilon and are CALIBRATED IN-PROGRAM by the prefill block (amax with
+    1.5x margin, Attention below): they ride the cache pytree through the
+    decode loop, so no separate calibration pass or compile exists.
     """
     shape = (batch, config.num_kv_heads, max_len, config.head_dim)
-    return {
-        "k": [jnp.zeros(shape, dtype) for _ in range(config.num_layers)],
-        "v": [jnp.zeros(shape, dtype) for _ in range(config.num_layers)],
+    kv_dtype = jnp.int8 if quant else dtype
+    cache: Cache = {
+        "k": [jnp.zeros(shape, kv_dtype) for _ in range(config.num_layers)],
+        "v": [jnp.zeros(shape, kv_dtype) for _ in range(config.num_layers)],
         "index": jnp.zeros((batch,), jnp.int32),
     }
+    if quant:
+        cache["k_scale"] = [
+            jnp.full((config.num_kv_heads,), 1e-6, jnp.float32)
+            for _ in range(config.num_layers)
+        ]
+        cache["v_scale"] = [
+            jnp.full((config.num_kv_heads,), 1e-6, jnp.float32)
+            for _ in range(config.num_layers)
+        ]
+    return cache
+
+
+def quantize_kv(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """bf16/f32 [B, Hkv, S, D] -> int8 rows under per-head ``scale`` [Hkv]."""
+    q = jnp.round(x.astype(jnp.float32) / scale[None, :, None, None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
 class RMSNorm(nn.Module):
@@ -201,29 +230,55 @@ class Attention(nn.Module):
             rows = cache.get("rows")
             k_layer = cache["k"][self.layer_idx]
             v_layer = cache["v"][self.layer_idx]
+            quantized = k_layer.dtype == jnp.int8
+            k_scale = cache["k_scale"][self.layer_idx] if quantized else None
+            v_scale = cache["v_scale"][self.layer_idx] if quantized else None
             if prefill:
+                if quantized:
+                    # In-program calibration: the prefill block's amax (with
+                    # 1.5x margin for decode-time outliers) fixes this
+                    # layer's per-head scales; the engine runs ONE prefill
+                    # per generate program, so every later decode row
+                    # quantizes under the same scale the prefix used.
+                    k_scale = jnp.maximum(
+                        k_scale,
+                        1.5 * jnp.max(jnp.abs(k), axis=(0, 2, 3)) / 127.0,
+                    )
+                    v_scale = jnp.maximum(
+                        v_scale,
+                        1.5 * jnp.max(jnp.abs(v), axis=(0, 2, 3)) / 127.0,
+                    )
+                    k_store = quantize_kv(k, k_scale)
+                    v_store = quantize_kv(v, v_scale)
+                else:
+                    k_store = k.astype(k_layer.dtype)
+                    v_store = v.astype(v_layer.dtype)
                 # Cache-filling prefill: write the block, then in-block
-                # causal flash attention (exact, and avoids attending the
-                # padded cache tail: S_block^2 instead of S_block * S).
-                k_layer = update_cache_rows(
-                    k_layer, k.astype(k_layer.dtype), index, rows
-                )
-                v_layer = update_cache_rows(
-                    v_layer, v.astype(v_layer.dtype), index, rows
-                )
+                # causal flash attention (exact — full-precision k/v —
+                # and avoids attending the padded cache tail: S_block^2
+                # instead of S_block * S).
+                k_layer = update_cache_rows(k_layer, k_store, index, rows)
+                v_layer = update_cache_rows(v_layer, v_store, index, rows)
                 out = flash_attention(q, k, v, causal=True)
             else:
                 # Fused row-write + length-aware paged attention: the new
                 # k/v rows land in the cache INSIDE the kernel (in place on
                 # TPU), and only the valid prefix streams from HBM.
                 out, k_layer, v_layer = decode_attention_update(
-                    q, k_layer, v_layer, k, v, index, rows
+                    q, k_layer, v_layer, k, v, index, rows,
+                    k_scale=k_scale, v_scale=v_scale,
                 )
             new_k = list(cache["k"])
             new_v = list(cache["v"])
             new_k[self.layer_idx] = k_layer
             new_v[self.layer_idx] = v_layer
             cache = dict(cache, k=new_k, v=new_v)
+            if quantized and prefill:
+                new_ks = list(cache["k_scale"])
+                new_vs = list(cache["v_scale"])
+                new_ks[self.layer_idx] = k_scale
+                new_vs[self.layer_idx] = v_scale
+                cache = dict(cache, k_scale=new_ks, v_scale=new_vs)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, s, q_dim)
         out = QDense(cfg.hidden_dim, dtype=dtype, name="out")(out)

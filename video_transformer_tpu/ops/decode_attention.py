@@ -876,6 +876,8 @@ def decode_attention_update(
     index: jax.Array,
     rows: jax.Array | None = None,
     force_reference: bool = False,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused cache-row write + length-aware decode attention.
 
@@ -885,11 +887,29 @@ def decode_attention_update(
     rows to physical cache rows (paged serving; None = identity). The
     aligned read-modify-write can touch up to round_up(width, 8) + 8 rows
     past ``index``; callers must reserve that much tail slack past the
-    maximum index (the engine and batcher size their caches accordingly)."""
+    maximum index (the engine and batcher size their caches accordingly).
+
+    ``k_scale``/``v_scale`` [Hkv] (present iff the caches are int8,
+    models/lm.py::init_kv_cache quant=True) need NO kernel plumbing: the
+    per-head scale factors out of the attention algebra — q is pre-scaled
+    by k_scale (softmax sees exactly the dequantized logits) and the
+    output post-scaled by v_scale (P @ V_int8 is linear in V) — and the
+    kernels' scratch already follows the cache dtype, streaming int8
+    blocks at half the bytes. New rows are quantized OUTSIDE the write
+    kernel; its f32 rotate round-trips int8 in [-127, 127] exactly."""
     import os
 
+    quantized = k_scale is not None
     s = k_cache.shape[2]
     w_pad = ((q.shape[2] + 7) // 8) * 8
+    if quantized:
+        from ..models.lm import quantize_kv
+
+        k_new = quantize_kv(k_new, k_scale)
+        v_new = quantize_kv(v_new, v_scale)
+        group = q.shape[1] // k_cache.shape[1]
+        ks_q = jnp.repeat(k_scale, group)  # per q-head
+        vs_q = jnp.repeat(v_scale, group)
     if (
         force_reference
         or os.environ.get("VTX_FORCE_REF_ATTN")
@@ -904,20 +924,32 @@ def decode_attention_update(
         v_cache = update_cache_rows(
             v_cache, v_new.astype(v_cache.dtype), index, rows
         )
-        out = decode_attention_reference(q, k_cache, v_cache, index + 1, rows)
+        if quantized:
+            kd = k_cache.astype(jnp.float32) * k_scale[None, :, None, None]
+            vd = v_cache.astype(jnp.float32) * v_scale[None, :, None, None]
+            out = decode_attention_reference(q, kd, vd, index + 1, rows)
+        else:
+            out = decode_attention_reference(
+                q, k_cache, v_cache, index + 1, rows
+            )
         return out, k_cache, v_cache
-    if os.environ.get("VTX_SPLIT_WRITE"):
-        # Ablation path: batched row writes (all RMW DMAs overlapped)
-        # followed by the read-only attention kernel — isolates the fused
-        # kernel's per-program RMW round trips (tools/decode_bench.py
-        # splitwrite variant).
+    if quantized or os.environ.get("VTX_SPLIT_WRITE"):
+        # Batched row writes (all RMW DMAs overlapped) + the read-only
+        # attention kernel. +12-13% over the fused kernel at b16/b128
+        # (decode_force1_*, 2026-08-21); int8 caches REQUIRE this path
+        # (the fused kernel's in-kernel RMW has no quantize step).
         k_cache, v_cache = _batch_row_write_pallas(
             k_cache, v_cache, k_new, v_new, index, rows
         )
+        q_in = (
+            q * ks_q[None, :, None, None].astype(q.dtype) if quantized else q
+        )
         out = _decode_attention_pallas(
-            q, k_cache, v_cache, index + 1, rows,
+            q_in, k_cache, v_cache, index + 1, rows,
             pipelined=bool(os.environ.get("VTX_XPROG_PREFETCH")),
         )
+        if quantized:
+            out = (out * vs_q[None, :, None, None]).astype(q.dtype)
         return out, k_cache, v_cache
     return _decode_attention_update_pallas(
         q, k_cache, v_cache, k_new, v_new, index, rows

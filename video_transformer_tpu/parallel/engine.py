@@ -158,6 +158,7 @@ class InferenceEngine:
         param_dtype: str | None = None,
         quantize: str | None = None,
         fuse_projections: bool | None = None,
+        kv_quant: str | None = None,
     ):
         """``structure_bias`` is a length-control logit bias added to JSON
         closing tokens (quote/bracket/brace/EOS) — positive values steer
@@ -182,6 +183,18 @@ class InferenceEngine:
         self.temperature = float(temperature)
         self.structure_bias = float(structure_bias)
         self.max_forced_run = int(max_forced_run)
+        # int8 KV cache (models/lm.py::init_kv_cache quant=True): halves
+        # the decode step's KV stream — the measured dominant scaling term
+        # at serving note lengths (tools/stream_bench.py KV sweep: 3.4 us
+        # per prompt token at b16, over half the step by L~800). Scales
+        # calibrate in-program from the prefill block; the split-write
+        # attention path handles quantized caches natively. Opt-in via
+        # kwarg or VTX_KV_QUANT=int8 until the quality gate ships it.
+        if kv_quant is None and os.environ.get("VTX_KV_QUANT") == "int8":
+            kv_quant = "int8"
+        if kv_quant not in (None, "int8"):
+            raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
+        self.kv_quant = kv_quant
         # Pluggable tokenizer: byte-level by default, a trained BpeTokenizer
         # (models/bpe.py) for subword decoding with the token grammar.
         if tokenizer is not None and tokenizer.vocab_size != config.decoder.vocab_size:
@@ -1040,16 +1053,19 @@ class InferenceEngine:
         def generate(params, patches, prompt, lengths, active, init_state, rng):
             b = prompt.shape[0]
             dtype = jnp.dtype(cfg.dtype)
-            cache = init_kv_cache(cfg.decoder, b, cache_len, dtype)
-            cache = {
-                "k": jax.lax.with_sharding_constraint(
+            cache = init_kv_cache(
+                cfg.decoder, b, cache_len, dtype,
+                quant=self.kv_quant == "int8",
+            )
+            cache = dict(
+                cache,
+                k=jax.lax.with_sharding_constraint(
                     cache["k"], NamedSharding(self.mesh, kv_spec)
                 ),
-                "v": jax.lax.with_sharding_constraint(
+                v=jax.lax.with_sharding_constraint(
                     cache["v"], NamedSharding(self.mesh, kv_spec)
                 ),
-                "index": cache["index"],
-            }
+            )
             # ``lengths`` [B] = per-row valid token count in the prompt block
             # (continuation prefixes are ragged); ``init_state`` [B] resumes
             # the grammar mid-document on continuation calls.
