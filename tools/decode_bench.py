@@ -153,7 +153,7 @@ def run_variant(name: str) -> dict:
         spec = name[4:] or "self"
     if name.startswith("force") and name[5:].isdigit():
         forced = int(name[5:])
-    elif name in ("splitwrite", "xprog"):
+    elif name in ("splitwrite", "xprog", "kvq"):
         forced = 2  # serving default width: comparable with force2 rows
     else:
         forced = 0 if name in ("nogrammar", "noforce") else 12
@@ -171,14 +171,21 @@ def run_variant(name: str) -> dict:
         # block-0 prefetch in the read-only attention kernel.
         os.environ["VTX_SPLIT_WRITE"] = "1"
         os.environ["VTX_XPROG_PREFETCH"] = "1"
+    if name == "kvq":
+        # int8 KV cache on top of the xprog path: halves the measured
+        # KV-length slope (stream_bench kv_fit), the dominant step term
+        # at serving note lengths.
+        os.environ["VTX_KV_QUANT"] = "int8"
+        os.environ["VTX_XPROG_PREFETCH"] = "1"
     try:
         return _run_variant_body(name, forced, use_dfa, spec)
     finally:
         if name == "ref_attn":
             os.environ.pop("VTX_FORCE_REF_ATTN", None)
-        if name in ("splitwrite", "xprog"):
+        if name in ("splitwrite", "xprog", "kvq"):
             os.environ.pop("VTX_SPLIT_WRITE", None)
             os.environ.pop("VTX_XPROG_PREFETCH", None)
+            os.environ.pop("VTX_KV_QUANT", None)
 
 
 def _run_variant_body(name: str, forced: int, use_dfa: bool, spec: str | None) -> dict:
