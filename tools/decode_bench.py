@@ -153,7 +153,7 @@ def run_variant(name: str) -> dict:
         spec = name[4:] or "self"
     if name.startswith("force") and name[5:].isdigit():
         forced = int(name[5:])
-    elif name in ("splitwrite", "xprog", "kvq"):
+    elif name in ("splitwrite", "xprog", "kvq", "fusedwrite"):
         forced = 2  # serving default width: comparable with force2 rows
     else:
         forced = 0 if name in ("nogrammar", "noforce") else 12
@@ -166,25 +166,28 @@ def run_variant(name: str) -> dict:
         os.environ["VTX_FORCE_REF_ATTN"] = "1"
     if name == "splitwrite":
         os.environ["VTX_SPLIT_WRITE"] = "1"
-    if name == "xprog":
-        # Candidate serving path: batched row writes + cross-program
-        # block-0 prefetch in the read-only attention kernel.
-        os.environ["VTX_SPLIT_WRITE"] = "1"
-        os.environ["VTX_XPROG_PREFETCH"] = "1"
+    # Since the round-5 default flip, split-write + cross-program prefetch
+    # IS the serving path: plain variants (full/forceN/...) measure it.
+    # "fusedwrite" restores the old fused kernel; "splitwrite" disables
+    # only the prefetch (isolating its contribution); "xprog" is kept as
+    # an alias of the default for row continuity.
+    if name == "fusedwrite":
+        os.environ["VTX_FUSED_WRITE"] = "1"
+    if name == "splitwrite":
+        os.environ["VTX_NO_XPROG_PREFETCH"] = "1"
     if name == "kvq":
-        # int8 KV cache on top of the xprog path: halves the measured
+        # int8 KV cache on top of the default path: halves the measured
         # KV-length slope (stream_bench kv_fit), the dominant step term
         # at serving note lengths.
         os.environ["VTX_KV_QUANT"] = "int8"
-        os.environ["VTX_XPROG_PREFETCH"] = "1"
     try:
         return _run_variant_body(name, forced, use_dfa, spec)
     finally:
         if name == "ref_attn":
             os.environ.pop("VTX_FORCE_REF_ATTN", None)
-        if name in ("splitwrite", "xprog", "kvq"):
-            os.environ.pop("VTX_SPLIT_WRITE", None)
-            os.environ.pop("VTX_XPROG_PREFETCH", None)
+        if name in ("splitwrite", "xprog", "kvq", "fusedwrite"):
+            os.environ.pop("VTX_FUSED_WRITE", None)
+            os.environ.pop("VTX_NO_XPROG_PREFETCH", None)
             os.environ.pop("VTX_KV_QUANT", None)
 
 

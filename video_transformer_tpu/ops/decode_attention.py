@@ -933,11 +933,17 @@ def decode_attention_update(
                 q, k_cache, v_cache, index + 1, rows
             )
         return out, k_cache, v_cache
-    if quantized or os.environ.get("VTX_SPLIT_WRITE"):
-        # Batched row writes (all RMW DMAs overlapped) + the read-only
-        # attention kernel. +12-13% over the fused kernel at b16/b128
-        # (decode_force1_*, 2026-08-21); int8 caches REQUIRE this path
-        # (the fused kernel's in-kernel RMW has no quantize step).
+    if quantized or not os.environ.get("VTX_FUSED_WRITE"):
+        # DEFAULT serving path (round 5): batched row writes (all RMW DMAs
+        # overlapped) + the read-only attention kernel with cross-program
+        # block-0 prefetch. Measured over the fused kernel at base/int8
+        # (decode_force1_* / decode_xprog_*, 2026-08-21): b16 6,165 ->
+        # 6,970 (split) -> 7,225 tok/s (+prefetch); b128 7,099 -> 7,982 ->
+        # 8,600 — the RMW round trips and cold first-block DMA at the head
+        # of every (row, head) program were the decode plateau's biggest
+        # term. int8 caches REQUIRE this path (the fused kernel's
+        # in-kernel RMW has no quantize step). VTX_FUSED_WRITE=1 restores
+        # the fused kernel for ablations.
         k_cache, v_cache = _batch_row_write_pallas(
             k_cache, v_cache, k_new, v_new, index, rows
         )
@@ -946,7 +952,7 @@ def decode_attention_update(
         )
         out = _decode_attention_pallas(
             q_in, k_cache, v_cache, index + 1, rows,
-            pipelined=bool(os.environ.get("VTX_XPROG_PREFETCH")),
+            pipelined=not os.environ.get("VTX_NO_XPROG_PREFETCH"),
         )
         if quantized:
             out = (out * vs_q[None, :, None, None]).astype(q.dtype)
