@@ -196,6 +196,7 @@ class ContentAnalyzer:
                 tokenizer=tokenizer,
                 param_dtype=self.engine_config.get("param_dtype"),
                 quantize=self.engine_config.get("quantize"),
+                kv_quant=self.engine_config.get("kv_quant"),
                 # Grammar fast-forward block width minus one. Wide blocks
                 # make every decode step compute-bound ((1+N)x forward
                 # FLOPs) while the measured average advance on note content
