@@ -34,11 +34,11 @@ import os
 PRESET = os.environ.get("VTX_BENCH_PRESET", "base")
 
 
-def _shipped_quantize() -> str | None:
-    """engine.quantize from the SHIPPED config: the official bench must
+def _shipped_engine_key(key: str) -> str | None:
+    """engine.<key> from the SHIPPED config: the official bench must
     measure the configuration users get out of the box (round-4 verdict
     Weak #3 — every round-4 number was int8 while the product default was
-    null). VTX_BENCH_QUANT still overrides for ablations."""
+    null). VTX_BENCH_* env vars still override for ablations."""
     try:
         import yaml
 
@@ -46,16 +46,23 @@ def _shipped_quantize() -> str | None:
             (Path(__file__).resolve().parent / "config/config.yaml")
             .read_text()
         )
-        return cfg.get("engine", {}).get("quantize")
+        return cfg.get("engine", {}).get(key)
     except Exception:
         return None
 
 
 # Weight-only serving quantization (models/quant.py): decode streams the
 # decoder from HBM every step, so int8 residency ~halves step time.
-QUANTIZE = os.environ.get("VTX_BENCH_QUANT") or _shipped_quantize()
+QUANTIZE = os.environ.get("VTX_BENCH_QUANT") or _shipped_engine_key("quantize")
 if QUANTIZE in ("none", "null", "0", ""):
     QUANTIZE = None
+# int8 KV cache (models/lm.py) — halves the decode step's KV stream.
+KV_QUANT = (
+    os.environ.get("VTX_BENCH_KV_QUANT")
+    or _shipped_engine_key("kv_quant")
+)
+if KV_QUANT in ("none", "null", "0", ""):
+    KV_QUANT = None
 # 10 minutes: long enough that the segment batch fills the decode sweet
 # spot (10 segments in one sharded call) — the workload the north-star
 # measures is a 60-min lecture, which behaves like this batched regime.
@@ -105,6 +112,7 @@ def build_engine():
         seed=0,
         param_dtype="bfloat16",
         quantize=QUANTIZE,
+        kv_quant=KV_QUANT,
         # Fast-forward width: engine default unless the sweep overrides.
         **(
             {"max_forced_run": int(os.environ["VTX_BENCH_FORCED_RUN"])}
@@ -450,6 +458,7 @@ def main() -> int:
                         ),
                         "model_preset": PRESET,
                         "quantize": QUANTIZE,
+                        "kv_quant": KV_QUANT,
                         "continuous_batching": CONTINUOUS,
                         "segment_seconds": SEGMENT_SECONDS,
                         "model_params": n_params,
